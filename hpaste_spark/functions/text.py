@@ -1,0 +1,139 @@
+"""Text-analysis column functions — all JVM-side expression compositions
+(no Python UDFs in the hot path; SURVEY §2.8).
+
+The reference has no scalar-function library (values are opaque bytes;
+transformation is arbitrary Scala in mappers, e.g. URL parsing at
+WebCrawlSchemaTest.scala:39).  These functions are the engine's
+Spark-native equivalent surface plus the LLM-pipeline text operators
+(tokenize, quality scoring, language-ID heuristic, fingerprinting).
+
+Every function here has a line-for-line DuckDB-SQL translation used by
+the correctness oracle, so the exact formulas (hash base/modulus,
+stopword lists, marker words) are part of the contract — change them in
+both places.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic polynomial-hash parameters (shared with the DuckDB oracle).
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+# language-ID marker words: first match (in order) wins
+LANG_MARKERS = (
+    ("es", ("el", "la", "de", "que")),
+    ("de", ("der", "die", "das", "und")),
+    ("fr", ("le", "les", "des", "est")),
+    ("en", ("the", "and", "is", "of")),
+)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[.,!?;:]", ""))
+
+
+def stopword_count(col: Column) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*STOPWORDS)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(col) / n)
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    n = F.size(t)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic: penalize very short docs, high
+    punctuation density and stopword-free (non-natural) text."""
+    n = token_count(col)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_ratio = F.when(F.length(col) == 0, F.lit(0.0)).otherwise(punct_count(col) / F.length(col))
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.3) * stopword_ratio(col) + F.lit(0.2) * (1 - punct_ratio), 4
+    )
+
+
+def lang_guess(col: Column) -> Column:
+    """N-gram-free language-ID heuristic: first language whose marker
+    words appear among the tokens wins; 'unknown' otherwise."""
+    t = tokens(col)
+
+    def _member_of(words):
+        return lambda x: x.isin(*words)
+
+    out = F.lit("unknown")
+    for lang, markers in reversed(LANG_MARKERS):
+        hit = F.size(F.filter(t, _member_of(markers))) > 0
+        out = F.when(hit, F.lit(lang)).otherwise(out)
+    return out
+
+
+def poly_hash(col: Column, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
+    """Deterministic polynomial rolling hash over UTF-8 codepoints —
+    the document-fingerprinting primitive.  acc = (acc*base + cp) % mod.
+    Expressed with F.aggregate so it runs inside codegen, not Python."""
+    chars = F.filter(F.split(col, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles (the MinHash input): array of space-joined n-grams."""
+    t = tokens(col)
+    k = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+
+def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
+    """Hashes of the word shingles — input to MinHash signatures."""
+    return F.transform(word_shingles(col, n), lambda s: _poly_hash_of(s, mod, base))
+
+
+def _poly_hash_of(s: Column, mod: int, base: int) -> Column:
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(chars, F.lit(0).cast("long"), lambda acc, c: (acc * base + F.ascii(c)) % mod)
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature: for hash fn i, min over shingles of
+    (a_i*h + b_i) mod p with fixed a_i = 2i+1, b_i = 7919*i.
+    Deterministic and oracle-reproducible."""
+    hashes = shingle_hashes(col, n)
+    sigs = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, 7919 * i
+        sigs.append(
+            F.array_min(F.transform(hashes, lambda h, a=a, b=b: (a * h + b) % HASH_MOD))
+        )
+    return F.array(*sigs)

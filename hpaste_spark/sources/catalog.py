@@ -1,0 +1,56 @@
+"""Catalog over the driver-generated parquet fixtures (TESTDATA.md).
+
+Maps the reference's MR input surface — HTableInput / HTableQuery
+(mapreduce2.scala:466-554), HPathInput (:559-568), HSequenceInput
+(:642-653) — onto ``spark.read``: every table input is just a lazy
+DataFrame; filters/column selection push into the parquet scan via
+Catalyst, which is exactly what the reference did by stuffing its Scan
+object into the job conf (mapreduce2.scala:546).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DRIVER_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long under
+    # the nanosAsLong legacy conf (set in configure_session); convert to
+    # micros with *integer* division (a double round-trip would lose the
+    # low bits at ~1.7e18 ns) — matches DuckDB's truncating nanos→micros.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = DRIVER_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_text(spark: SparkSession, *paths: str) -> DataFrame:
+    """HPathInput equivalent (mapreduce2.scala:559-568)."""
+    return spark.read.text(list(paths))
