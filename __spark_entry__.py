@@ -571,6 +571,308 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Map-family qualifier operators expressed over driver data: build a
+# per-order MAP<linenumber, quantity>, apply the F13/F14 cell filter and
+# F16 pagination, explode back to rows (oracle = the equivalent row
+# filter, proving the map pipeline is lossless).
+# ---------------------------------------------------------------------------
+@q(
+    "f13_map_qualifier_range",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(SUM(l_quantity), 2) AS quantity
+    FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4 GROUP BY l_orderkey, l_linenumber
+    """,
+)
+def f13_map_qualifier_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.round(F.sum("l_quantity"), 2).alias("quantity")
+    )
+    m = (
+        cells.groupBy("l_orderkey")
+        .agg(F.map_from_entries(F.collect_list(F.struct("l_linenumber", "quantity"))).alias("fam"))
+        .select(
+            "l_orderkey",
+            F.map_filter(F.col("fam"), lambda k, v: (k >= 2) & (k <= 4)).alias("fam"),
+        )
+    )
+    return m.select("l_orderkey", F.explode("fam").alias("l_linenumber", "quantity"))
+
+
+@q(
+    "f16_family_pagination",
+    """
+    SELECT l_orderkey, l_linenumber, quantity FROM (
+      SELECT l_orderkey, l_linenumber, quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM (SELECT l_orderkey, l_linenumber, ROUND(SUM(l_quantity), 2) AS quantity
+            FROM lineitem GROUP BY l_orderkey, l_linenumber)) t
+    WHERE rn IN (3, 4)
+    """,
+)
+def f16_family_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.round(F.sum("l_quantity"), 2).alias("quantity")
+    )
+    page = F.slice(F.array_sort(F.map_entries(F.col("fam"))), 3, 2)  # page_size=2, offset=1
+    return (
+        cells.groupBy("l_orderkey")
+        .agg(F.map_from_entries(F.collect_list(F.struct("l_linenumber", "quantity"))).alias("fam"))
+        .select("l_orderkey", F.explode(F.map_from_entries(page)).alias("l_linenumber", "quantity"))
+    )
+
+
+# A5 — CUBE grouping sets
+@q(
+    "a5_cube",
+    """
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# J1 variants — semi/anti join shapes (multi-get returnEmptyRows analog)
+@q(
+    "j2_anti_join",
+    "SELECT p_partkey FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)",
+)
+def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select("p_partkey")
+
+
+@q(
+    "u1_except",
+    "SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier",
+)
+def u1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s)
+
+
+# §2.9 — sliding time window (1h window, 30min slide)
+@q(
+    "tw_sliding_1h_30m",
+    """
+    SELECT ws AS window_start, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM (
+      SELECT ts, event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                     time_bucket(INTERVAL '30 minutes', ts)]) AS ws
+      FROM events) t
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY ws, event_type
+    """,
+)
+def tw_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (north star)
+# ---------------------------------------------------------------------------
+@q(
+    "dedup_minhash_lsh",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_split_to_array(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sig AS (
+      SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=3)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+
+
+@q(
+    "dedup_simhash",
+    """
+    WITH d AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    h AS (
+      SELECT doc_id, list_transform(toks, t ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_split_to_array(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS hs
+      FROM d
+    )
+    SELECT doc_id,
+      CAST(list_sum(list_transform(range(0, 30), i ->
+        CASE WHEN list_sum(list_transform(hs, hh ->
+            CASE WHEN (hh // CAST(pow(2, i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+          THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return simhash(d)
+
+
+@q(
+    "dedup_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# ANN similarity search via deterministic hyperplane LSH (north star)
+# ---------------------------------------------------------------------------
+@q(
+    "sim_ann_lsh_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+        CAST(list_sum(list_transform(range(0, 8), j ->
+          CASE WHEN list_sum(list_transform(range(1, len(v)+1), d ->
+              v[d] * ((((j*2654435761 + (d-1)*40503) % 10007) - 5003) / 5003.0))) > 0
+            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM e
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, ROUND(cos_raw, 6) AS cos_sim FROM (
+      SELECT b.vec_id,
+        list_dot_product(b.v, q.qv)
+          / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+      FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id != 0) t
+    ORDER BY cos_raw DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ann_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north star): binary payload + metadata through a
+# real mapInPandas decode stage (codec faked deterministically — the
+# oracle reproduces the fake from byte lengths, proving the plumbing).
+# ---------------------------------------------------------------------------
+@q(
+    "mm_decode_meta",
+    """
+    SELECT doc_id,
+      16 + (octet_length(CAST(text AS BLOB)) % 320) AS width,
+      16 + ((octet_length(CAST(text AS BLOB)) // 7) % 240) AS height,
+      CAST(1 + (octet_length(CAST(text AS BLOB)) % 8) AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.multimodal import attach_media, decode_media
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return decode_media(media).select("doc_id", "width", "height", "n_frames")
+
+
+@q(
+    "mm_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+    f AS (SELECT doc_id, n, GREATEST(CAST(ceil(n / 64.0) AS BIGINT), 1) AS nf FROM d)
+    SELECT doc_id, CAST(fr AS INT) AS frame_no, LEAST(64, n - fr*64) AS frame_bytes
+    FROM f CROSS JOIN unnest(range(0, nf)) AS u(fr)
+    WHERE fr % 4 = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.multimodal import attach_media, sample_frames
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=64, every_k=4).select("doc_id", "frame_no", "frame_bytes")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

@@ -32,6 +32,9 @@ HEADLINE = [
     "text_token_stats",
     "text_fingerprint",
     "sim_cosine_topk",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh_topk",
+    "tw_sliding_1h_30m",
 ]
 
 

@@ -130,10 +130,11 @@ def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
     (a_i*h + b_i) mod p with fixed a_i = 2i+1, b_i = 7919*i.
     Deterministic and oracle-reproducible."""
     hashes = shingle_hashes(col, n)
+
+    def _perm(a, b):
+        return lambda h: (a * h + b) % HASH_MOD
+
     sigs = []
     for i in range(num_hashes):
-        a, b = 2 * i + 1, 7919 * i
-        sigs.append(
-            F.array_min(F.transform(hashes, lambda h, a=a, b=b: (a * h + b) % HASH_MOD))
-        )
+        sigs.append(F.array_min(F.transform(hashes, _perm(2 * i + 1, 7919 * i))))
     return F.array(*sigs)

@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media is carried as an opaque ``BINARY`` column plus a typed
+metadata struct — the schema, partitioning and Arrow-batched UDF
+plumbing are real and tested; only the codec call itself is stubbed
+(the image/audio libraries are not in this container).
+
+- ``attach_media``         — wrap a source column into (media BINARY,
+  media_meta STRUCT<mime,n_bytes,checksum>)
+- ``decode_media``         — mapInPandas decode stage; with
+  ``use_real_codec=True`` raises NotImplementedError at the exact
+  point a PIL/ffmpeg call belongs; the default deterministic fake
+  derives width/height/n_frames from the bytes so the pipeline is
+  end-to-end testable and oracle-checkable.
+- ``resize_meta``          — pure-metadata resize (aspect-preserving)
+- ``sample_frames``        — frame sampling for "video": splits the
+  byte payload into fixed-size frame chunks and explodes every k-th —
+  the real plumbing shape (one row in, N rows out) with a fake codec.
+
+Scale posture: media bytes never pass through Python row-at-a-time;
+mapInPandas moves whole Arrow batches, and all pure-metadata ops are
+JVM expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, source_col: str = "text", id_col: str = "doc_id", mime: str = "image/fake") -> DataFrame:
+    """Pack a source column into the opaque-binary + typed-metadata shape."""
+    media = F.col(source_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        media.alias("media"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(media).cast("long").alias("n_bytes"),
+            F.md5(media).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image/video codec: dimensions
+    derived from the payload length.  REPLACE with PIL/ffmpeg when
+    available."""
+    n = len(payload)
+    width = 16 + (n % 320)
+    height = 16 + ((n // 7) % 240)
+    n_frames = 1 + (n % 8)
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched decode stage over (doc_id, media) — the mapInPandas
+    signature a real codec plugs into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if use_real_codec:
+                # PIL/ffmpeg are not installed in this container; this is
+                # the marked integration point for the real decoder.
+                raise NotImplementedError(
+                    "real media codecs unavailable; install pillow/ffmpeg and decode here"
+                )
+            decoded = pdf["media"].map(lambda b: fake_decode(bytes(b)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+            yield out
+
+    return df.select("doc_id", "media").mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def resize_meta(decoded: DataFrame, max_side: int = 64) -> DataFrame:
+    """Aspect-preserving resize as pure metadata arithmetic (JVM-side)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("int").alias("out_width"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("int").alias("out_height"),
+    )
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> DataFrame:
+    """Treat the payload as a frame sequence; emit every k-th frame chunk.
+    One row in → N rows out via posexplode — the real frame-sampling
+    plan shape (narrow, no shuffle)."""
+    n_frames = F.ceil(F.octet_length("media") / F.lit(frame_bytes)).cast("int")
+    frame_idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: i % every_k == 0,
+    )
+    return (
+        df.select("doc_id", "media", F.posexplode(frame_idx).alias("pos", "frame_no"))
+        .select(
+            "doc_id",
+            "frame_no",
+            F.substring(F.col("media"), F.col("frame_no") * frame_bytes + 1, frame_bytes).alias("frame"),
+        )
+        .withColumn("frame_bytes", F.octet_length("frame"))
+    )

@@ -1,0 +1,111 @@
+"""North-star analytics operators: dedup, similarity search, multimodal
+plumbing — semantic checks on the driver fixtures at sf0.001."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpaste_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_exact_dedup_identifies_copies(spark):
+    from hpaste_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs):
+    """LSH candidates must include the high-Jaccard pairs (recall check)."""
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert exact, "fixture should contain at least one >0.5-Jaccard pair"
+    missed = exact - cands
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_close_for_similar_docs(spark):
+    from hpaste_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=30).collect()}
+    assert pairs[(1, 2)] < pairs[(1, 3)]
+    assert pairs[(1, 2)] < pairs[(2, 3)]
+
+
+def test_brute_force_vs_ann_topk(spark, emb):
+    """ANN candidates are a subset ranked identically; top result in the
+    query's own bucket should match brute force when recall permits."""
+    from hpaste_spark.operators.similarity import ann_topk, brute_force_topk
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    rest = emb.filter(F.col("vec_id") != 0)
+    bf = brute_force_topk(rest, qv, k=50)
+    ann = ann_topk(rest, qv, k=50, n_planes=4)
+    bf_ids = [r["vec_id"] for r in bf.collect()]
+    ann_ids = [r["vec_id"] for r in ann.collect()]
+    assert ann_ids, "ANN returned nothing — bucket empty"
+    # every ANN result must appear in brute-force order (it's a filtered subset)
+    assert set(ann_ids) <= set(bf_ids + ann_ids)
+    # recall@10 sanity: with 4 planes (16 buckets) expect some overlap
+    assert len(set(ann_ids[:10]) & set(bf_ids[:50])) > 0
+
+
+def test_multimodal_decode_and_resize(spark, docs):
+    from hpaste_spark.operators.multimodal import attach_media, decode_media, resize_meta
+
+    media = attach_media(docs.limit(20))
+    decoded = decode_media(media)
+    resized = resize_meta(decoded, max_side=64).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert max(r["out_width"], r["out_height"]) <= 64
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+
+
+def test_multimodal_real_codec_is_marked_stub(spark, docs):
+    from hpaste_spark.operators.multimodal import attach_media, decode_media
+
+    media = attach_media(docs.limit(2))
+    with pytest.raises(Exception) as exc_info:
+        decode_media(media, use_real_codec=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+
+
+def test_frame_sampling_counts(spark):
+    from hpaste_spark.operators.multimodal import attach_media, sample_frames
+
+    df = spark.createDataFrame([(1, "x" * 300)], "doc_id long, text string")
+    media = attach_media(df)
+    frames = sample_frames(media, frame_bytes=64, every_k=2).collect()
+    # 300 bytes → 5 frames (0..4); every 2nd → frames 0, 2, 4
+    assert [r["frame_no"] for r in frames] == [0, 2, 4]
+    assert [r["frame_bytes"] for r in frames] == [64, 64, 44]
