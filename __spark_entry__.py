@@ -873,6 +873,215 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, frame_bytes=64, every_k=4).select("doc_id", "frame_no", "frame_bytes")
 
 
+# ---------------------------------------------------------------------------
+# Analytics extensions round 2: percentiles, sessionization, TPC-H Q3
+# shape, conditional/date aggregation, string projections, composite-key
+# multi-get, left-join multi-get, applyInPandas group fold.
+# ---------------------------------------------------------------------------
+@q(
+    "w_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def w_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "sess_gap_sessionize",
+    """
+    SELECT event_id, user_id, session_idx FROM (
+      SELECT event_id, user_id,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM (SELECT event_id, user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events) t) s
+    """,
+)
+def sess_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.groups import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30).select("event_id", "user_id", "session_idx")
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_raw"))
+        .orderBy(F.col("rev_raw").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round("rev_raw", 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@q(
+    "a_conditional_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"),
+            F.round(F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias(
+                "avg_finished"
+            ),
+        )
+    )
+
+
+@q(
+    "a_date_rollup",
+    """
+    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def a_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "proj_string_funcs",
+    """
+    SELECT p_partkey, UPPER(p_name) AS up_name, SUBSTR(p_type, 1, 3) AS type3,
+           LENGTH(p_name) AS name_len, CONCAT(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def proj_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@q(
+    "s2_composite_key_multiget",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, ROUND(l_extendedprice, 2) AS extprice
+    FROM lineitem
+    WHERE (l_orderkey = 15 AND l_linenumber = 2) OR (l_orderkey = 100 AND l_linenumber = 1)
+       OR (l_orderkey = 250 AND l_linenumber = 3)
+    """,
+)
+def s2_composite_key_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = driver_htable(spark, sf_dir, "lineitem")
+    return (
+        t.query2(spark)
+        .with_keys(["15_2", "100_1", "250_3"])
+        .with_columns("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .to_df()
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round("l_extendedprice", 2).alias("extprice"),
+        )
+    )
+
+
+@q(
+    "s2_multiget_empty_rows",
+    """
+    SELECT k.rowkey, c.c_name
+    FROM (VALUES ('1'), ('2'), ('999999'), ('888888')) AS k(rowkey)
+    LEFT JOIN customer c ON CAST(c.c_custkey AS VARCHAR) = k.rowkey
+    """,
+)
+def s2_multiget_empty_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """returnEmptyRows=true multi-get as the left-outer-join shape
+    (WebCrawlSchemaTest.scala:372-389 semantics, S2)."""
+    cust = _t(spark, sf_dir, "customer")
+    keys = spark.createDataFrame([("1",), ("2",), ("999999",), ("888888",)], "rowkey string")
+    return keys.join(
+        cust, F.col("c_custkey").cast("string") == F.col("rowkey"), "left"
+    ).select("rowkey", "c_name")
+
+
+@q(
+    "x2_group_zscore",
+    """
+    SELECT event_id, user_id, ROUND(CASE WHEN sd > 0 THEN (value - m) / sd ELSE 0.0 END, 4) AS zscore
+    FROM (SELECT event_id, user_id, value,
+                 AVG(value) OVER (PARTITION BY user_id) AS m,
+                 STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd
+          FROM events) t
+    """,
+)
+def x2_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.groups import zscore_normalize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = zscore_normalize(ev, ["user_id"], "value", "event_id")
+    return out.select("event_id", "user_id", F.round("zscore", 4).alias("zscore"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

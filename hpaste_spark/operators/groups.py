@@ -1,0 +1,79 @@
+"""Group-fold operators — the reference's UDAF/secondary-sort surface.
+
+Reference: HReducer group folds (X2, mapreduce2.scala:1037-1071),
+HGroupingTask secondary sort (W1, :1087-1108), GroupByRow (A2,
+:844-875).  Spark-first rule: use built-in aggregates whenever the fold
+is expressible; drop to Arrow-batched ``applyInPandas`` only for
+genuinely opaque per-group code — and even then the shuffle is one
+``groupBy``, identical to the built-in path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_apply(df: DataFrame, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame], schema) -> DataFrame:
+    """A2/X2: opaque per-group fold via applyInPandas (GROUPED_MAP).
+    ``fn`` receives the whole group as a pandas DataFrame."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def group_apply_sorted(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """W1 secondary sort + opaque fold: the group arrives sorted by
+    ``order_by`` (the reference's sortComparator) — sorting happens
+    inside the group (pandas), not as an extra exchange."""
+
+    def sorted_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values(order_by, kind="mergesort"))
+
+    return df.groupBy(*keys).applyInPandas(sorted_fn, schema=schema)
+
+
+def zscore_normalize(df: DataFrame, keys: list[str], value_col: str, id_col: str) -> DataFrame:
+    """Per-group z-score normalization through the applyInPandas path —
+    the canonical 'opaque group fold' demonstration (population stddev;
+    ddof=0 matches SQL STDDEV_POP).  Single-member groups and zero
+    variance normalize to 0."""
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"{id_col} {dtypes[id_col]}, "
+        + ", ".join(f"{k} {dtypes[k]}" for k in keys)
+        + ", zscore double"
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=0)
+        mean = pdf[value_col].mean()
+        z = (pdf[value_col] - mean) / std if std and std > 0 else pdf[value_col] * 0.0
+        out = pdf[[id_col, *keys]].copy()
+        out["zscore"] = z
+        return out
+
+    return df.groupBy(*keys).applyInPandas(norm, schema=out_schema)
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same user exceeds the gap.  Built-in
+    window functions (lag + running sum) — one exchange on user_col."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_minutes * 60)
+    ).cast("int")
+    session_idx = F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("session_idx", session_idx)

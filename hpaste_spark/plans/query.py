@@ -365,9 +365,61 @@ class Query2Builder:
         return self
 
     # -- plan construction ---------------------------------------------------
+    def _native_key_values(self, df: DataFrame):
+        """If the table's rowkey is derived from source columns
+        (rowkey_source_columns), parse the requested string keys back to
+        native column values so the predicate pushes to the scan."""
+        src = getattr(self.table, "rowkey_source_columns", None)
+        if not src:
+            return None
+        import datetime as _dt
+
+        from pyspark.sql import types as T
+
+        def parse(raw: str, dtype):
+            if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+                return int(raw)
+            if isinstance(dtype, (T.DoubleType, T.FloatType)):
+                return float(raw)
+            if isinstance(dtype, T.StringType):
+                return raw
+            if isinstance(dtype, T.TimestampType):
+                return _dt.datetime.fromisoformat(raw)
+            raise ValueError(f"unsupported native key type {dtype}")
+
+        try:
+            out = []
+            for k in self.keys:
+                parts = str(k).split("_") if len(src) > 1 else [str(k)]
+                if len(parts) != len(src):
+                    return None
+                out.append(
+                    tuple(parse(p, df.schema[c].dataType) for p, c in zip(parts, src))
+                )
+            return out
+        except (ValueError, KeyError):
+            return None  # unparseable key → fall back to derived-column filter
+
     def _key_filter(self, df: DataFrame) -> DataFrame:
         if not self.keys:
             return df
+        src = getattr(self.table, "rowkey_source_columns", None)
+        native = self._native_key_values(df) if src else None
+        if native is not None and len(src) == 1:
+            # single-column key: native IN-predicate reaches the parquet
+            # row-group stats (point gets prune instead of scanning)
+            return df.filter(F.col(src[0]).isin([v[0] for v in native]))
+        if native is not None and len(self.keys) <= ISIN_THRESHOLD:
+            # composite key: OR of per-column conjunctions (still pushable
+            # as min/max pruning on the leading column)
+            combined = None
+            for values in native:
+                conj = None
+                for c, v in zip(src, values):
+                    term = F.col(c) == F.lit(v)
+                    conj = term if conj is None else (conj & term)
+                combined = conj if combined is None else (combined | conj)
+            return df.filter(combined)
         if len(self.keys) <= ISIN_THRESHOLD:
             return df.filter(F.col("rowkey").isin(self.keys))
         keys_df = self.spark.createDataFrame(

@@ -55,4 +55,10 @@ def driver_htable(spark: SparkSession, sf_dir: str, name: str, schema: Schema | 
         )
 
     table.df_provider = provider
+    # rowkey is derived → filters on it can't reach the parquet scan.
+    # Declaring the derivation lets Query2Builder rewrite key lookups
+    # into native key-column predicates (PushedFilters → row-group
+    # pruning; at 100 TB this is the difference between a point get and
+    # a full scan).
+    table.rowkey_source_columns = key_cols
     return table

@@ -1,0 +1,52 @@
+"""Group-fold operators: applyInPandas UDAF path (X2), secondary sort
+(W1), sessionization."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hpaste_spark.operators.groups import group_apply_sorted, sessionize, zscore_normalize
+
+TS = dt.datetime
+
+
+def test_group_apply_sorted_secondary_sort(spark):
+    """W1: values arrive sorted within the group (HGroupingTask shape,
+    mapreduce2.scala:1087-1108)."""
+    df = spark.createDataFrame(
+        [("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"), ("b", 2, "y2"), ("b", 1, "y1")],
+        "g string, seq int, payload string",
+    )
+
+    def concat_in_order(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]], "joined": ["|".join(pdf["payload"])]})
+
+    out = {
+        r["g"]: r["joined"]
+        for r in group_apply_sorted(df, ["g"], ["seq"], concat_in_order, "g string, joined string").collect()
+    }
+    assert out == {"a": "x1|x2|x3", "b": "y1|y2"}
+
+
+def test_sessionize_gap_semantics(spark):
+    base = TS(2024, 1, 1, 12, 0)
+    rows = [
+        (1, 10, base),
+        (2, 10, base + dt.timedelta(minutes=10)),   # same session
+        (3, 10, base + dt.timedelta(minutes=50)),   # gap 40min > 30 → new session
+        (4, 20, base),                               # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r["session_idx"] for r in sessionize(df, "user_id", "ts", 30).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_zscore_zero_variance_group(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (2, 5, 10.0), (3, 6, 1.0), (4, 6, 3.0)],
+        "event_id long, user_id long, value double",
+    )
+    out = {r["event_id"]: r["zscore"] for r in zscore_normalize(df, ["user_id"], "value", "event_id").collect()}
+    assert out[1] == 0.0 and out[2] == 0.0
+    assert abs(out[3] + 1.0) < 1e-9 and abs(out[4] - 1.0) < 1e-9
