@@ -1082,6 +1082,121 @@ def x2_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("zscore", 4).alias("zscore"))
 
 
+# ---------------------------------------------------------------------------
+# Round 3: HAVING, semi join, scalar subquery, array aggregation,
+# quality scoring, MinHash signature export.
+# ---------------------------------------------------------------------------
+@q(
+    "a_having",
+    "SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 50",
+)
+def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 50)
+    )
+
+
+@q(
+    "j2_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+    """,
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@q(
+    "a_scalar_subquery",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    """,
+)
+def a_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    threshold = orders.agg((F.avg("o_totalprice") * 1.8).alias("thr"))
+    return (
+        orders.crossJoin(F.broadcast(threshold))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@q(
+    "arr_collect_set",
+    """
+    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments, COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def arr_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "text_quality_score",
+    """
+    SELECT doc_id, ROUND(
+      0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+      + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\\s+')) END)
+      + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                         / length(text) END)), 4) AS quality
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "dedup_minhash_signatures",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_split_to_array(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS hs
+      FROM sh WHERE len(shingles) > 0
+    )
+    SELECT doc_id, list_transform(range(0, 16), i ->
+        list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+    FROM h
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

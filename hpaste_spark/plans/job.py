@@ -41,11 +41,29 @@ class JobContext:
         self.spark = spark
         self.settings = settings or {}
         self.counters: dict[str, int] = {}
-        self._acc = spark.sparkContext.accumulator(0)
+        self._accumulators: dict[str, Any] = {}
 
     def counter(self, name: str, incr: int = 1) -> None:
-        """mapreduce2.scala:1014-1020 ctr()."""
+        """Driver-side counter (mapreduce2.scala:1014-1020 ctr())."""
         self.counters[name] = self.counters.get(name, 0) + incr
+
+    def accumulator(self, name: str):
+        """Executor-side counter — the true A6 analog: incremented inside
+        distributed code (foreach/mapInPandas), harvested into
+        JobResult.counters after the run."""
+        if name not in self._accumulators:
+            self._accumulators[name] = self.spark.sparkContext.accumulator(0)
+        return self._accumulators[name]
+
+    def observe(self, df, name: str, *exprs):
+        """Observed metrics on a DataFrame (A6 via df.observe) — metric
+        values surface in the Spark listener bus / UI; use accumulator()
+        when the job needs to read them back programmatically."""
+        return df.observe(name, *exprs)
+
+    def harvest_accumulators(self) -> None:
+        for name, acc in self._accumulators.items():
+            self.counters[name] = self.counters.get(name, 0) + acc.value
 
 
 class HJob:
@@ -116,6 +134,7 @@ class HJob:
                 df = df.localCheckpoint(eager=True)
             outputs[task.name] = df
             timings[task.name] = time.monotonic() - t0
+        ctx.harvest_accumulators()
         return JobResult(self.name, [t.name for t in order], outputs, timings, ok=True, counters=ctx.counters)
 
 

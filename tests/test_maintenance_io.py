@@ -1,0 +1,76 @@
+"""TTL vacuum, compaction, text source/sink, job accumulators."""
+
+import datetime as dt
+
+from hpaste_spark.schema import HTable, Schema
+
+TS = dt.datetime
+
+
+def test_vacuum_ttl_drops_expired_cells(spark, base_dir):
+    from hpaste_spark.operators.maintenance import vacuum_ttl
+
+    sch = Schema(base_dir=base_dir)
+    t = HTable(sch, "ttl_table", key_type=str)
+    fam = t.family("meta", row_ttl_seconds=3600)
+    t.column(fam, "v", "long")
+    t.family_map("counts", str, "long", row_ttl_seconds=3600)
+    t.create(spark)
+
+    now = TS(2024, 1, 1, 12, 0)
+    old = now - dt.timedelta(hours=2)
+    fresh = now - dt.timedelta(minutes=5)
+    (
+        t.put("stale").value("v", 1, timestamp=old)
+        .put("live").value("v", 2, timestamp=fresh)
+        .put("mixed").value_map("counts", {"a": 1, "b": 2}, timestamps={"a": old, "b": fresh})
+        .execute(spark)
+    )
+    vacuum_ttl(t, spark, now=now)
+    rows = {r.rowid: r for r in t.query2(spark).with_all_columns().scan_to_iterable(lambda r: r)}
+    assert "stale" not in rows  # all cells expired → row gone
+    assert rows["live"].column("v") == 2
+    assert rows["mixed"].family("counts") == {"b": 2}
+
+
+def test_compact_rewrites_snapshot(spark, base_dir):
+    from hpaste_spark.operators.maintenance import compact
+
+    sch = Schema(base_dir=base_dir)
+    t = HTable(sch, "cmp", key_type=str)
+    fam = t.family("meta")
+    t.column(fam, "v", "long")
+    t.create(spark)
+    t.put("a").value("v", 1).execute(spark)
+    v_before = t.storage.current_version()
+    compact(t, spark, num_files=1)
+    assert t.storage.current_version() == v_before + 1
+    assert t.query2(spark).with_key("a").with_all_columns().single().column("v") == 1
+
+
+def test_text_source_sink_roundtrip(spark, tmp_path):
+    from hpaste_spark.sources.text_io import merge_parts_to_file, read_lines, write_lines
+
+    out = str(tmp_path / "lines_out")
+    df = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "value string")
+    write_lines(df, out)
+    back = sorted(r["value"] for r in read_lines(spark, out).collect())
+    assert back == ["alpha", "beta", "gamma"]
+
+    merged = str(tmp_path / "merged.txt")
+    merge_parts_to_file(out, merged)
+    assert sorted(open(merged).read().split()) == ["alpha", "beta", "gamma"]
+
+
+def test_job_accumulator_counts_executor_side(spark):
+    from hpaste_spark.plans import HJob, HTask
+
+    def count_rows(ctx, inputs):
+        acc = ctx.accumulator("rows_seen")
+        df = ctx.spark.range(100)
+        df.foreach(lambda row: acc.add(1))
+        return df
+
+    job = HJob("acc-job", HTask("count", count_rows))
+    res = job.run(spark)
+    assert res.counters["rows_seen"] == 100
