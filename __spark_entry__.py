@@ -694,17 +694,18 @@ def tw_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0
     ),
-    sh AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
-          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_split_to_array(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS th
       FROM d
     ),
     h AS (
-      SELECT doc_id, list_transform(shingles, s ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(regexp_split_to_array(s, ''), c -> CAST(unicode(c) AS BIGINT))),
-            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS hs
-      FROM sh WHERE len(shingles) > 0
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
     ),
     sig AS (
       SELECT doc_id, list_transform(range(0, 16), i ->
@@ -1174,17 +1175,18 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0
     ),
-    sh AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
-          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_split_to_array(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS th
       FROM d
     ),
     h AS (
-      SELECT doc_id, list_transform(shingles, s ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(regexp_split_to_array(s, ''), c -> CAST(unicode(c) AS BIGINT))),
-            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS hs
-      FROM sh WHERE len(shingles) > 0
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
     )
     SELECT doc_id, list_transform(range(0, 16), i ->
         list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig

@@ -116,8 +116,24 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 
 def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
-    """Hashes of the word shingles — input to MinHash signatures."""
-    return F.transform(word_shingles(col, n), lambda s: _poly_hash_of(s, mod, base))
+    """Hashes of the word shingles — input to MinHash signatures.
+
+    Two-level hash: each token is char-hashed ONCE per document, then a
+    shingle hash folds its n token hashes — O(chars + shingles·n)
+    instead of O(shingles·shingle_chars) (overlapping shingles re-hash
+    every character n times).  The exact formula is mirrored in the
+    DuckDB oracle (see __spark_entry__.dedup_minhash_lsh)."""
+    th = F.transform(tokens(col), lambda t: _poly_hash_of(t, mod, base))
+    k = F.size(th)
+    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(th, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * base + h) % mod,
+        ),
+    )
 
 
 def _poly_hash_of(s: Column, mod: int, base: int) -> Column:
