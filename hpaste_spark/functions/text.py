@@ -122,18 +122,21 @@ def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HAS
     shingle hash folds its n token hashes — O(chars + shingles·n)
     instead of O(shingles·shingle_chars) (overlapping shingles re-hash
     every character n times).  The exact formula is mirrored in the
-    DuckDB oracle (see __spark_entry__.dedup_minhash_lsh)."""
+    DuckDB oracle (see __spark_entry__.dedup_minhash_lsh).
+
+    Structured as a zip_with chain over n aligned slices rather than a
+    transform-over-indices: Spark re-evaluates any subexpression that
+    appears inside a lambda body once PER ELEMENT, so referencing the
+    token-hash array inside a per-shingle lambda recomputes the whole
+    char-level hash per shingle (~50× the work; measured 19.6s → 5.9s
+    at sf0.1).  As zip_with *arguments* the slices are evaluated once
+    per row."""
     th = F.transform(tokens(col), lambda t: _poly_hash_of(t, mod, base))
-    k = F.size(th)
-    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.slice(th, i, n),
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * base + h) % mod,
-        ),
-    )
+    m = F.greatest(F.size(th) - (n - 1), F.lit(0))
+    acc = F.slice(th, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(th, 1 + j, m), lambda a, t: (a * base + t) % mod)
+    return acc
 
 
 def _poly_hash_of(s: Column, mod: int, base: int) -> Column:
@@ -144,13 +147,21 @@ def _poly_hash_of(s: Column, mod: int, base: int) -> Column:
 def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
     """MinHash signature: for hash fn i, min over shingles of
     (a_i*h + b_i) mod p with fixed a_i = 2i+1, b_i = 7919*i.
-    Deterministic and oracle-reproducible."""
+    Deterministic and oracle-reproducible.
+
+    One fold over the shingle hashes with a num_hashes-wide accumulator
+    (per-hash-column array_min over transform would inline and
+    re-evaluate the shingle pipeline num_hashes times).  Sentinel
+    HASH_MOD (unreachable: every permuted hash is < mod) marks "no
+    shingles" and is mapped to null to match array_min-on-empty."""
     hashes = shingle_hashes(col, n)
-
-    def _perm(a, b):
-        return lambda h: (a * h + b) % HASH_MOD
-
-    sigs = []
-    for i in range(num_hashes):
-        sigs.append(F.array_min(F.transform(hashes, _perm(2 * i + 1, 7919 * i))))
-    return F.array(*sigs)
+    iseq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(HASH_MOD).cast("long"), num_hashes)
+    folded = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, iseq, lambda a, i: F.least(a, ((2 * i + 1) * h + 7919 * i) % HASH_MOD)
+        ),
+    )
+    return F.transform(folded, lambda v: F.when(v < HASH_MOD, v))

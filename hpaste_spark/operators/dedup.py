@@ -166,7 +166,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """SimHash: per token hash, vote ±1 on each of `bits` bit positions;
     bit set iff the vote sum is positive.  Whole computation is nested
     array expressions (token array → hash array → per-bit fold) — one
-    narrow projection, no shuffle, no UDF."""
+    narrow projection, no shuffle, no UDF.
+
+    Single fold over the token hashes with a bits-wide vote accumulator:
+    a per-bit outer transform would re-evaluate the token-hash array
+    (char-level hashing) once per bit, since lambda-body subexpressions
+    run per element."""
     from hpaste_spark.functions.text import _poly_hash_of
 
     tok_hashes = F.transform(
@@ -176,12 +181,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # for h < 2^53) because shiftright needs a literal bit count while i
     # here is a lambda variable
     pow2 = lambda i: F.pow(F.lit(2.0), i)  # noqa: E731
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda i: F.aggregate(
-            tok_hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
+    bit_seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    bit_votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_seq,
+            lambda a, i: a
             + F.when(F.floor(h / pow2(i)).cast("long") % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
