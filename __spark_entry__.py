@@ -1199,6 +1199,29 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+# F20 over the events stream table — the time-range predicate is rewritten
+# to the RAW nanosecond long before the micros conversion so it reaches the
+# parquet scan (see sources.catalog.load_events_between; the reference's
+# server-side time-range is Query2.scala:493-495).
+@q(
+    "f20_events_pushdown_range",
+    """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def f20_events_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.sources.catalog import load_events_between
+
+    configure_session(spark)
+    ev = load_events_between(spark, sf_dir, "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classic TPC-H-shaped analytics (adapted to the driver fixture schemas —
 # no commitdate/shipmode/partsupp columns).  Beyond reference parity: the

@@ -45,6 +45,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_between(
+    spark: SparkSession, sf_dir: str, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    """Time-range scan over events with the predicate pushed to the scan.
+
+    A filter on the *converted* ts column (``timestamp_micros(ts div
+    1000)``) is opaque to parquet pushdown — at 100 TB that is a full
+    scan.  Instead translate the [start, end) bound to the raw nanosecond
+    long BEFORE conversion: ``trunc(ns/1000) >= s_us  ⟺  ns >= s_us*1000``
+    (floor division is monotone), so the rewrite is exact and the scan
+    prunes row groups on min/max stats — the Spark analog of the
+    reference's server-side time-range (Query2.scala:493-495, :899-901).
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw_long = any(f.name == "ts" and isinstance(f.dataType, T.LongType) for f in df.schema.fields)
+
+    def _us(s: str) -> int:
+        t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000)
+
+    if raw_long:
+        if start is not None:
+            df = df.filter(F.col("ts") >= _us(start) * 1000)
+        if end is not None:
+            df = df.filter(F.col("ts") < _us(end) * 1000)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(start).cast("timestamp"))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.lit(end).cast("timestamp"))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = DRIVER_TABLES
 ) -> dict[str, DataFrame]:

@@ -1,0 +1,102 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+Correctness tests prove the operators compute the right answer at small
+SF; these prove the PLANS are the ones that survive a 1000-executor
+cluster: predicates and projections reach the parquet scan, small dims
+broadcast instead of shuffling the fact table, aggregation is
+partial+final (map-side combine), top-k never global-sorts, and the LSH
+join is an equi-join on the bucket key — never a cartesian product.
+
+A regression that flips any of these still passes value checks at
+sf0.01 but is 10-1000× slower at scale; this file is the guard.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_point_get_pushes_key_predicate(spark, queries):
+    plan = plan_of(queries["s1_point_get"](spark, SF_DIR))
+    assert "EqualTo(c_custkey,42)" in plan, "rowkey lookup must reach PushedFilters"
+    # projection pruning: only the 4 selected columns leave the scan
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double>" in plan
+
+
+def test_range_scan_prunes_and_pushes(spark, queries):
+    plan = plan_of(queries["q6_forecast_revenue"](spark, SF_DIR))
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"missing pushed filter {pushed}"
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan, (
+        "scan must read only the 4 referenced columns"
+    )
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, queries):
+    plan = plan_of(queries["j1_join5_revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension joins must not shuffle the fact table"
+    assert "CartesianProduct" not in plan
+
+
+def test_groupby_has_mapside_partial_agg(spark, queries):
+    plan = plan_of(queries["a1_groupby_rollup_sum"](spark, SF_DIR))
+    assert "partial_sum" in plan, "hash agg must combine map-side before the exchange"
+    # formatted mode prints each node twice (tree + detail), so count
+    # shuffle exchanges by their partitioning argument
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, (
+        "exactly one shuffle: the final group-by exchange"
+    )
+
+
+def test_topk_never_global_sorts(spark, queries):
+    plan = plan_of(queries["o1_topk_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "orderBy+limit must plan as per-partition top-k + merge, not a global sort"
+    )
+
+
+def test_lsh_join_is_equi_join(spark, queries):
+    plan = plan_of(queries["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "LSH candidate join must hash-partition on the band key, never nested-loop"
+    )
+
+
+def test_semi_join_planned_for_exists(spark, queries):
+    plan = plan_of(queries["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_events_filter_pushdown_survives_ns_conversion(spark, queries):
+    # events.ts is TIMESTAMP(NANOS) read as long; the time-range bound is
+    # rewritten onto the raw long so it still prunes at the scan.
+    plan = plan_of(queries["f20_events_pushdown_range"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "GreaterThanOrEqual(ts," in pushed and "LessThan(ts," in pushed, (
+        "time-range predicate must reach the events scan on the raw ns column"
+    )
