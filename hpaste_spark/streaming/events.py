@@ -63,13 +63,116 @@ def sliding_value_sum(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization as a streaming
+    applyInPandasWithState fold (the batch twin is
+    operators.groups.sessionize — lag + running sum).
+
+    Per user_id the state is the one OPEN session (start, last, n,
+    total).  A session closes two ways:
+    - data-driven: a later event of the same user arrives > gap after
+      the session's last event — emitted in that micro-batch;
+    - timeout-driven: the event-time watermark passes last + gap with
+      no new data — emitted by the EventTimeTimeout callback.
+
+    Scale shape: state is O(active users) × 32 bytes, partitioned by
+    the group key; each micro-batch touches only users with new events
+    plus expired timers.  No collect, no global sort.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    def fn(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (user_id,) = key
+
+        def row(s):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(s[0], unit="us")],
+                    "session_end": [pd.Timestamp(s[1], unit="us")],
+                    "n_events": [s[2]],
+                    "total_value": [s[3]],
+                }
+            )
+
+        if state.hasTimedOut:
+            s = tuple(state.get)
+            state.remove()
+            yield row(s)
+            return
+
+        parts = [pdf[["ts", "value"]] for pdf in pdf_iter]
+        df = pd.concat(parts).sort_values("ts")
+        ts_us = (df["ts"].astype("int64") // 1000).to_numpy()
+        vals = df["value"].to_numpy()
+
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if cur is not None and t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = None
+            if cur is None:
+                cur = [t, t, 1, float(v)]
+            else:
+                cur[1] = t
+                cur[2] += 1
+                cur[3] += float(v)
+        state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+        for s in closed:
+            yield row(s)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, timeout_s: int = 120, output_mode: str = "complete"
+) -> None:
     """Drain the stream with an availableNow trigger into a memory sink
     (test/dev harness; production uses writeStream to parquet/Kafka)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -35,3 +35,56 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """Gap sessions via applyInPandasWithState: data-driven closes are
+    deterministic per micro-batch; the final open session per user is
+    flushed by the event-time timeout once the watermark passes (Spark
+    runs no-data micro-batches to fire expired timers)."""
+    import pandas as pd
+    import time
+
+    from hpaste_spark.streaming.events import read_event_stream, run_to_memory, stateful_sessionize
+
+    src_dir = tmp_path / "sess_src"
+    src_dir.mkdir()
+
+    US = 1_000_000
+    H = 3600 * US
+    base = 1_700_000_000 * US  # any epoch; stays clear of 2038 only matters for i32
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [(base + t) * 1000 for t, _, _ in rows],  # ns
+                "user_id": [u for _, u, _ in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [v for _, _, v in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pdf.to_parquet(src_dir / name)
+        time.sleep(0.05)  # distinct mtimes => deterministic file order
+
+    # gap = 30 min. u1: sessions A(0h, 2 events) B(1h) C(2h); u2: D(0h05, 2 ev)
+    write_batch("b0.parquet", [(0, 1, 1.0), (600 * US, 1, 2.0), (300 * US, 2, 5.0), (360 * US, 2, 7.0)])
+    write_batch("b1.parquet", [(1 * H, 1, 4.0)])          # closes A (gap 50min)
+    write_batch("b2.parquet", [(2 * H, 1, 8.0)])          # closes B
+    write_batch("b3.parquet", [(10 * H, 99, 0.0)])        # watermark pusher: times out C and D
+
+    stream = stateful_sessionize(read_event_stream(spark, str(src_dir)), gap_minutes=30)
+    run_to_memory(stream, "sessions_test", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"].timestamp() * US - base, r["session_end"].timestamp() * US - base,
+         r["n_events"], r["total_value"])
+        for r in spark.table("sessions_test").collect()
+    }
+    want = {
+        (1, 0.0, 600 * US * 1.0, 2, 3.0),       # A
+        (1, 1 * H * 1.0, 1 * H * 1.0, 1, 4.0),  # B
+        (1, 2 * H * 1.0, 2 * H * 1.0, 1, 8.0),  # C (timeout)
+        (2, 300 * US * 1.0, 360 * US * 1.0, 2, 12.0),  # D (timeout)
+    }
+    assert got == want
