@@ -835,6 +835,49 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8)
 
 
+@q(
+    "sim_ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS scid
+               FROM embeddings),
+    pc AS (SELECT scid, i, AVG(e[i]) AS m
+           FROM v, range(1, 65) AS r(i) GROUP BY scid, i),
+    cent AS (SELECT scid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM pc GROUP BY scid),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.e, c.cvec)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+      FROM v, cent c),
+    assign AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+    probes AS (SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (ORDER BY
+            list_dot_product(q.qv, c.cvec)
+              / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+            DESC, c.cid) AS rn
+        FROM cent c, q) WHERE rn <= 2)
+    SELECT vec_id, ROUND(cos_raw, 6) AS cos_sim FROM (
+      SELECT v.vec_id,
+             list_dot_product(v.e, q.qv)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+      FROM v JOIN assign a USING (vec_id) JOIN probes p ON a.cid = p.cid, q)
+    ORDER BY cos_raw DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic coarse centroids (seed partition
+    mean, rounded 6dp), nearest-centroid inverted lists, nprobe=2 probe
+    — exact cosine only over the probed lists."""
+    from hpaste_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_topk(emb, qv, k=10, k_centroids=8, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (north star): binary payload + metadata through a
 # real mapInPandas decode stage (codec faked deterministically — the

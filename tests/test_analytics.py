@@ -109,3 +109,17 @@ def test_frame_sampling_counts(spark):
     # 300 bytes → 5 frames (0..4); every 2nd → frames 0, 2, 4
     assert [r["frame_no"] for r in frames] == [0, 2, 4]
     assert [r["frame_bytes"] for r in frames] == [64, 64, 44]
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF with nprobe=all centroids IS brute force; with nprobe=2 the
+    result is a subset of the data ranked by exact cosine."""
+    from hpaste_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    bf = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk(emb, qv, k=10, k_centroids=4, nprobe=4).collect()]
+    assert full == [0] + bf[:9] or full == bf, "nprobe=K must equal brute force (self included)"
+    part = [r["vec_id"] for r in ivf_topk(emb, qv, k=10, k_centroids=4, nprobe=1).collect()]
+    assert 0 in part, "query vector's own list is always probed"
+    assert len(part) == 10
