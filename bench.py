@@ -35,6 +35,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_ann_lsh_topk",
     "tw_sliding_1h_30m",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q19_bracket_predicates",
+    "sim_ivf_topk",
+    "f20_events_pushdown_range",
 ]
 
 
@@ -49,8 +54,20 @@ def main() -> None:
     spark = get_spark("hpaste-bench")
     qs = entry_mod.queries()
 
-    # warm the JVM/session so the first measured query isn't paying init
+    # Warm the JVM paths the queries exercise — vectorized parquet reader,
+    # whole-stage codegen, broadcast machinery — on the tiny SF so the
+    # first measured query isn't charged ~3s of one-time class-load/JIT.
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        li = spark.read.parquet(os.path.join(warm_dir, "lineitem.parquet"))
+        od = spark.read.parquet(os.path.join(warm_dir, "orders.parquet"))
+        (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
