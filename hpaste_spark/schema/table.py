@@ -214,6 +214,20 @@ class HTable:
         prop_str = ("\n" + "\n".join(props)) if props else ""
         return f"CREATE TABLE {self.name} (\n  {cols}\n) USING parquet{prop_str}"
 
+    def alter_script(self, existing_columns: set[str] | None = None) -> str:
+        """ALTER DDL for columns not yet present (reference emits alter
+        statements per family, HbaseTable.scala:272-284).  With no
+        existing-column set, every column is emitted as ADD COLUMNS."""
+        existing = existing_columns or set()
+        adds = [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in self.spark_schema().fields
+            if f.name not in existing
+        ]
+        if not adds:
+            return f"-- table {self.name}: schema up to date"
+        return f"ALTER TABLE {self.name} ADD COLUMNS (\n  " + ",\n  ".join(adds) + "\n)"
+
     def delete_script(self) -> str:
         return f"DROP TABLE IF EXISTS {self.name}"
 

@@ -49,6 +49,10 @@ def test_ddl_scripts(spark, base_dir):
     assert "searchMetrics map<date,bigint>" in ddl
     assert "family text: compressed" in ddl
     assert pages.delete_script() == "DROP TABLE IF EXISTS pages"
+    alter = pages.alter_script(existing_columns={"rowkey", "title"})
+    assert "ALTER TABLE pages ADD COLUMNS" in alter
+    assert "title" not in alter and "searchMetrics" in alter
+    assert "up to date" in pages.alter_script({f.name for f in pages.spark_schema().fields})
 
 
 def test_duplicate_column_rejected(spark, base_dir):
