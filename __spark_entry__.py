@@ -1503,6 +1503,39 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew-safe salted aggregation: results are EXACTLY the plain group-by
+# (sum/count are commutative monoids), so the oracle is the unsalted SQL —
+# the salting is purely a physical strategy for power-law keys.
+@q(
+    "a_salted_skew_agg",
+    """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.groups import salted_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_sum(
+        ev, ["event_type"], {"n_events": "count:*", "total_value_raw": "sum:value"}, n_salts=16
+    )
+    return out.select(
+        "event_type", "n_events", F.round("total_value_raw", 2).alias("total_value")
+    )
+
+
+# A5 approx distinct — sketch-based, no exact oracle possible (HLL++
+# estimates differ across engines); driver records the rows-only check.
+@q("a5_approx_count_distinct")
+def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)
