@@ -523,11 +523,30 @@ class Query2Builder:
                     df = df.withColumn(fam.ts_name, F.map_filter(ts_col, lambda k, ts: in_range(ts)))
         return df
 
+    def _prefix_prune_args(self) -> dict:
+        """Directory-level partition pruning for prefix-partitioned
+        storage: translate key lookups / rowkey ranges into ``_kp``
+        constraints the storage layer applies before stripping the
+        partition column (HBase sorted-region analog at the file-listing
+        level)."""
+        storage = getattr(self.table, "storage", None)
+        n = getattr(storage, "partition_prefix_len", None) if storage else None
+        if not n:
+            return {}
+        out: dict = {}
+        if self.keys and all(isinstance(k, str) for k in self.keys):
+            out["key_prefixes"] = sorted({k[:n] for k in self.keys})
+        lo = self.start_row[:n] if isinstance(self.start_row, str) else None
+        hi = self.end_row[:n] if isinstance(self.end_row, str) else None
+        if lo is not None or hi is not None:
+            out["key_prefix_range"] = (lo, hi)
+        return out
+
     def to_df(self) -> DataFrame:
         """Build the DataFrame plan.  This is the whole 'physical op
         construction' phase of the reference (SURVEY §3.1 steps 2-5) —
         Catalyst owns pushdown/pruning from here."""
-        df = self.table.to_df(self.spark)
+        df = self.table.to_df(self.spark, **self._prefix_prune_args())
         df = self._key_filter(df)
         if self.start_row is not None:
             df = df.filter(F.col("rowkey") >= F.lit(self.start_row))

@@ -114,6 +114,7 @@ class HTable:
         row_builder: Callable | None = None,
         cache=None,
         df_provider: Callable[[SparkSession], DataFrame] | None = None,
+        partition_prefix_len: int | None = None,
     ):
         self.schema_registry = schema
         self.name = name
@@ -128,7 +129,7 @@ class HTable:
         # table's spark_schema() columns.
         self.df_provider = df_provider
         base = base_dir if base_dir is not None else schema.base_dir
-        self.storage = ParquetStorage(base, name) if base else None
+        self.storage = ParquetStorage(base, name, partition_prefix_len) if base else None
         schema._register(self)
 
     # -- declaration ----------------------------------------------------
@@ -237,10 +238,17 @@ class HTable:
             raise RuntimeError(f"table {self.name} has no storage directory configured")
         return self.storage
 
-    def to_df(self, spark: SparkSession) -> DataFrame:
+    def to_df(
+        self,
+        spark: SparkSession,
+        key_prefixes: list[str] | None = None,
+        key_prefix_range: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
         if self.df_provider is not None:
             return self.df_provider(spark)
-        return self._require_storage().read(spark, self.spark_schema())
+        return self._require_storage().read(
+            spark, self.spark_schema(), key_prefixes=key_prefixes, key_prefix_range=key_prefix_range
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         return self._require_storage().write(df)

@@ -28,11 +28,21 @@ VERSION_FILE = "_VERSION"
 
 
 class ParquetStorage:
-    """Storage for one logical table: versioned parquet snapshots."""
+    """Storage for one logical table: versioned parquet snapshots.
 
-    def __init__(self, base_dir: str, name: str):
+    ``partition_prefix_len=N`` additionally hash-organizes each snapshot
+    into key-prefix partition directories (``_kp=<first N chars of
+    rowkey>``) — the Spark analog of HBase's key-ranged regions.  Point
+    gets and rowkey-range scans then prune whole directories
+    (PartitionFilters), not just row groups; at 100 TB that is the
+    difference between listing a handful of files and listing the
+    table.  The ``_kp`` column is derived on write and stripped on
+    read, so the logical schema never sees it."""
+
+    def __init__(self, base_dir: str, name: str, partition_prefix_len: int | None = None):
         self.table_dir = os.path.join(base_dir, name)
         self.name = name
+        self.partition_prefix_len = partition_prefix_len
 
     # -- snapshot bookkeeping -------------------------------------------
     def _version_path(self) -> str:
@@ -58,21 +68,44 @@ class ParquetStorage:
         if self.exists():
             return
         empty = spark.createDataFrame([], schema)
-        self.write(empty)
+        # an empty partitionBy() write leaves a fileless dir that cannot
+        # be schema-inferred on read — the initial snapshot is unpartitioned
+        self.write(empty, partition=False)
 
     def drop(self) -> None:
         if os.path.exists(self.table_dir):
             shutil.rmtree(self.table_dir)
 
     # -- IO ---------------------------------------------------------------
-    def read(self, spark: SparkSession, schema=None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        schema=None,
+        key_prefixes: list[str] | None = None,
+        key_prefix_range: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
+        """Read the current snapshot.  ``key_prefixes`` /
+        ``key_prefix_range`` constrain the ``_kp`` partition column
+        BEFORE it is stripped, so the listing prunes directories."""
         if not self.exists():
             if schema is None:
                 raise FileNotFoundError(f"table {self.name} does not exist")
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(self.snapshot_dir(self.current_version()))
+        df = spark.read.parquet(self.snapshot_dir(self.current_version()))
+        if "_kp" in df.columns:
+            if key_prefixes is not None:
+                df = df.filter(F.col("_kp").isin([*key_prefixes]))
+            if key_prefix_range is not None:
+                lo, hi = key_prefix_range
+                if lo is not None:
+                    df = df.filter(F.col("_kp") >= lo)
+                if hi is not None:
+                    # prefix truncation makes the upper bound inclusive
+                    df = df.filter(F.col("_kp") <= hi)
+            df = df.drop("_kp")
+        return df
 
-    def write(self, df: DataFrame, sort_by_rowkey: bool = True) -> int:
+    def write(self, df: DataFrame, sort_by_rowkey: bool = True, partition: bool = True) -> int:
         """Write a new snapshot and atomically publish it. Returns version."""
         new_version = self.current_version() + 1
         out = self.snapshot_dir(new_version)
@@ -81,7 +114,13 @@ class ParquetStorage:
             # rowkey-range scans prune via parquet min/max, mirroring
             # HBase's sorted-region start/stop-row scans.
             df = df.sortWithinPartitions(F.col("rowkey"))
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        if partition and self.partition_prefix_len and "rowkey" in df.columns:
+            df = df.drop("_kp").withColumn(
+                "_kp", F.substring(F.col("rowkey").cast("string"), 1, self.partition_prefix_len)
+            )
+            writer = df.write.mode("overwrite").partitionBy("_kp")
+        writer.parquet(out)
         tmp = self._version_path() + ".tmp"
         os.makedirs(self.table_dir, exist_ok=True)
         with open(tmp, "w") as fh:
