@@ -1503,6 +1503,67 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# W2 rolling frame: per-customer rolling revenue over the last 3 orders —
+# the ROWS BETWEEN window shape (frame-based, not rank-based).  The frame
+# aggregate folds exact integer cents: engines differ in windowed-double
+# summation (running-sum vs per-frame) and AVG of a 2-row frame lands on
+# .5-cent round()-boundary half-way cases, so SUM of cents is the only
+# form that is bit-identical across engines.
+@q(
+    "w_rolling_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 2) AS sum_last3
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def w_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(cents).over(w) / 100.0, 2).alias("sum_last3"),
+        )
+    )
+
+
+# Corpus-level term statistics: top terms by document frequency with
+# stopwords removed (tokenize → explode → two-level agg → top-k).
+@q(
+    "text_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT term, COUNT(*) AS doc_freq
+    FROM tok
+    WHERE term NOT IN ('the','a','an','of','and','or','to','in','is','it')
+    GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return (
+        d.select(F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("term"))
+        .filter(~F.col("term").isin(*X.STOPWORDS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
 # Skew-safe salted aggregation: results are EXACTLY the plain group-by
 # (sum/count are commutative monoids), so the oracle is the unsalted SQL —
 # the salting is purely a physical strategy for power-law keys.
