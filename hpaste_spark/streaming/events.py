@@ -164,6 +164,47 @@ def stateful_sessionize(
     )
 
 
+def stream_increments_into(
+    events: DataFrame,
+    table,
+    counter_column: str = "n_events",
+    value_column: str | None = "total_value",
+    timeout_s: int = 120,
+) -> None:
+    """Streaming analog of the reference's IncrementOp counters
+    (IncrementOp.scala:26-38): each micro-batch pre-aggregates per
+    event_type and folds into the table through the increment
+    merge-write, so the stored counters converge to the batch rollup
+    regardless of how the stream was chunked (increments are
+    commutative).
+
+    Shape: the micro-batch groupBy is a tiny shuffle (distinct keys),
+    then one merge-write commit per batch — identical to the reference's
+    WAL-off batched increments, with the snapshot swap as the atomicity
+    unit.  The per-batch collect is bounded by the counter-table key
+    cardinality (the same bound the reference's reducer output had);
+    for high-cardinality keys stage the aggregated DataFrame into the
+    merge directly instead of the client DSL."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        if value_column is not None:
+            aggs.append(F.sum("value").alias("_v"))
+        rows = batch_df.groupBy("event_type").agg(*aggs).collect()
+        if not rows:
+            return
+        op = None
+        for r in rows:
+            op = op.increment(r["event_type"]) if op is not None else table.increment(r["event_type"])
+            op = op.value(counter_column, r["_n"])
+            if value_column is not None and r["_v"] is not None:
+                op = op.value(value_column, float(r["_v"]))
+        op.execute(batch_df.sparkSession)
+
+    q = events.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, timeout_s: int = 120, output_mode: str = "complete"
 ) -> None:

@@ -88,3 +88,46 @@ def test_stateful_sessionize(spark, tmp_path):
         (2, 300 * US * 1.0, 360 * US * 1.0, 2, 12.0),  # D (timeout)
     }
     assert got == want
+
+
+def test_stream_increments_converge_to_batch(spark, tmp_path):
+    """Chunked streaming increments must equal the one-shot batch rollup
+    (commutativity of the increment merge)."""
+    import pandas as pd
+
+    from hpaste_spark.schema import HTable, Schema
+    from hpaste_spark.streaming.events import read_event_stream, stream_increments_into
+
+    src_dir = tmp_path / "inc_src"
+    src_dir.mkdir()
+    full = pd.read_parquet(f"{SF}/events.parquet")
+    half = len(full) // 2
+    full.iloc[:half].to_parquet(src_dir / "part0.parquet")
+    full.iloc[half:].to_parquet(src_dir / "part1.parquet")
+
+    sch = Schema(base_dir=str(tmp_path / "tables"))
+
+    class Counters(HTable):
+        def __init__(self, schema):
+            super().__init__(schema, "event_counters", key_type=str)
+            meta = self.family("meta")
+            self.n_events = self.column(meta, "n_events", "long")
+            self.total_value = self.column(meta, "total_value", float)
+
+    tbl = Counters(sch)
+    sch.create_all(spark)
+
+    stream_increments_into(read_event_stream(spark, str(src_dir)), tbl)
+
+    want = {
+        r["event_type"]: (r["n"], round(r["v"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    got = {
+        r["rowkey"]: (r["n_events"], round(r["total_value"], 6))
+        for r in tbl.to_df(spark).collect()
+    }
+    assert got == want
