@@ -49,12 +49,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as `sig` ARRAY<BIGINT>[num_hashes].
 
-    Shape: explode distinct shingle hashes to (id, h) rows — the
-    expensive shingle+hash projection runs exactly once per shingle —
-    then one hash-aggregate computes all num_hashes minima (map-side
-    partial agg keeps the shuffle tiny: num_hashes longs per doc).
-    The per-column expression form re-evaluated the whole shingle
-    pipeline once per hash function (16× slower at sf0.1)."""
+    Shape: explode distinct shingle hashes to (id, h) rows, then ONE
+    hash-aggregate computes all num_hashes minima.  Two details make
+    this the fast AND scale-right form:
+    - the min aggregates run in whole-stage codegen, while any
+      array-fold formulation (aggregate/zip_with with a num_hashes-wide
+      accumulator) is CodegenFallback — interpreted, ~4× slower;
+    - map-side partial agg combines before the exchange, so the shuffle
+      carries num_hashes longs per doc (~136 B), NOT the exploded rows.
+    The single-projection expression form exists as
+    functions.text.minhash_signature for column-level use."""
     hashes = F.array_distinct(shingle_hashes(F.col(text_col), shingle))
     exploded = df.select(F.col(id_col), F.explode(hashes).alias("h"))
     mins = [
@@ -83,6 +87,9 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
+    # sigs ends in an aggregation, so `sig` is an attribute below — the
+    # band-key expressions referencing it `bands` times stay cheap
+    # (attribute reads, no re-computation)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
     # band key: polynomial combine of the band's minhash values
     band_entries = []
@@ -94,22 +101,30 @@ def minhash_lsh_candidates(
         F.col(id_col), F.explode(F.array(*band_entries)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
 
-    a = banded.alias("a")
-    bb = banded.alias("b")
-    pairs = (
-        a.join(
-            bb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Pairs via bucket grouping, NOT a self-join: a self-join consumes the
+    # banded relation (and the signature computation behind it) twice.
+    # collect_list bounds each group by its bucket size — exactly the
+    # quantity LSH is designed to keep small; pair expansion is a pure
+    # array expression over the grouped ids (attribute references, cheap).
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    return pairs
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
