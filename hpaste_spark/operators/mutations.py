@@ -360,3 +360,32 @@ def bulk_merge_put(table, batch_df: DataFrame) -> None:
     spark = _S.getActiveSession()
     current = table.to_df(spark)
     table.overwrite(merge_puts(table, current, batch_df))
+
+
+class MultiTableBatch:
+    """S13 — route each mutation chain to one of N registered tables
+    (HMultiTableOutput, mapreduce2.scala:575-587; table-name validation
+    at :794-809).  ``on(name)`` opens/continues the per-table batch;
+    ``execute()`` commits every table's batch and sums the OpsResults
+    (one snapshot commit per table — same per-target atomicity as the
+    reference's per-table writers)."""
+
+    def __init__(self, *tables):
+        # _table_name is the uncloberrable registered name (a user column
+        # attribute may shadow .name, e.g. a declared column "name")
+        self._by_name = {getattr(t, "_table_name", t.name): t for t in tables}
+        self._ops: dict[str, OpBase] = {}
+
+    def on(self, table_name: str) -> OpBase:
+        if table_name not in self._by_name:
+            raise KeyError(
+                f"table {table_name!r} is not a registered output "
+                f"(have: {sorted(self._by_name)})"
+            )
+        return self._ops.setdefault(table_name, OpBase(self._by_name[table_name]))
+
+    def execute(self, spark=None) -> OpsResult:
+        total = OpsResult()
+        for op in self._ops.values():
+            total = total + op.execute(spark)
+        return total

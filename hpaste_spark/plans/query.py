@@ -564,7 +564,7 @@ class Query2Builder:
     # -- terminal operations (client edge) ---------------------------------
     def _cache_key(self) -> str:
         parts = [
-            self.table.name,
+            getattr(self.table, "_table_name", self.table.name),
             repr(sorted(map(repr, self.keys))),
             repr([f.name for f in self.sel_families]),
             repr([c.name for c in self.sel_columns]),

@@ -88,7 +88,8 @@ class HRow:
             if v is None:
                 continue
             parts.append(f"{k}={v!r}" if include_values else k)
-        return f"{self.table.name}[{self.rowid!r}]({', '.join(parts)})"
+        tname = getattr(self.table, "_table_name", self.table.name)
+        return f"{tname}[{self.rowid!r}]({', '.join(parts)})"
 
     def pretty_print(self) -> None:
         print(self.pretty_format())

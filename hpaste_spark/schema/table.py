@@ -118,6 +118,9 @@ class HTable:
     ):
         self.schema_registry = schema
         self.name = name
+        # uncloberrable copy: a user column attribute may shadow .name
+        # (e.g. a declared column literally called "name")
+        self._table_name = name
         self.key_type = key_type
         self.families: dict[str, ColumnFamily] = {}
         self._columns: dict[str, Column] = {}

@@ -188,3 +188,23 @@ def test_put_overlays_existing_cells(spark, base_dir):
     row = tbl.query2(spark).with_key("R").with_all_columns().single()
     assert row.column("title") == "T2"
     assert row.column("url") == "u1"
+
+
+def test_multi_table_batch_routing(spark, base_dir):
+    """S13 HMultiTableOutput: mutations route to validated target
+    tables; one execute commits all targets (mapreduce2.scala:575-587)."""
+    import pytest
+
+    from hpaste_spark.operators.mutations import MultiTableBatch
+
+    _, pages, sites = web_schema(base_dir, spark)
+    batch = MultiTableBatch(pages, sites)
+    batch.on("pages").put("http://x.com/1").value("title", "X1")
+    batch.on("site_metrics").put("x.com").value("name", "X")
+    batch.on("pages").put("http://x.com/2").value("title", "X2")
+    res = batch.execute(spark)
+    assert (res.numPuts, res.numDeletes) == (3, 0)
+    assert pages.query2(spark).with_key("http://x.com/2").with_all_columns().single().column("title") == "X2"
+    assert sites.query2(spark).with_key("x.com").with_all_columns().single().column("name") == "X"
+    with pytest.raises(KeyError):
+        batch.on("unknown_table")
