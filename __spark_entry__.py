@@ -1564,6 +1564,30 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A5 grouping sets — the general form behind cube/rollup (both also
+# covered); Spark plans one Expand + single hash agg.
+@q(
+    "a5_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 # Skew-safe salted aggregation: results are EXACTLY the plain group-by
 # (sum/count are commutative monoids), so the oracle is the unsalted SQL —
 # the salting is purely a physical strategy for power-law keys.
