@@ -19,7 +19,9 @@ capabilities Spark-first:
 - ``hpaste_spark.functions``— scalar/text/vector column functions (all
   JVM-side pyspark.sql.functions compositions; no row-at-a-time UDFs)
 - ``hpaste_spark.streaming``— Structured Streaming mirrors of the batch
-  time-window aggregations (beyond reference parity)
+  time-window aggregations, stateful gap-sessionization
+  (applyInPandasWithState) and increment-counter sinks (beyond
+  reference parity)
 """
 
 from hpaste_spark.session import get_spark
