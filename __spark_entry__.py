@@ -1564,6 +1564,34 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edit-distance near-match over a bounded candidate block (the classic
+# fuzzy-match primitive; integer-exact so no fp drift between engines).
+# Blocking (doc_id ranges here; LSH buckets in production) keeps the
+# pair count bounded — never an unblocked n².
+@q(
+    "text_levenshtein_block",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+    FROM documents a, documents b
+    WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id
+      AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 25
+    """,
+)
+def text_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.substring("text", 1, 40).alias("head")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("head").alias("ha"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("head").alias("hb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein(F.col("ha"), F.col("hb")))
+        .filter(F.col("edit_dist") <= 25)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 # A5 grouping sets — the general form behind cube/rollup (both also
 # covered); Spark plans one Expand + single hash agg.
 @q(
