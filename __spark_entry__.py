@@ -1564,6 +1564,32 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J1 outer-join shape: customers with zero orders kept (null-filled) —
+# the returnEmptyRows=true multi-get semantic generalized to a full scan
+# (WebCrawlSchemaTest.scala:372-389).
+@q(
+    "j_left_outer_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey < 300
+    GROUP BY c_custkey
+    """,
+)
+def j_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
 # Edit-distance near-match over a bounded candidate block (the classic
 # fuzzy-match primitive; integer-exact so no fp drift between engines).
 # Blocking (doc_id ranges here; LSH buckets in production) keeps the

@@ -5,9 +5,9 @@ the north-star operators BASELINE.json asks for, built Spark-first:
 
 - exact_dedup            — hash-groupBy keeper selection; one shuffle
 - minhash_lsh_candidates — shingle → minhash signature → banded LSH →
-  bucket self-join.  The classic Broder scheme: only documents sharing
-  a band bucket are compared, so the join is |bucket|² per bucket, not
-  n² — the 100 TB-safe path.
+  per-bucket pair expansion.  The classic Broder scheme: only documents
+  sharing a band bucket are compared (|bucket|² per bucket, not n²) —
+  the 100 TB-safe path.
 - ngram_jaccard_pairs    — exact shingle-set Jaccard for candidate
   pairs (explode + co-group; used standalone on bounded subsets or as
   the verify stage after LSH)
