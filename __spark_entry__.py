@@ -1564,6 +1564,53 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic dataset splits (training-pipeline primitive): the
+# holdout assignment is a pure function of md5(id), so it is stable
+# across runs, engines, and partitionings — and exactly reproducible
+# by the oracle.
+@q(
+    "split_train_holdout",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 5
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+    FROM tagged GROUP BY split
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.sampling import hash_split
+
+    d = hash_split(_t(spark, sf_dir, "documents"), "doc_id", holdout_pct=5)
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+@q(
+    "split_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 65536,
+               doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= 5
+    """,
+)
+def split_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.sampling import stratified_take
+
+    return stratified_take(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", n_per_group=5
+    ).select("lang", "doc_id")
+
+
 # J1 outer-join shape: customers with zero orders kept (null-filled) —
 # the returnEmptyRows=true multi-get semantic generalized to a full scan
 # (WebCrawlSchemaTest.scala:372-389).
