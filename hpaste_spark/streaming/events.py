@@ -164,6 +164,18 @@ def stateful_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact-dedup — the stream mirror of
+    operators.dedup.exact_dedup: keep the first occurrence of each key,
+    with state bounded by the watermark horizon
+    (dropDuplicatesWithinWatermark evicts keys older than the
+    watermark, so state is O(keys per horizon), not O(stream))."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_increments_into(
     events: DataFrame,
     table,

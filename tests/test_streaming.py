@@ -131,3 +131,22 @@ def test_stream_increments_converge_to_batch(spark, tmp_path):
         for r in tbl.to_df(spark).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: an at-least-once source replaying
+    a batch must not double-count (stream mirror of dedup_exact)."""
+    import pandas as pd
+
+    from hpaste_spark.streaming.events import read_event_stream, run_to_memory, streaming_dedup
+
+    src_dir = tmp_path / "dedup_src"
+    src_dir.mkdir()
+    full = pd.read_parquet(f"{SF}/events.parquet").head(200)
+    full.to_parquet(src_dir / "b0.parquet")
+    full.head(80).to_parquet(src_dir / "b1.parquet")  # replayed duplicates
+
+    deduped = streaming_dedup(read_event_stream(spark, str(src_dir)))
+    run_to_memory(deduped.select("event_id"), "dedup_stream_test", output_mode="append")
+    got = [r["event_id"] for r in spark.table("dedup_stream_test").collect()]
+    assert sorted(got) == sorted(full["event_id"].tolist())
