@@ -1564,6 +1564,28 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus cleaning: canonical normalized form + content key (md5 of the
+# normalized text) — the exact-dedup key a training pipeline actually
+# hashes, plus URL extraction.
+@q(
+    "text_normalize_key",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')),
+                                   '\\s+', ' ', 'g'))) AS content_key,
+           len(regexp_extract_all(text, '(https?://[^\\s]+)', 1)) AS n_urls
+    FROM documents
+    """,
+)
+def text_normalize_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(X.normalize_text(F.col("text")).cast("binary")).alias("content_key"),
+        F.size(X.extract_urls(F.col("text"))).alias("n_urls"),
+    )
+
+
 # Deterministic dataset splits (training-pipeline primitive): the
 # holdout assignment is a pure function of md5(id), so it is stable
 # across runs, engines, and partitionings — and exactly reproducible

@@ -165,3 +165,22 @@ def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
         ),
     )
     return F.transform(folded, lambda v: F.when(v < HASH_MOD, v))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact-dedup keys: lowercase, strip markup-ish
+    tags, collapse runs of whitespace, trim.  Mirrored in the oracle
+    with DuckDB regexp_replace(…, 'g')."""
+    stripped = F.regexp_replace(col, r"<[^>]*>", " ")
+    collapsed = F.regexp_replace(F.lower(stripped), r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def strip_tags(col: Column) -> Column:
+    """Remove HTML/XML-ish tags (training-corpus cleaning primitive)."""
+    return F.regexp_replace(col, r"<[^>]*>", " ")
+
+
+def extract_urls(col: Column) -> Column:
+    """All http(s) URLs in the text as an array."""
+    return F.regexp_extract_all(col, F.lit(r"(https?://[^\s]+)"), 1)
