@@ -12,8 +12,10 @@ empty batches are no-ops (OpBase.scala:69-71).  Returns
 Spark design: the client-staged batch becomes small DataFrames that
 full-outer-merge with the stored snapshot on ``rowkey`` — the same
 shape as a Delta MERGE, so the write path is a distributed join, never
-a driver-side loop, and survives 100 TB tables (the batch side is
-broadcast when small).  Cell-level last-writer-wins: a put only
+a driver-side loop, and survives 100 TB tables.  (The full-outer merge
+plans as a sort-merge join on rowkey — Spark cannot broadcast a
+full-outer equi join; with prefix-partitioned storage only the touched
+partitions would be rewritten.)  Cell-level last-writer-wins: a put only
 replaces the cells it names; map-family puts overlay by key
 (map_concat semantics, M2); increments add to ``coalesce(old, 0)``.
 Atomicity unit is the ``execute()`` batch (one snapshot commit) —
@@ -224,7 +226,23 @@ class OpBase:
             spark = _S.getActiveSession()
         default_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         schema = self.table.spark_schema()
-        df = self.table.to_df(spark)
+
+        # Partial-rewrite fast path: on prefix-partitioned storage every
+        # mutation key names its partition up front, so the merge reads
+        # and rewrites ONLY the touched partitions; everything else is
+        # hardlinked into the new snapshot (storage.write_partial).
+        prefixes = self._touched_prefixes()
+        storage = getattr(self.table, "storage", None)
+        partial = (
+            prefixes is not None
+            and storage is not None
+            and self.table.df_provider is None
+            and storage.supports_partial_rewrite()
+        )
+        if partial:
+            df = self.table.to_df(spark, key_prefixes=prefixes)
+        else:
+            df = self.table.to_df(spark)
 
         df = apply_deletes(self.table, df, self.delete_rows, self.delete_families, self.delete_values)
         if any(o.cells or o.map_cells for o in self.puts.values()):
@@ -232,8 +250,31 @@ class OpBase:
         if any(o.cells or o.map_cells for o in self.increments.values()):
             df = merge_increments(self.table, df, self._batch_df(spark, self.increments, default_ts))
 
-        self.table.overwrite(df.select(*[f.name for f in schema.fields]))
+        out = df.select(*[f.name for f in schema.fields])
+        if partial:
+            storage.write_partial(out, prefixes)
+        else:
+            self.table.overwrite(out)
         return OpsResult(self._delete_count, self._put_count, self._increment_count)
+
+    def _touched_prefixes(self) -> list[str] | None:
+        """Distinct key prefixes this batch touches, or None when the
+        storage isn't prefix-partitioned / a key isn't a string."""
+        storage = getattr(self.table, "storage", None)
+        n = getattr(storage, "partition_prefix_len", None) if storage else None
+        if not n:
+            return None
+        keys = (
+            set(self.puts) | set(self.increments) | set(self.delete_rows)
+            | set(self.delete_families) | set(self.delete_values)
+        )
+        out = set()
+        for k in keys:
+            v = to_spark_value(k)
+            if not isinstance(v, str):
+                return None
+            out.add(v[:n])
+        return sorted(out)
 
 
 # ---------------------------------------------------------------------------

@@ -129,6 +129,51 @@ class ParquetStorage:
         self._gc(keep=2)
         return new_version
 
+    def supports_partial_rewrite(self) -> bool:
+        """True when the CURRENT snapshot is prefix-partitioned, so a
+        mutation batch can rewrite only its touched partitions."""
+        if not (self.partition_prefix_len and self.exists()):
+            return False
+        cur = self.snapshot_dir(self.current_version())
+        try:
+            return any(e.startswith("_kp=") for e in os.listdir(cur))
+        except FileNotFoundError:
+            return False
+
+    def write_partial(self, df: DataFrame, touched_prefixes: list[str]) -> int:
+        """Commit a snapshot that rewrites ONLY the touched key-prefix
+        partitions; every other partition directory is hardlinked from
+        the previous snapshot (O(files) metadata work, no data copied —
+        the snapshot-manifest trick of production table formats).  At
+        100 TB this makes a point-put cost ∝ its partition, not the
+        table.  GC stays safe: removing an old snapshot just unlinks,
+        the shared inodes survive."""
+        assert self.supports_partial_rewrite()
+        touched = {f"_kp={p}" for p in touched_prefixes}
+        new_version = self.current_version() + 1
+        prev = self.snapshot_dir(self.current_version())
+        out = self.snapshot_dir(new_version)
+        os.makedirs(out, exist_ok=True)
+        for entry in os.listdir(prev):
+            if entry.startswith("_kp=") and entry not in touched:
+                src = os.path.join(prev, entry)
+                dst = os.path.join(out, entry)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+        if "rowkey" in df.columns:
+            df = df.sortWithinPartitions(F.col("rowkey"))
+        df = df.drop("_kp").withColumn(
+            "_kp", F.substring(F.col("rowkey").cast("string"), 1, self.partition_prefix_len)
+        )
+        df.write.mode("append").partitionBy("_kp").parquet(out)
+        tmp = self._version_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(new_version))
+        os.replace(tmp, self._version_path())
+        self._gc(keep=2)
+        return new_version
+
     def _gc(self, keep: int) -> None:
         """Drop snapshots older than the newest `keep`."""
         cur = self.current_version()

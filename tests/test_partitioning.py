@@ -68,3 +68,47 @@ def test_unpartitioned_table_unaffected(spark, base_dir):
     sch.create_all(spark)
     tbl.put("x1").value("v", 9).execute(spark)
     assert tbl.query2(spark).with_key("x1").with_all_columns().single().column("v") == 9
+
+
+def test_partial_rewrite_touches_only_mutated_partitions(spark, base_dir):
+    """A mutation batch on prefix-partitioned storage rewrites only its
+    touched partitions; untouched partition files are HARDLINKED from
+    the previous snapshot (same inodes — no data copied)."""
+    import os
+
+    tbl = _make(spark, base_dir)  # v2: partitioned snapshot (a, b, c)
+    st = tbl.storage
+    v_before = st.current_version()
+    before_files = {}
+    for entry in os.listdir(st.snapshot_dir(v_before)):
+        if entry.startswith("_kp="):
+            d = os.path.join(st.snapshot_dir(v_before), entry)
+            before_files[entry] = {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)}
+
+    tbl.put("a9").value("v", 99).execute(spark)  # touches only prefix 'a'
+
+    v_after = st.current_version()
+    assert v_after == v_before + 1
+    after_dir = st.snapshot_dir(v_after)
+    # untouched partitions: identical inodes (hardlinks, not copies)
+    for entry in ("_kp=b", "_kp=c"):
+        d = os.path.join(after_dir, entry)
+        after = {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)}
+        assert after == before_files[entry], f"{entry} should be hardlinked"
+
+    # all data still correct, including the new row and old rows everywhere
+    rows = {r["rowkey"]: r["v"] for r in tbl.to_df(spark).collect()}
+    assert rows == {"a1": 1, "a2": 2, "a9": 99, "b1": 3, "c1": 4, "c2": 5}
+
+
+def test_partial_rewrite_delete_and_gc_safety(spark, base_dir):
+    """Deleting a row rewrites its partition; GC of old snapshots must
+    not corrupt hardlink-shared files in the live snapshot."""
+    tbl = _make(spark, base_dir)
+    tbl.delete("c1").execute(spark)
+    tbl.put("b7").value("v", 7).execute(spark)   # triggers GC of older snapshots
+    tbl.put("a3").value("v", 3).execute(spark)
+    rows = {r["rowkey"]: r["v"] for r in tbl.to_df(spark).collect()}
+    assert rows == {"a1": 1, "a2": 2, "a3": 3, "b1": 3, "b7": 7, "c2": 5}
+    # point get through the DSL still prunes and reads correctly
+    assert tbl.query2(spark).with_key("c2").with_all_columns().single().column("v") == 5
