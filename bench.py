@@ -38,6 +38,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "q19_bracket_predicates",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "sim_ivf_topk",
     "f20_events_pushdown_range",
 ]
