@@ -2221,8 +2221,12 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole-blame pattern — the supplier whose line
     was returned on a finished multi-supplier order where NO other
-    supplier's line was returned.  EXISTS → left-semi join on orderkey
-    with a supplier-inequality condition; NOT EXISTS → left-anti."""
+    supplier's line was returned.  The EXISTS/NOT-EXISTS pair collapses
+    to one per-order aggregate: EXISTS(other supplier) ⇔ n_supp ≥ 2 and
+    NOT EXISTS(other supplier with a return) ⇔ n_r_supp = 1 (the blamed
+    supplier's own return).  One lineitem stats pass + one shuffle
+    replaces two distinct-shuffles feeding semi/anti joins — at 100 TB
+    that's one exchange of order-grain rows instead of three."""
     li = _t(spark, sf_dir, "lineitem")
     supp = (
         _t(spark, sf_dir, "supplier")
@@ -2230,29 +2234,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin("NATION_10", "NATION_11", "NATION_12"))
     )
     orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    l1 = (
+    # Two-level agg instead of two COUNT(DISTINCT)s in one pass: the
+    # (order, supplier) rollup partial-aggregates map-side and avoids
+    # the Expand (row-doubling) a multi-distinct aggregate plans.
+    order_stats = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_r_supp"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .select(F.col("l_orderkey").alias("blame_orderkey"))
+    )
+    return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_orderkey", "l_suppkey", "s_name")
-    )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    ).distinct()
-    r_others = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    ).distinct()
-    return (
-        l1.join(
-            others,
-            (l1.l_orderkey == F.col("o2_orderkey")) & (l1.l_suppkey != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            r_others,
-            (l1.l_orderkey == F.col("o3_orderkey")) & (l1.l_suppkey != F.col("o3_suppkey")),
-            "left_anti",
-        )
+        .join(order_stats, F.col("l_orderkey") == F.col("blame_orderkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
