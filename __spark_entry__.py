@@ -1744,6 +1744,189 @@ def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish subword token counting (north star: "token counting —
+# whitespace + a BPE-ish regex").  Whitespace count alongside for the
+# tokens-per-word granularity ratio LLM data budgeting uses.
+@q(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return d.select(
+        "doc_id",
+        X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+# §2.9 — native session windows (F.session_window): the declarative
+# batch twin of the stateful streaming sessionizer.  An event at
+# exactly gap seconds after its predecessor starts a NEW session
+# (Spark merges [ts, ts+gap) intervals only on strict overlap), hence
+# `>= 1800` in the oracle's island detection.
+@q(
+    "tw_session_window",
+    """
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def tw_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# W2 — ntile quartile banding per group (deterministic: the ORDER BY is
+# unique (totalprice, orderkey) so both engines fill buckets identically).
+@q(
+    "w_ntile_quartiles",
+    """
+    SELECT o_orderpriority, quartile, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders) t
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# Per-label embedding centroids — the k-means/IVF "training" step as a
+# standalone distributed op: posexplode to (label, dim, value), ONE
+# hash-aggregate for all per-dimension means (map-side combine shrinks
+# the shuffle to labels × dims rows), reassemble ordered arrays.
+@q(
+    "vec_label_centroids",
+    """
+    WITH px AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), m AS (
+      -- "+ 0" collapses IEEE negative zero (-0.0 + 0.0 = +0.0): DuckDB's
+      -- ROUND keeps the sign of tiny negatives, Spark's does not.
+      SELECT label, pos, ROUND(AVG(v), 3) + 0 AS mv FROM px GROUP BY label, pos
+    )
+    SELECT label, list(mv ORDER BY pos) AS centroid, COUNT(*) AS dims
+    FROM m GROUP BY label
+    """,
+)
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    m = px.groupBy("label", "pos").agg((F.round(F.avg("v"), 3) + F.lit(0.0)).alias("mv"))
+    return m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("dims"),
+    )
+
+
+# End-to-end corpus-cleaning pipeline (north star composite): strip
+# markup → canonical content key → exact-dedup keeper → language +
+# quality gates → per-source yield report.  One DataFrame program;
+# every stage is a prior oracle-checked primitive.
+@q(
+    "pipe_clean_corpus",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')),
+                                     '\\s+', ' ', 'g'))) AS content_key,
+             ROUND(
+               0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+                             / len(regexp_split_to_array(trim(text), '\\s+')) END)
+               + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                  / length(text) END)), 4) AS quality,
+             CASE
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('el','la','de','que'))) > 0 THEN 'es'
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('der','die','das','und'))) > 0 THEN 'de'
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('le','les','des','est'))) > 0 THEN 'fr'
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('the','and','is','of'))) > 0 THEN 'en'
+               ELSE 'unknown'
+             END AS lang_guess
+      FROM documents WHERE length(trim(text)) > 0
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY content_key) AS keeper
+        FROM scored) k
+      WHERE doc_id = keeper AND quality >= 0.5 AND lang_guess <> 'unknown'
+    )
+    SELECT source, lang_guess, COUNT(*) AS n_docs,
+           ROUND(SUM(quality), 2) AS total_quality
+    FROM kept GROUP BY source, lang_guess
+    """,
+)
+def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.md5(X.normalize_text(F.col("text")).cast("binary")).alias("content_key"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+    keeper = Window.partitionBy("content_key")
+    kept = (
+        scored.withColumn("keeper", F.min("doc_id").over(keeper))
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("lang_guess") != "unknown")
+        )
+    )
+    return kept.groupBy("source", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("quality"), 2).alias("total_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H suite completion (adapted to the driver's reduced star schema:
 # no partsupp table, no comment/phone/date-pair columns — each query keeps

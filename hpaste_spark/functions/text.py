@@ -49,6 +49,21 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+# GPT-2-style pre-tokenizer approximation: contraction suffixes, then
+# space-prefixed letter runs, digit runs, and punctuation runs, then
+# bare whitespace.  Leftmost-first alternation semantics are identical
+# in Java regex (Spark) and RE2 (DuckDB) for this ASCII-class pattern,
+# so counts match the oracle exactly.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-granularity token-count estimate (BPE-ish regex): the
+    number of pre-tokenizer pieces, a cheap stand-in for an actual BPE
+    vocabulary pass when budgeting LLM training tokens."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
+
+
 def punct_count(col: Column) -> Column:
     return F.length(col) - F.length(F.regexp_replace(col, r"[.,!?;:]", ""))
 
