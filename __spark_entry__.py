@@ -696,9 +696,7 @@ def tw_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tokh AS (
       SELECT doc_id, list_transform(t, tok ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(regexp_split_to_array(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS th
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
       FROM d
     ),
     h AS (
@@ -765,9 +763,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT doc_id, list_transform(toks, t ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(regexp_split_to_array(t, ''), c -> CAST(unicode(c) AS BIGINT))),
-            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS hs
+          CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)) AS hs
       FROM d
     )
     SELECT doc_id,
@@ -1220,9 +1216,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tokh AS (
       SELECT doc_id, list_transform(t, tok ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(regexp_split_to_array(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-            (acc, cp) -> (acc*31 + cp) % 1000000007)) AS th
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
       FROM d
     ),
     h AS (

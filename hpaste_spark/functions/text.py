@@ -122,6 +122,17 @@ def poly_hash(col: Column, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column
     )
 
 
+def token_hash(col: Column) -> Column:
+    """52-bit md5-prefix token hash: one JVM md5 intrinsic per token
+    instead of a per-character interpreted fold — measured ~5× faster
+    over the documents fixture (char-level HOF lambdas dominate the
+    minhash pipeline otherwise).  DuckDB twin:
+    ``CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)``.
+    13 hex chars = 52 bits keeps every hash < 2^53, so SimHash's
+    bit-extraction-by-double-division stays exact."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 13), 16, 10).cast("long")
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """n-word shingles (the MinHash input): array of space-joined n-grams."""
     t = tokens(col)
@@ -133,11 +144,11 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
     """Hashes of the word shingles — input to MinHash signatures.
 
-    Two-level hash: each token is char-hashed ONCE per document, then a
-    shingle hash folds its n token hashes — O(chars + shingles·n)
-    instead of O(shingles·shingle_chars) (overlapping shingles re-hash
-    every character n times).  The exact formula is mirrored in the
-    DuckDB oracle (see __spark_entry__.dedup_minhash_lsh).
+    Two-level hash: each token is md5-hashed ONCE per document
+    (token_hash), then a shingle hash folds its n token hashes —
+    O(tokens + shingles·n) JVM hash calls, no per-character work.
+    The exact formula is mirrored in the DuckDB oracle (see
+    __spark_entry__.dedup_minhash_lsh).
 
     Structured as a zip_with chain over n aligned slices rather than a
     transform-over-indices: Spark re-evaluates any subexpression that
@@ -146,17 +157,12 @@ def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HAS
     char-level hash per shingle (~50× the work; measured 19.6s → 5.9s
     at sf0.1).  As zip_with *arguments* the slices are evaluated once
     per row."""
-    th = F.transform(tokens(col), lambda t: _poly_hash_of(t, mod, base))
+    th = F.transform(tokens(col), token_hash)
     m = F.greatest(F.size(th) - (n - 1), F.lit(0))
     acc = F.slice(th, 1, m)
     for j in range(1, n):
         acc = F.zip_with(acc, F.slice(th, 1 + j, m), lambda a, t: (a * base + t) % mod)
     return acc
-
-
-def _poly_hash_of(s: Column, mod: int, base: int) -> Column:
-    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
-    return F.aggregate(chars, F.lit(0).cast("long"), lambda acc, c: (acc * base + F.ascii(c)) % mod)
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:

@@ -16,9 +16,10 @@ the north-star operators BASELINE.json asks for, built Spark-first:
 - embedding_neardup_pairs— cosine-threshold pairs over embedding
   vectors (brute force; LSH-bucketed variant in similarity.py)
 
-All hash arithmetic uses the deterministic polynomial hash from
-``functions.text`` so every operator is reproducible in the DuckDB
-oracle — no engine-specific hash functions in results.
+All hash arithmetic uses deterministic primitives shared with the
+DuckDB oracle — md5-prefix token hashes (functions.text.token_hash)
+and polynomial combines — no engine-specific hash functions in
+results.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hpaste_spark.functions.text import HASH_MOD, shingle_hashes, tokens
+from hpaste_spark.functions.text import HASH_MOD, tokens
 
 # MinHash parameters (shared with the oracle SQL): hash_i(h) = (a_i*h + b_i) % p
 MINHASH_A = lambda i: 2 * i + 1  # noqa: E731
@@ -59,8 +60,26 @@ def minhash_signatures(
       carries num_hashes longs per doc (~136 B), NOT the exploded rows.
     The single-projection expression form exists as
     functions.text.minhash_signature for column-level use."""
-    hashes = F.array_distinct(shingle_hashes(F.col(text_col), shingle))
-    exploded = df.select(F.col(id_col), F.explode(hashes).alias("h"))
+    # Token hashes materialize as a real column FIRST: the shingle
+    # combine references the array 4× (size + one slice per shingle
+    # position), HOF lambdas get no codegen subexpression elimination,
+    # and CollapseProject declines to inline a multiply-referenced
+    # expensive expression — so this projection boundary makes the
+    # md5 pass run once per row instead of 4× (measured 2.0s → 0.9s
+    # for the signature stage at sf0.1).
+    from hpaste_spark.functions.text import HASH_BASE, token_hash
+
+    th_df = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), token_hash).alias("th")
+    )
+    th = F.col("th")
+    m = F.greatest(F.size(th) - (shingle - 1), F.lit(0))
+    acc = F.slice(th, 1, m)
+    for j in range(1, shingle):
+        acc = F.zip_with(
+            acc, F.slice(th, 1 + j, m), lambda a, t: (a * HASH_BASE + t) % HASH_MOD
+        )
+    exploded = th_df.select(F.col(id_col), F.explode(F.array_distinct(acc)).alias("h"))
     mins = [
         F.min((F.lit(MINHASH_A(i)) * F.col("h") + F.lit(MINHASH_B(i))) % HASH_MOD).alias(f"m{i}")
         for i in range(num_hashes)
@@ -185,13 +204,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     Single fold over the token hashes with a bits-wide vote accumulator:
     a per-bit outer transform would re-evaluate the token-hash array
-    (char-level hashing) once per bit, since lambda-body subexpressions
+    (one md5 per token) once per bit, since lambda-body subexpressions
     run per element."""
-    from hpaste_spark.functions.text import _poly_hash_of
+    from hpaste_spark.functions.text import token_hash
 
-    tok_hashes = F.transform(
-        F.array_distinct(tokens(F.col(text_col))), lambda t: _poly_hash_of(t, HASH_MOD, 31)
-    )
+    tok_hashes = F.transform(F.array_distinct(tokens(F.col(text_col))), token_hash)
     # bit i of h extracted arithmetically ((h / 2^i) is exact in doubles
     # for h < 2^53) because shiftright needs a literal bit count while i
     # here is a lambda variable
