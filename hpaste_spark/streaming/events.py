@@ -52,6 +52,31 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming session windows via the NATIVE F.session_window state
+    operator (merging [ts, ts+gap) intervals) — the declarative
+    counterpart of stateful_sessionize's applyInPandasWithState form,
+    and the streaming twin of the batch `tw_session_window` query.
+    In append mode sessions emit once the watermark passes their close
+    — on a bounded replay the final gap+watermark of sessions is
+    withheld (no event advances the watermark past them); drain with
+    complete mode when exact batch parity over a finite source is the
+    goal."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sliding_value_sum(
     events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

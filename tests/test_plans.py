@@ -100,3 +100,40 @@ def test_events_filter_pushdown_survives_ns_conversion(spark, queries):
     assert "GreaterThanOrEqual(ts," in pushed and "LessThan(ts," in pushed, (
         "time-range predicate must reach the events scan on the raw ns column"
     )
+
+
+def test_tpch_cyclic_join_q5_broadcasts(spark, queries):
+    # Q5's join graph is cyclic (customer.nation == supplier.nation);
+    # the supplier+nation+region side must broadcast, never cartesian.
+    plan = plan_of(queries["q5_local_supplier_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_sole_blame_is_aggregation_not_nested_loop(spark, queries):
+    # The EXISTS/NOT-EXISTS pair is planned as one per-order aggregate
+    # + semi joins — a nested-loop or cartesian here is the 100 TB
+    # killer regression.
+    plan = plan_of(queries["q21_waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_correlated_avg_is_preagg_broadcast(spark, queries):
+    # The correlated per-part AVG subquery must become a pre-aggregated
+    # broadcast join (2000 parts), not a window over the fact table or
+    # a shuffle join.
+    plan = plan_of(queries["q17_small_qty_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_left_outer_preserved(spark, queries):
+    # Customers with zero qualifying orders must survive (c_count=0
+    # bucket): the filtered join must stay LeftOuter, not degrade to
+    # inner under filter pushdown.
+    plan = plan_of(queries["q13_customer_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in plan

@@ -150,3 +150,36 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     run_to_memory(deduped.select("event_id"), "dedup_stream_test", output_mode="append")
     got = [r["event_id"] for r in spark.table("dedup_stream_test").collect()]
     assert sorted(got) == sorted(full["event_id"].tolist())
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native F.session_window streaming state operator replayed over a
+    bounded source must equal the batch session aggregation."""
+    import shutil as _sh
+
+    src_dir = tmp_path / "sess_src"
+    src_dir.mkdir()
+    _sh.copy(f"{SF}/events.parquet", src_dir / "events.parquet")
+
+    from hpaste_spark.streaming.events import session_window_counts
+
+    stream = read_event_stream(spark, str(src_dir))
+    # complete mode: append emits only watermark-finalized sessions, so
+    # the last gap+watermark of a bounded replay would be withheld
+    run_to_memory(session_window_counts(stream), "session_native_test", output_mode="complete")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in spark.table("session_native_test").collect()
+    }
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events", "total_value")
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
