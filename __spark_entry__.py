@@ -467,6 +467,39 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Point-in-time (as-of) join: purchase → most recent prior click by the
+# same user (attribution).  Spark side is the union+window streaming
+# merge (operators/asof.py — ONE hash exchange on user_id, linear
+# per-key cost; never the quadratic key-equi + range-filter join);
+# oracle is DuckDB's native ASOF LEFT JOIN.
+@q(
+    "asof_click_attribution",
+    """
+    SELECT l.event_id, l.user_id, r.event_id AS click_event_id,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"))
+    )
+    j = asof_join(left, right, on=["user_id"], ts_col="ts", payload_cols=["click_event_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id_right").alias("click_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+    )
+
+
 # Dedup (exact): hash-groupBy keeper selection (north star)
 @q(
     "dedup_exact",
