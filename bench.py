@@ -43,6 +43,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "sim_ivf_topk",
     "f20_events_pushdown_range",
+    "asof_click_attribution",
 ]
 
 
