@@ -500,6 +500,49 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucketed range (interval) join: clicks inside the 1-hour window
+# before each purchase by the same user.  Spark side quantizes time
+# into buckets and equi-joins on (user_id, bucket) — a hash join with
+# bounded fan-out (operators/rangejoin.py) instead of the quadratic
+# key-equi + BETWEEN-filter plan; oracle is the plain inequality join.
+@q(
+    "range_join_click_windows",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(*) AS n_clicks, MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_us=3_600_000_000,
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min(F.unix_micros(F.col("w_end")) - F.unix_micros(F.col("ts"))).alias("min_gap_us"),
+    )
+
+
 # Dedup (exact): hash-groupBy keeper selection (north star)
 @q(
     "dedup_exact",

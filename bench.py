@@ -44,6 +44,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "f20_events_pushdown_range",
     "asof_click_attribution",
+    "range_join_click_windows",
 ]
 
 
