@@ -1634,6 +1634,45 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Within-document repetition signals (Gopher-style quality gates):
+# duplicate-bigram fraction + top-token fraction.  Spark side is
+# shuffle-free — array expressions and a sorted-array fold, all
+# whole-stage codegen; the oracle uses the equivalent (doc, token)
+# group-by formulation.
+@q(
+    "text_repetition_score",
+    """
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(l) AS tok FROM s) GROUP BY doc_id, tok
+    ),
+    top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM tf GROUP BY doc_id),
+    b AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(l) - 1),
+                            i -> l[i] || ' ' || l[i + 1]) AS bg
+      FROM s WHERE len(l) >= 2
+    )
+    SELECT b.doc_id,
+           ROUND(1.0 - len(list_distinct(bg)) / len(bg), 4) AS dup_bigram_frac,
+           ROUND(top.mx / top.tot, 4) AS top_tok_frac
+    FROM b JOIN top ON b.doc_id = top.doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    d = d.filter(F.size(X.tokens(F.col("text"))) >= 2)
+    return d.select(
+        "doc_id",
+        F.round(X.dup_ngram_ratio(F.col("text"), 2), 4).alias("dup_bigram_frac"),
+        F.round(X.top_token_ratio(F.col("text")), 4).alias("top_tok_frac"),
+    )
+
+
 # Corpus cleaning: canonical normalized form + content key (md5 of the
 # normalized text) — the exact-dedup key a training pipeline actually
 # hashes, plus URL extraction.

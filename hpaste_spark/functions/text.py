@@ -134,10 +134,17 @@ def token_hash(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """n-word shingles (the MinHash input): array of space-joined n-grams."""
+    """n-word shingles (the MinHash input): array of space-joined n-grams.
+
+    Guarded for docs shorter than n tokens: F.sequence(1, 0) would
+    yield the DESCENDING sequence [1, 0] (step defaults to -1), and
+    slice(_, 0, _) then throws at runtime — so emit an empty array
+    instead."""
     t = tokens(col)
     k = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
 
 
@@ -205,3 +212,38 @@ def strip_tags(col: Column) -> Column:
 def extract_urls(col: Column) -> Column:
     """All http(s) URLs in the text as an array."""
     return F.regexp_extract_all(col, F.lit(r"(https?://[^\s]+)"), 1)
+
+
+def dup_ngram_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram —
+    the within-document repetition signal of Gopher-style quality
+    filtering (Rae et al. 2021, §A1.1).  Null when the document has
+    fewer than n tokens.  Pure array expressions: zero shuffle, fully
+    whole-stage-codegen."""
+    bg = word_shingles(col, n)
+    k = F.size(bg)
+    return F.when(k > 0, F.lit(1.0) - F.size(F.array_distinct(bg)) / k)
+
+
+def top_token_ratio(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token
+    (the other Gopher repetition gate).  Shuffle-free: sort the token
+    array, then one fold tracking the longest run of equal adjacent
+    elements — per-document max frequency without exploding tokens
+    into a (doc, token) aggregation."""
+    toks = tokens(col)
+    srt = F.array_sort(toks)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        newrun = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), newrun.alias("run"), F.greatest(acc["best"], newrun).alias("best")
+        )
+
+    best = F.aggregate(srt, init, step, lambda acc: acc["best"])
+    return F.when(F.size(toks) > 0, best / F.size(toks))

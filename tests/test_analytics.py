@@ -123,3 +123,29 @@ def test_ivf_topk_recall(spark, emb):
     part = [r["vec_id"] for r in ivf_topk(emb, qv, k=10, k_centroids=4, nprobe=1).collect()]
     assert 0 in part, "query vector's own list is always probed"
     assert len(part) == 10
+
+
+def test_repetition_signals_exact_values(spark):
+    from hpaste_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # bigrams: ab ba ab ba → 2 distinct of 4; top tok a=3/5
+            (2, "x y z w"),        # all distinct; top tok 1/4
+            (3, "q q q q"),        # bigrams all 'q q' → 1 distinct of 3; top 4/4
+            (4, "solo"),           # <2 tokens → dup ratio null, top = 1.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            X.dup_ngram_ratio(F.col("text"), 2).alias("dup"),
+            X.top_token_ratio(F.col("text")).alias("top"),
+        ).collect()
+    }
+    assert rows[1]["dup"] == pytest.approx(0.5) and rows[1]["top"] == pytest.approx(3 / 5)
+    assert rows[2]["dup"] == pytest.approx(0.0) and rows[2]["top"] == pytest.approx(0.25)
+    assert rows[3]["dup"] == pytest.approx(2 / 3) and rows[3]["top"] == pytest.approx(1.0)
+    assert rows[4]["dup"] is None and rows[4]["top"] == pytest.approx(1.0)
