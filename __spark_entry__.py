@@ -864,6 +864,72 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="id_a", dst="id_b")
 
 
+# Near-dedup survivor set: every document except non-representative
+# members of a duplicate cluster (representative = smallest doc_id).
+# This is the actual output a corpus cleaner ships.  Spark: broadcast
+# anti-join of the tiny victim list against the corpus — the victim
+# side is bounded by the duplicate count, never the corpus size.
+@q(
+    "dedup_near_keep",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS dd FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT s AS root, s AS node FROM edges
+      UNION
+      SELECT r.root, e.dd FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    comp AS (SELECT root, MIN(node) AS cluster_id FROM reach GROUP BY root)
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT root FROM comp WHERE root != cluster_id)
+    """,
+)
+def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    victims = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(victims), "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
 @q(
     "dedup_ngram_jaccard",
     """
