@@ -467,6 +467,62 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordered conversion funnel: users who viewed, then clicked at-or-after
+# their first view, then purchased at-or-after that click.  Each stage
+# is a per-user MIN-timestamp aggregate joined into the next on
+# user_id — per-user state is one timestamp, never an event list, so a
+# power-law user costs the same as any other, and the join keys are
+# already hash-partitioned by the preceding groupBy (AQE broadcasts
+# when the aggregate is small, reuses the exchange when it isn't).
+@q(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.tv
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.tc
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
 # Point-in-time (as-of) join: purchase → most recent prior click by the
 # same user (attribution).  Spark side is the union+window streaming
 # merge (operators/asof.py — ONE hash exchange on user_id, linear
