@@ -255,3 +255,50 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def stream_asof_enrich(
+    stream_left: DataFrame,
+    static_right: DataFrame,
+    on: list,
+    ts_col: str = "ts",
+    payload_cols: tuple = (),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    sink: "Callable[[DataFrame, int], None] | None" = None,
+    timeout_s: int = 120,
+):
+    """Streaming mirror of the batch as-of join (operators/asof.py):
+    each micro-batch of the left stream is point-in-time enriched
+    against a STATIC right-side history via foreachBatch.
+
+    Window functions over unioned stream+static input are unsupported
+    in Structured Streaming, so the union+window merge runs per
+    micro-batch where the batch is a plain DataFrame — semantics are
+    identical to the batch operator by construction (same code path),
+    and the right side stays executor-resident across batches (persist
+    it at the call site for repeated reuse).  For stream-stream as-of
+    (both sides moving), the right history would live in
+    applyInPandasWithState state keyed by `on` — out of scope until a
+    fixture needs it.
+    """
+    from hpaste_spark.operators.asof import asof_join
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df,
+            static_right,
+            on=on,
+            ts_col=ts_col,
+            payload_cols=list(payload_cols),
+            direction=direction,
+            tolerance_us=tolerance_us,
+        )
+        sink(out, batch_id)
+
+    q = (
+        stream_left.writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -183,3 +183,48 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Micro-batch as-of enrichment must equal the batch as-of join
+    over the same data (same code path per batch, so this asserts the
+    replay plumbing: every purchase enriched exactly once)."""
+    import shutil as _sh
+
+    from hpaste_spark.operators.asof import asof_join
+    from hpaste_spark.streaming.events import read_event_stream, stream_asof_enrich
+
+    src_dir = tmp_path / "asof_src"
+    src_dir.mkdir()
+    _sh.copy(f"{SF}/events.parquet", src_dir / "events.parquet")
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    ).persist()
+
+    stream = read_event_stream(spark, str(src_dir))
+    purchases_stream = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    got_batches = []
+    stream_asof_enrich(
+        purchases_stream,
+        clicks,
+        on=["user_id"],
+        payload_cols=("click_event_id",),
+        sink=lambda df, bid: got_batches.extend(df.collect()),
+    )
+    got = {r["event_id"]: r["click_event_id_right"] for r in got_batches}
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    want = {
+        r["event_id"]: r["click_event_id_right"]
+        for r in asof_join(
+            purchases, clicks, on=["user_id"], payload_cols=["click_event_id"]
+        ).collect()
+    }
+    clicks.unpersist()
+    assert len(got) == len(want) > 0
+    assert got == want
