@@ -115,6 +115,7 @@ class HTable:
         cache=None,
         df_provider: Callable[[SparkSession], DataFrame] | None = None,
         partition_prefix_len: int | None = None,
+        keep_versions: int = 2,
     ):
         self.schema_registry = schema
         self.name = name
@@ -132,7 +133,11 @@ class HTable:
         # table's spark_schema() columns.
         self.df_provider = df_provider
         base = base_dir if base_dir is not None else schema.base_dir
-        self.storage = ParquetStorage(base, name, partition_prefix_len) if base else None
+        self.storage = (
+            ParquetStorage(base, name, partition_prefix_len, keep_versions=keep_versions)
+            if base
+            else None
+        )
         schema._register(self)
 
     # -- declaration ----------------------------------------------------

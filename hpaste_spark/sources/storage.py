@@ -39,10 +39,19 @@ class ParquetStorage:
     table.  The ``_kp`` column is derived on write and stripped on
     read, so the logical schema never sees it."""
 
-    def __init__(self, base_dir: str, name: str, partition_prefix_len: int | None = None):
+    def __init__(
+        self,
+        base_dir: str,
+        name: str,
+        partition_prefix_len: int | None = None,
+        keep_versions: int = 2,
+    ):
         self.table_dir = os.path.join(base_dir, name)
         self.name = name
         self.partition_prefix_len = partition_prefix_len
+        # snapshot retention applied after every write (time-travel
+        # horizon); raise for longer history, vacuum_versions() to trim
+        self.keep_versions = max(1, keep_versions)
 
     # -- snapshot bookkeeping -------------------------------------------
     def _version_path(self) -> str:
@@ -77,21 +86,60 @@ class ParquetStorage:
             shutil.rmtree(self.table_dir)
 
     # -- IO ---------------------------------------------------------------
+    def versions(self) -> list[int]:
+        """All snapshot versions still on disk, ascending."""
+        if not os.path.isdir(self.table_dir):
+            return []
+        out = []
+        for d in os.listdir(self.table_dir):
+            if d.startswith("v="):
+                out.append(int(d[2:]))
+        return sorted(out)
+
+    def vacuum_versions(self, keep_last: int | None = None) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (the current
+        one is always kept; default = ``keep_versions``).  Returns the
+        versions removed.  Safe with hardlinked partial-rewrite
+        snapshots: removing an old snapshot dir unlinks its names; any
+        file shared into a surviving snapshot keeps its inode alive."""
+        if keep_last is None:
+            keep_last = self.keep_versions
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_version()
+        removed = []
+        for v in self.versions():
+            if v != cur and v <= cur - keep_last:
+                shutil.rmtree(self.snapshot_dir(v), ignore_errors=True)
+                removed.append(v)
+        return removed
+
     def read(
         self,
         spark: SparkSession,
         schema=None,
         key_prefixes: list[str] | None = None,
         key_prefix_range: tuple[str | None, str | None] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Read the current snapshot.  ``key_prefixes`` /
-        ``key_prefix_range`` constrain the ``_kp`` partition column
-        BEFORE it is stripped, so the listing prunes directories."""
+        """Read the current snapshot — or, with ``version=N``, time
+        travel to any snapshot still on disk (snapshots are immutable
+        once published, so an old version is a consistent table state).
+        ``key_prefixes`` / ``key_prefix_range`` constrain the ``_kp``
+        partition column BEFORE it is stripped, so the listing prunes
+        directories."""
         if not self.exists():
             if schema is None:
                 raise FileNotFoundError(f"table {self.name} does not exist")
             return spark.createDataFrame([], schema)
-        df = spark.read.parquet(self.snapshot_dir(self.current_version()))
+        if version is None:
+            version = self.current_version()
+        elif not os.path.isdir(self.snapshot_dir(version)):
+            raise FileNotFoundError(
+                f"table {self.name} has no snapshot v={version} "
+                f"(available: {self.versions()})"
+            )
+        df = spark.read.parquet(self.snapshot_dir(version))
         if "_kp" in df.columns:
             if key_prefixes is not None:
                 df = df.filter(F.col("_kp").isin([*key_prefixes]))
@@ -126,7 +174,7 @@ class ParquetStorage:
         with open(tmp, "w") as fh:
             fh.write(str(new_version))
         os.replace(tmp, self._version_path())  # atomic publish
-        self._gc(keep=2)
+        self.vacuum_versions()
         return new_version
 
     def supports_partial_rewrite(self) -> bool:
@@ -171,14 +219,6 @@ class ParquetStorage:
         with open(tmp, "w") as fh:
             fh.write(str(new_version))
         os.replace(tmp, self._version_path())
-        self._gc(keep=2)
+        self.vacuum_versions()
         return new_version
 
-    def _gc(self, keep: int) -> None:
-        """Drop snapshots older than the newest `keep`."""
-        cur = self.current_version()
-        for entry in os.listdir(self.table_dir):
-            if entry.startswith("v="):
-                v = int(entry.split("=")[1])
-                if v <= cur - keep:
-                    shutil.rmtree(os.path.join(self.table_dir, entry), ignore_errors=True)

@@ -74,3 +74,41 @@ def test_job_accumulator_counts_executor_side(spark):
     job = HJob("acc-job", HTask("count", count_rows))
     res = job.run(spark)
     assert res.counters["rows_seen"] == 100
+
+
+def test_snapshot_time_travel_and_vacuum(spark, base_dir):
+    """Every mutation batch publishes an immutable snapshot: read
+    (version=N) must reproduce the pre-mutation state exactly;
+    vacuum_versions drops old snapshots but never the current one."""
+    import pytest
+
+    sch = Schema(base_dir=base_dir)
+    t = HTable(sch, "tt_table", key_type=str, keep_versions=10)
+    fam = t.family("meta")
+    t.column(fam, "v", "long")
+    t.create(spark)
+
+    t.put("a").value("v", 1).execute(spark)       # v2 (create wrote v1)
+    t.put("a").value("v", 2).put("b").value("v", 9).execute(spark)  # v3
+    t.delete("b").execute(spark)                   # v4
+
+    st = t.storage
+    vs = st.versions()
+    assert st.current_version() == vs[-1] and len(vs) >= 4
+
+    def vals(version=None):
+        df = st.read(spark, version=version)
+        return {r["rowkey"]: r["v"] for r in df.select("rowkey", "v").collect()}
+
+    assert vals() == {"a": 2}
+    assert vals(vs[-2]) == {"a": 2, "b": 9}        # before the delete
+    assert vals(vs[-3]) == {"a": 1}                # before the second put
+
+    removed = st.vacuum_versions(keep_last=2)
+    assert st.current_version() in st.versions()
+    assert len(st.versions()) == 2
+    assert set(removed) | set(st.versions()) == set(vs)
+    assert vals() == {"a": 2}                      # current unaffected
+    assert vals(st.versions()[0]) == {"a": 2, "b": 9}
+    with pytest.raises(FileNotFoundError):
+        st.read(spark, version=vs[0])
