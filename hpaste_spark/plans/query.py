@@ -237,7 +237,16 @@ class Query2Builder:
         self.ts_range: tuple | None = None
         self.limit_rows: int | None = None
         self.batch_size: int | None = None  # F21 — RPC chunking artifact; no-op
+        self.snapshot_version: int | None = None
         self._selected = False
+
+    def as_of_version(self, version: int):
+        """Time travel: run this query against snapshot ``version``
+        instead of the current one (within the storage layer's
+        ``keep_versions`` horizon).  The temporal sibling of F20's
+        cell-time-range reads, at table granularity."""
+        self.snapshot_version = version
+        return self
 
     # -- keys -------------------------------------------------------------
     def with_key(self, key):
@@ -546,7 +555,9 @@ class Query2Builder:
         """Build the DataFrame plan.  This is the whole 'physical op
         construction' phase of the reference (SURVEY §3.1 steps 2-5) —
         Catalyst owns pushdown/pruning from here."""
-        df = self.table.to_df(self.spark, **self._prefix_prune_args())
+        df = self.table.to_df(
+            self.spark, version=self.snapshot_version, **self._prefix_prune_args()
+        )
         df = self._key_filter(df)
         if self.start_row is not None:
             df = df.filter(F.col("rowkey") >= F.lit(self.start_row))

@@ -251,11 +251,21 @@ class HTable:
         spark: SparkSession,
         key_prefixes: list[str] | None = None,
         key_prefix_range: tuple[str | None, str | None] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         if self.df_provider is not None:
+            if version is not None:
+                raise ValueError(
+                    f"table {self.name} is connector-backed; snapshot time travel "
+                    "requires parquet storage"
+                )
             return self.df_provider(spark)
         return self._require_storage().read(
-            spark, self.spark_schema(), key_prefixes=key_prefixes, key_prefix_range=key_prefix_range
+            spark,
+            self.spark_schema(),
+            key_prefixes=key_prefixes,
+            key_prefix_range=key_prefix_range,
+            version=version,
         )
 
     def overwrite(self, df: DataFrame) -> int:

@@ -112,3 +112,27 @@ def test_snapshot_time_travel_and_vacuum(spark, base_dir):
     assert vals(st.versions()[0]) == {"a": 2, "b": 9}
     with pytest.raises(FileNotFoundError):
         st.read(spark, version=vs[0])
+
+
+def test_query_dsl_as_of_version(spark, base_dir):
+    """as_of_version routes the whole query DSL (filters, projections)
+    through an old snapshot."""
+    sch = Schema(base_dir=base_dir)
+    t = HTable(sch, "tt_dsl", key_type=str, keep_versions=10)
+    fam = t.family("meta")
+    t.column(fam, "v", "long")
+    t.create(spark)
+
+    t.put("a").value("v", 1).execute(spark)
+    pre_delete = t.storage.current_version()
+    t.delete("a").execute(spark)
+
+    assert t.query2(spark).with_key("a").with_all_columns().single_option() is None
+    old = (
+        t.query2(spark)
+        .as_of_version(pre_delete)
+        .with_key("a")
+        .with_all_columns()
+        .single_option()
+    )
+    assert old is not None and old.column("v") == 1
