@@ -75,3 +75,59 @@ def compact(table, spark: SparkSession, num_files: int | None = None) -> int:
     if num_files:
         df = df.repartition(num_files)
     return table.overwrite(df)
+
+
+def changes_between(table, spark: SparkSession, from_version: int, to_version: int):
+    """Change-data feed between two snapshots: one row per changed
+    rowkey with ``_change`` ∈ {insert, update, delete} plus the
+    to-version cell values (from-version values for deletes).
+
+    Built on snapshot time travel (ParquetStorage.read(version=N)) —
+    a full-outer join of the two immutable snapshots on ``rowkey``,
+    so the diff is a single co-partitioned shuffle at any scale and
+    never driver-materialized.  The reference has no CDC; its closest
+    shape is re-scanning with a time-range filter (Query2.scala:
+    493-495), which misses deletes entirely.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import types as T
+
+    st = table.storage
+    old = st.read(spark, table.spark_schema(), version=from_version)
+    new = st.read(spark, table.spark_schema(), version=to_version)
+    data_cols = [c for c in new.columns if c != "rowkey"]
+
+    # comparison twin of the value struct: MapType columns are not
+    # orderable (<=> refuses them), so canonicalize each map to a
+    # key-sorted entry array — orderable and order-insensitive
+    def cmp_struct(df):
+        parts = []
+        for f in df.schema.fields:
+            if f.name == "rowkey":
+                continue
+            c = F.col(f.name)
+            if isinstance(f.dataType, T.MapType):
+                c = F.array_sort(F.map_entries(c))
+            parts.append(c.alias(f.name))
+        return F.struct(*parts)
+
+    o = old.select("rowkey", F.struct(*data_cols).alias("_old"), cmp_struct(old).alias("_oldc"))
+    n = new.select("rowkey", F.struct(*data_cols).alias("_new"), cmp_struct(new).alias("_newc"))
+    j = o.join(n, "rowkey", "full_outer")
+    classified = j.select(
+        "rowkey",
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("_change"),
+        F.coalesce(F.col("_new"), F.col("_old")).alias("_vals"),
+    ).filter(
+        # unchanged rows are not part of the feed; null-safe struct
+        # compare — plain != yields NULL (row silently dropped) when a
+        # cell is null on one side only
+        (F.col("_change") != "update") | (~F.col("_oldc").eqNullSafe(F.col("_newc")))
+    )
+    return classified.select(
+        "rowkey", "_change", *[F.col("_vals")[c].alias(c) for c in data_cols]
+    )

@@ -136,3 +136,40 @@ def test_query_dsl_as_of_version(spark, base_dir):
         .single_option()
     )
     assert old is not None and old.column("v") == 1
+
+
+def test_changes_between_snapshots(spark, base_dir):
+    """CDC diff: inserts, updates, deletes classified; unchanged rows
+    (including null-valued cells) excluded."""
+    from hpaste_spark.operators.maintenance import changes_between
+
+    sch = Schema(base_dir=base_dir)
+    t = HTable(sch, "cdc", key_type=str, keep_versions=10)
+    fam = t.family("meta")
+    t.column(fam, "v", "long")
+    t.column(fam, "w", "long")
+    t.create(spark)
+
+    (
+        t.put("keep").value("v", 1)
+        .put("upd").value("v", 1)
+        .put("del").value("v", 9)
+        .put("nullcase").value("v", 5)  # w stays null in both versions
+        .execute(spark)
+    )
+    v_from = t.storage.current_version()
+    (
+        t.put("upd").value("v", 2)
+        .put("new").value("v", 7)
+        .put("nullfill").value("w", 3)  # insert with null v
+        .delete("del")
+        .execute(spark)
+    )
+    v_to = t.storage.current_version()
+
+    rows = {r["rowkey"]: r for r in changes_between(t, spark, v_from, v_to).collect()}
+    assert set(rows) == {"upd", "new", "del", "nullfill"}  # keep & nullcase absent
+    assert rows["upd"]["_change"] == "update" and rows["upd"]["v"] == 2
+    assert rows["new"]["_change"] == "insert" and rows["new"]["v"] == 7
+    assert rows["del"]["_change"] == "delete" and rows["del"]["v"] == 9
+    assert rows["nullfill"]["_change"] == "insert" and rows["nullfill"]["w"] == 3
