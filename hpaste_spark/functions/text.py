@@ -247,3 +247,34 @@ def top_token_ratio(col: Column) -> Column:
 
     best = F.aggregate(srt, init, step, lambda acc: acc["best"])
     return F.when(F.size(toks) > 0, best / F.size(toks))
+
+
+# PII scrub patterns (ASCII-only so Java regex and RE2 agree); applied
+# longest-form first so an email is redacted before its domain-ish tail
+# could half-match another pattern.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]"),
+)
+
+
+def redact_pii(col: Column, kinds: tuple = ("email", "ipv4", "phone")) -> Column:
+    """Replace each PII occurrence with ``[<KIND>]`` — the standard
+    pretraining-corpus scrub.  Pure regexp_replace chain: JVM-side,
+    order fixed by PII_PATTERNS."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        if kind in kinds:
+            out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts (audit output of the scrub)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(kind)
+            for kind, pat in PII_PATTERNS
+        ]
+    )

@@ -149,3 +149,29 @@ def test_repetition_signals_exact_values(spark):
     assert rows[2]["dup"] == pytest.approx(0.0) and rows[2]["top"] == pytest.approx(0.25)
     assert rows[3]["dup"] == pytest.approx(2 / 3) and rows[3]["top"] == pytest.approx(1.0)
     assert rows[4]["dup"] is None and rows[4]["top"] == pytest.approx(1.0)
+
+
+def test_pii_redaction(spark):
+    from hpaste_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.co now"),
+            (2, "server 10.0.255.3 port"),
+            (3, "call +1 (415) 555-0199 today"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            X.redact_pii(F.col("text")).alias("red"),
+            X.pii_counts(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert rows[1]["red"] == "mail [EMAIL] now" and rows[1]["n"]["email"] == 1
+    assert rows[2]["red"] == "server [IPV4] port" and rows[2]["n"]["ipv4"] == 1
+    assert rows[3]["red"] == "call [PHONE] today" and rows[3]["n"]["phone"] == 1
+    assert rows[4]["red"] == "clean text only" and sum(rows[4]["n"]) == 0
