@@ -137,3 +137,26 @@ def test_q13_left_outer_preserved(spark, queries):
     # inner under filter pushdown.
     plan = plan_of(queries["q13_customer_distribution"](spark, SF_DIR))
     assert "LeftOuter" in plan
+
+
+def test_funnel_stays_hash_join_no_nested_loop(spark, queries):
+    plan = plan_of(queries["funnel_view_click_purchase"](spark, SF_DIR))
+    # the final three 1-row count aggregates cross-join (BNLJ over
+    # single-row sides is fine); the per-user stage joins must be hash
+    # joins and nothing may plan a true cartesian over event rows
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") >= 2
+    # event_type filter reaches the scan
+    assert "EqualTo(event_type,view)" in plan
+
+
+def test_repetition_score_is_scan_plus_project_only(spark, queries):
+    """The Gopher gates are pure array expressions: no shuffle at all."""
+    plan = plan_of(queries["text_repetition_score"](spark, SF_DIR))
+    assert "Exchange" not in plan, "repetition signals must not shuffle"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_near_keep_victims_broadcast(spark, queries):
+    plan = plan_of(queries["dedup_near_keep"](spark, SF_DIR))
+    assert "BroadcastHashJoin LeftAnti" in plan, "victim list must broadcast, not shuffle the corpus"
