@@ -20,6 +20,7 @@ from hpaste_spark.sources.catalog import load_table
 from hpaste_spark.sources.driver_tables import driver_htable
 from hpaste_spark.functions import text as X
 from hpaste_spark.functions import vectors as V
+from hpaste_spark.functions.money import davg, dsum, money, sql_avg2, sql_money, sql_sum2
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -49,16 +50,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q(
     "a1_groupby_rollup_sum",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
-           ROUND(AVG(l_discount), 2)                                    AS avg_disc,
-           COUNT(*)                                                     AS count_order
+           {sql_sum2(sql_money('l_quantity'))}                           AS sum_qty,
+           {sql_sum2(sql_money('l_extendedprice'))}                      AS sum_base_price,
+           {sql_sum2(sql_money('l_extendedprice') + " * (1 - l_discount)::DECIMAL(4,2)")} AS sum_disc_price,
+           {sql_sum2(sql_money('l_extendedprice') + " * (1 - l_discount)::DECIMAL(4,2) * (1 + l_tax)::DECIMAL(4,2)")} AS sum_charge,
+           {sql_avg2('l_quantity')}                                      AS avg_qty,
+           {sql_avg2('l_extendedprice')}                                 AS avg_price,
+           {sql_avg2('l_discount')}                                      AS avg_disc,
+           COUNT(*)                                                      AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -66,18 +67,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def a1_groupby_rollup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal throughout: (12,2) * (4,2) * (4,2) → (22,6), no
+    # precision loss in Spark or DuckDB, order-independent sums
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    disc_price = money("l_extendedprice") * disc_f
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * tax_f).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1216,7 +1221,9 @@ def sess_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.groups import sessionize
 
     ev = _t(spark, sf_dir, "events")
-    return sessionize(ev, "user_id", "ts", gap_minutes=30).select("event_id", "user_id", "session_idx")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak_cols=["event_id"]).select(
+        "event_id", "user_id", "session_idx"
+    )
 
 
 @q(
@@ -1260,21 +1267,24 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "a_conditional_agg",
-    """
+    f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
            SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
-           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_finished
+           {sql_avg2("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS avg_finished
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def a_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 hash flake: AVG(double) folds partials in partition order,
+    flipping ROUND at a .xx5 boundary per run.  Money aggregates now run
+    in exact decimal (functions/money.py) — order-independent."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"),
-            F.round(F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias(
+            davg(F.when(F.col("o_orderstatus") == "F", money("o_totalprice"))).alias(
                 "avg_finished"
             ),
         )

@@ -63,13 +63,25 @@ def zscore_normalize(df: DataFrame, keys: list[str], value_col: str, id_col: str
     return df.groupBy(*keys).applyInPandas(norm, schema=out_schema)
 
 
-def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the previous event of the same user exceeds the gap.  Built-in
-    window functions (lag + running sum) — one exchange on user_col."""
+    window functions (lag + running sum) — one exchange on user_col.
+
+    ``tiebreak_cols`` makes the window order TOTAL: rows sharing
+    ``(user_col, ts_col)`` would otherwise receive lag/running-sum in
+    partition-arrival order, flipping ``session_idx`` between runs.
+    Pass a unique key (e.g. ``["event_id"]``) for deterministic output.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, *(tiebreak_cols or []))
     prev_ts = F.lag(ts_col).over(w)
     new_session = (
         prev_ts.isNull()

@@ -153,8 +153,16 @@ def stateful_sessionize(
             yield row(s)
             return
 
-        parts = [pdf[["ts", "value"]] for pdf in pdf_iter]
-        df = pd.concat(parts).sort_values("ts")
+        # sort by (ts, event_id) — a ts-only sort leaves equal-ts rows in
+        # arrival order, making the fold's session boundaries (and fp sum
+        # order) run-dependent; the unique event_id makes the order total
+        parts = [
+            pdf[["ts", "event_id", "value"]] if "event_id" in pdf.columns else pdf[["ts", "value"]]
+            for pdf in pdf_iter
+        ]
+        df = pd.concat(parts)
+        sort_cols = ["ts", "event_id"] if "event_id" in df.columns else ["ts"]
+        df = df.sort_values(sort_cols, kind="mergesort")
         ts_us = (df["ts"].astype("int64") // 1000).to_numpy()
         vals = df["value"].to_numpy()
 
