@@ -53,6 +53,9 @@ def zscore_normalize(df: DataFrame, keys: list[str], value_col: str, id_col: str
     )
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive in shuffle order; sort by the unique id so the
+        # pandas mean/std fp fold is identical across runs
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         std = pdf[value_col].std(ddof=0)
         mean = pdf[value_col].mean()
         z = (pdf[value_col] - mean) / std if std and std > 0 else pdf[value_col] * 0.0

@@ -175,3 +175,68 @@ def test_pii_redaction(spark):
     assert rows[2]["red"] == "server [IPV4] port" and rows[2]["n"]["ipv4"] == 1
     assert rows[3]["red"] == "call [PHONE] today" and rows[3]["n"]["phone"] == 1
     assert rows[4]["red"] == "clean text only" and sum(rows[4]["n"]) == 0
+
+
+def test_lsh_bucket_cap_survives_adversarial_identical_corpus(spark):
+    """An all-identical corpus puts every doc in one bucket per band;
+    the cap must drop those buckets before the |bucket|² expansion."""
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, "identical text repeated for every document in the corpus") for i in range(n)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_candidates(df).count()
+    assert uncapped == n * (n - 1) // 2  # degenerate quadratic blow-up
+    capped = minhash_lsh_candidates(df, max_bucket=50).count()
+    assert capped == 0, "all buckets exceed the cap and must be skipped"
+    # a mixed corpus: the planted near-dup pair still surfaces
+    base = ("a genuinely different document about gardens rivers and meadows "
+            "where herons wade through reeds beside slow water in the morning light")
+    mixed = df.union(
+        spark.createDataFrame(
+            # high-Jaccard pair (one trailing word differs → J = 21/23):
+            # every band matches with prob ~0.7, some band with prob ~0.992
+            [(1000, base + " today"), (1001, base + " now")],
+            "doc_id long, text string",
+        )
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(mixed, max_bucket=50).collect()}
+    assert (1000, 1001) in pairs
+
+
+def test_simhash_banded_equals_bruteforce(spark, docs):
+    """Pigeonhole losslessness: 4-band blocking over 30 bits returns
+    exactly the brute-force hamming ≤ 3 pair set."""
+    from hpaste_spark.operators.dedup import simhash, simhash_pairs
+
+    sample = docs.filter(F.length(F.trim(F.col("text"))) > 0).limit(120)
+    s = simhash(sample).collect()
+    brute = {
+        (a["doc_id"], b["doc_id"]): bin(a["simhash"] ^ b["simhash"]).count("1")
+        for a in s for b in s if a["doc_id"] < b["doc_id"]
+        if bin(a["simhash"] ^ b["simhash"]).count("1") <= 3
+    }
+    banded = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(sample).collect()}
+    assert banded == brute
+
+
+def test_embedding_neardup_blocked_recall(spark, emb):
+    """Blocked pairs ⊆ brute-force pairs, with usable recall even at
+    the loose-threshold end of hyperplane LSH."""
+    from hpaste_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_bruteforce,
+    )
+
+    brute = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs_bruteforce(emb, threshold=0.4).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               embedding_neardup_pairs(emb, threshold=0.4).collect()}
+    assert blocked <= brute, "blocking must never invent pairs"
+    if brute:
+        assert len(blocked) / len(brute) >= 0.4, (
+            f"recall collapsed: {len(blocked)}/{len(brute)}"
+        )

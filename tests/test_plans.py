@@ -160,3 +160,18 @@ def test_repetition_score_is_scan_plus_project_only(spark, queries):
 def test_near_keep_victims_broadcast(spark, queries):
     plan = plan_of(queries["dedup_near_keep"](spark, SF_DIR))
     assert "BroadcastHashJoin LeftAnti" in plan, "victim list must broadcast, not shuffle the corpus"
+
+
+def test_embedding_neardup_never_cartesian(spark, queries):
+    """Round-1 scale-killer regression guard: the blocked near-dup must
+    equi-join on (band_idx, band_key) — the n²/2 inequality join planned
+    as BroadcastNestedLoopJoin/CartesianProduct must never come back."""
+    plan = plan_of(queries["dedup_embedding_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_never_cartesian(spark, queries):
+    plan = plan_of(queries["dedup_simhash_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
