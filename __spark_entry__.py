@@ -925,6 +925,24 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="id_a", dst="id_b")
 
 
+_ORACLES["dedup_cluster_assign_star"] = _ORACLES["dedup_cluster_assign"]
+
+
+@q("dedup_cluster_assign_star", None)
+def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering, O(log d) large-star/small-star rounds
+    (operators/graph.py:connected_components_star) — the adversarial-
+    diameter escape hatch, checked against the identical recursive-CTE
+    oracle as the min-label variant."""
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.graph import connected_components_star
+
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=3
+    )
+    return connected_components_star(pairs, src="id_a", dst="id_b")
+
+
 # Near-dedup survivor set: every document except non-representative
 # members of a duplicate cluster (representative = smallest doc_id).
 # This is the actual output a corpus cleaner ships.  Spark: broadcast

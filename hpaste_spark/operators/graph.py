@@ -48,6 +48,7 @@ def connected_components(
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label")
@@ -57,6 +58,107 @@ def connected_components(
         ).localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # partially-propagated labels are WRONG answers (a caller like
+        # dedup_near_keep would keep/drop the wrong documents) — fail
+        # loudly instead; long-diameter graphs belong on the O(log d)
+        # star variant below
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); raise max_iter or use "
+            "connected_components_star"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    in O(log d) full rounds instead of min-label propagation's O(d), so
+    adversarial long-chain graphs finish in a handful of shuffles.
+
+    Each half-round is one groupBy-min + one re-emit over the edge set:
+
+    - large-star: every node points its LARGER neighbors at the minimum
+      of its neighborhood (incl. itself);
+    - small-star: every node points its smaller-or-equal neighbors and
+      itself at that minimum.
+
+    Both steps preserve connectivity and only ever decrease the
+    (root, size) potential; at fixpoint the edge set is a forest of
+    depth-1 stars rooted at each component's minimum id.  Fixpoint is
+    detected by the (edge count, endpoint checksum) pair going stable
+    across a full round — large/small-star moves strictly shrink the
+    checksum Σ(s+d) until the star state, so equal pairs ⇔ no move
+    happened.  Output matches connected_components: (node, cluster_id).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(df.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = _sym(df)
+        m = sym.groupBy("s").agg(F.least(F.min("d"), F.first("s")).alias("m"))
+        return (
+            sym.join(m, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient every edge large→small, then each center points its
+        # small neighbors (and itself) at the neighborhood minimum
+        oriented = df.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        )
+        m = oriented.groupBy("s").agg(F.min("d").alias("m"))
+        pointed = oriented.join(m, "s").select(
+            F.col("d").alias("s"), F.col("m").alias("d")
+        )
+        self_edges = m.select(F.col("s"), F.col("m").alias("d"))
+        return (
+            pointed.unionByName(self_edges)
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("s") + F.col("d")).alias("c")
+        ).first()
+        return row["n"], row["c"]
+
+    prev = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within max_iter={max_iter} rounds"
+        )
+    # star state: every edge points node → component root; roots appear
+    # only on the d side (or are isolated post-contraction singletons)
+    members = e.select(F.col("s").alias("node"), F.col("d").alias("cluster_id"))
+    roots = e.select(F.col("d").alias("node"), F.col("d").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()

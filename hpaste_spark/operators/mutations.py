@@ -392,6 +392,22 @@ def merge_increments(table, current: DataFrame, batch: DataFrame) -> DataFrame:
     return joined.select(*out_cols)
 
 
+def bulk_merge_increments(table, batch_df: DataFrame) -> None:
+    """Bulk increment sink: merge a DataFrame of DELTAS (table schema,
+    numeric cells = amounts to add, absent cells null) into the table.
+
+    The distributed twin of the IncrementOp client DSL: same
+    merge_increments primitive, but the delta relation stays a
+    DataFrame end to end — no driver collect — so counter-key
+    cardinality is unbounded (the merge is a full-outer join on
+    rowkey, shuffle-sized by the data, not by the driver's memory)."""
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    current = table.to_df(spark)
+    table.overwrite(merge_increments(table, current, batch_df))
+
+
 def bulk_merge_put(table, batch_df: DataFrame) -> None:
     """S12-equivalent bulk sink: merge a full DataFrame of rows into the
     table (the reducer→HTableOutput path, mapreduce2.scala:592-603).

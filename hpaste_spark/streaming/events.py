@@ -215,6 +215,7 @@ def stream_increments_into(
     counter_column: str = "n_events",
     value_column: str | None = "total_value",
     timeout_s: int = 120,
+    staged: bool = True,
 ) -> None:
     """Streaming analog of the reference's IncrementOp counters
     (IncrementOp.scala:26-38): each micro-batch pre-aggregates per
@@ -226,16 +227,59 @@ def stream_increments_into(
     Shape: the micro-batch groupBy is a tiny shuffle (distinct keys),
     then one merge-write commit per batch — identical to the reference's
     WAL-off batched increments, with the snapshot swap as the atomicity
-    unit.  The per-batch collect is bounded by the counter-table key
-    cardinality (the same bound the reference's reducer output had);
-    for high-cardinality keys stage the aggregated DataFrame into the
-    merge directly instead of the client DSL."""
+    unit.  Two delta paths:
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
+    - ``staged=True`` (default, the 100 TB path): the aggregated batch
+      DataFrame is rendered straight into the table schema and fed to
+      the merge — NO driver collect anywhere, so counter-key
+      cardinality is unbounded.
+    - ``staged=False``: the client IncrementOp DSL, a faithful mirror
+      of the reference's per-key chains; the collect is bounded by the
+      counter-table key cardinality (the reference's reducer-output
+      bound).  Useful when per-key hooks or OpsResult accounting of
+      the DSL are wanted.
+    """
+
+    def agg_batch(batch_df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("_n")]
         if value_column is not None:
             aggs.append(F.sum("value").alias("_v"))
-        rows = batch_df.groupBy("event_type").agg(*aggs).collect()
+        return batch_df.groupBy("event_type").agg(*aggs)
+
+    def fold_staged(batch_df: DataFrame, batch_id: int) -> None:
+        import datetime as _dt
+
+        from hpaste_spark.operators.mutations import bulk_merge_increments
+
+        agg = agg_batch(batch_df)
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        ncol = table.resolve_column(counter_column)
+        deltas: dict[str, F.Column] = {
+            "rowkey": F.col("event_type").cast("string"),
+            ncol.qualifier: F.col("_n"),
+        }
+        ts_entries = [F.lit(ncol.qualifier), F.lit(now).cast("timestamp")]
+        fam_ts = {ncol.family.name: ts_entries}
+        if value_column is not None:
+            vcol = table.resolve_column(value_column)
+            deltas[vcol.qualifier] = F.col("_v")
+            fam_ts.setdefault(vcol.family.name, []).extend(
+                [F.lit(vcol.qualifier), F.lit(now).cast("timestamp")]
+            )
+        ts_name_to_fam = {table.families[n].ts_name: n for n in fam_ts}
+        sel = []
+        for f in table.spark_schema().fields:
+            if f.name in deltas:
+                sel.append(deltas[f.name].cast(f.dataType).alias(f.name))
+            elif f.name in ts_name_to_fam:
+                entries = fam_ts[ts_name_to_fam[f.name]]
+                sel.append(F.create_map(*entries).cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        bulk_merge_increments(table, agg.select(*sel))
+
+    def fold_client(batch_df: DataFrame, batch_id: int) -> None:
+        rows = agg_batch(batch_df).collect()
         if not rows:
             return
         op = None
@@ -246,6 +290,7 @@ def stream_increments_into(
                 op = op.value(value_column, float(r["_v"]))
         op.execute(batch_df.sparkSession)
 
+    fold = fold_staged if staged else fold_client
     q = events.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
 

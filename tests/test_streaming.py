@@ -228,3 +228,58 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     clicks.unpersist()
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_stream_increments_staged_high_cardinality_no_collect(spark, tmp_path, monkeypatch):
+    """The staged path must feed the aggregated batch DataFrame straight
+    into the merge: 10k distinct counter keys, zero driver collects
+    while the stream runs (collect would bound key cardinality by
+    driver memory at scale)."""
+    import pandas as pd
+    from pyspark.sql import DataFrame as _DF
+
+    from hpaste_spark.schema import HTable, Schema
+    from hpaste_spark.streaming.events import read_event_stream, stream_increments_into
+
+    n = 10_000
+    src_dir = tmp_path / "hc_src"
+    src_dir.mkdir()
+    half = n // 2
+    base = pd.DataFrame(
+        {
+            "event_id": range(n),
+            # every event its own counter key → 10k distinct rowkeys
+            "event_type": [f"k{i:05d}" for i in range(n)],
+            "user_id": [i % 97 for i in range(n)],
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="s"),
+            "value": [float(i % 13) for i in range(n)],
+        }
+    )
+    base.iloc[:half].to_parquet(src_dir / "b0.parquet")
+    base.iloc[half:].to_parquet(src_dir / "b1.parquet")
+
+    sch = Schema(base_dir=str(tmp_path / "tables"))
+
+    class Counters(HTable):
+        def __init__(self, schema):
+            super().__init__(schema, "hc_counters", key_type=str)
+            meta = self.family("meta")
+            self.n_events = self.column(meta, "n_events", "long")
+            self.total_value = self.column(meta, "total_value", float)
+
+    tbl = Counters(sch)
+    sch.create_all(spark)
+
+    calls = []
+    real_collect = _DF.collect
+    monkeypatch.setattr(_DF, "collect", lambda self: (calls.append(1), real_collect(self))[1])
+    stream_increments_into(read_event_stream(spark, str(src_dir)), tbl, staged=True)
+    monkeypatch.undo()
+
+    assert not calls, f"staged increment path must not collect (saw {len(calls)})"
+    out = tbl.to_df(spark)
+    assert out.count() == n
+    sample = {r["rowkey"]: (r["n_events"], r["total_value"]) for r in
+              out.filter(F.col("rowkey").isin("k00000", "k09999", "k04999")).collect()}
+    assert sample["k00000"] == (1, 0.0)
+    assert sample["k09999"] == (1, float(9999 % 13))
