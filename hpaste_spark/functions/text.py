@@ -271,10 +271,15 @@ def redact_pii(col: Column, kinds: tuple = ("email", "ipv4", "phone")) -> Column
 
 
 def pii_counts(col: Column) -> Column:
-    """Struct of per-kind PII match counts (audit output of the scrub)."""
-    return F.struct(
-        *[
-            F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(kind)
-            for kind, pat in PII_PATTERNS
-        ]
-    )
+    """Struct of per-kind PII match counts — counts of what redact_pii
+    actually replaces: pattern i is counted on the text with patterns
+    < i already redacted, exactly the scrub's sequential chain.  (An
+    independent per-pattern count overcounts: a digit-heavy email local
+    part also matches the phone pattern, but the scrub replaces it once
+    as an email — audit counts must reconcile with the replacement.)"""
+    counts = []
+    scrubbed = col
+    for kind, pat in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(kind))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return F.struct(*counts)

@@ -70,6 +70,7 @@ class OpBase:
         self.delete_values: dict[Any, dict] = {}  # key -> {family: set(qualifiers)}
         self._current: tuple[str, Any] | None = None
         self._put_count = 0
+        self._put_calls: dict[Any, int] = {}  # key -> put() invocations
         self._delete_count = 0
         self._increment_count = 0
 
@@ -78,6 +79,7 @@ class OpBase:
         self._current = ("put", key)
         self.puts.setdefault(key, _RowOps())
         self._put_count += 1
+        self._put_calls[key] = self._put_calls.get(key, 0) + 1
         return self
 
     def delete(self, key):
@@ -183,6 +185,8 @@ class OpBase:
                 for f, qs in fq.items():
                     d.setdefault(f, set()).update(qs)
             out._put_count += src._put_count
+            for k, c in src._put_calls.items():
+                out._put_calls[k] = out._put_calls.get(k, 0) + c
             out._delete_count += src._delete_count
             out._increment_count += src._increment_count
         return out
@@ -245,8 +249,16 @@ class OpBase:
             df = self.table.to_df(spark)
 
         df = apply_deletes(self.table, df, self.delete_rows, self.delete_families, self.delete_values)
-        if any(o.cells or o.map_cells for o in self.puts.values()):
-            df = merge_puts(self.table, df, self._batch_df(spark, self.puts, default_ts))
+        # Reference parity (OpBase.scala prepareOperations !put.isEmpty
+        # guard): a .put(key) chain that never set a cell is skipped
+        # entirely — it must not merge as a phantom all-null row — and is
+        # excluded from numPuts.
+        real_puts = {k: o for k, o in self.puts.items() if o.cells or o.map_cells}
+        empty_put_chains = sum(
+            calls for k, calls in self._put_calls.items() if k not in real_puts
+        )
+        if real_puts:
+            df = merge_puts(self.table, df, self._batch_df(spark, real_puts, default_ts))
         if any(o.cells or o.map_cells for o in self.increments.values()):
             df = merge_increments(self.table, df, self._batch_df(spark, self.increments, default_ts))
 
@@ -255,7 +267,9 @@ class OpBase:
             storage.write_partial(out, prefixes)
         else:
             self.table.overwrite(out)
-        return OpsResult(self._delete_count, self._put_count, self._increment_count)
+        return OpsResult(
+            self._delete_count, self._put_count - empty_put_chains, self._increment_count
+        )
 
     def _touched_prefixes(self) -> list[str] | None:
         """Distinct key prefixes this batch touches, or None when the

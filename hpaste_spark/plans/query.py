@@ -574,6 +574,10 @@ class Query2Builder:
 
     # -- terminal operations (client edge) ---------------------------------
     def _cache_key(self) -> str:
+        # every plan-shaping input participates: omitting any one (e.g.
+        # snapshot_version) would serve another query's rows from cache —
+        # an as_of_version(N) read returning the current snapshot, or two
+        # queries differing only in cell ops colliding
         parts = [
             getattr(self.table, "_table_name", self.table.name),
             repr(sorted(map(repr, self.keys))),
@@ -582,6 +586,9 @@ class Query2Builder:
             repr(self.fam_key_sel),
             repr([str(p) for p in self.row_preds]),
             repr((self.start_row, self.end_row, self.ts_range, self.limit_rows)),
+            repr(self.snapshot_version),
+            repr(sorted(self.pagination.items())),
+            repr([(cf.family.name, cf.desc) for cf in self.cell_filters]),
         ]
         return "|".join(parts)
 

@@ -20,11 +20,17 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 VERSION_FILE = "_VERSION"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the next-version claim (or published it
+    first).  The losing batch FAILS — it is never silently clobbered."""
 
 
 class ParquetStorage:
@@ -45,6 +51,7 @@ class ParquetStorage:
         name: str,
         partition_prefix_len: int | None = None,
         keep_versions: int = 2,
+        claim_ttl_s: float = 600.0,
     ):
         self.table_dir = os.path.join(base_dir, name)
         self.name = name
@@ -52,6 +59,9 @@ class ParquetStorage:
         # snapshot retention applied after every write (time-travel
         # horizon); raise for longer history, vacuum_versions() to trim
         self.keep_versions = max(1, keep_versions)
+        # a claim older than this is treated as a crashed writer's
+        # leftover and may be broken by the next writer
+        self.claim_ttl_s = claim_ttl_s
 
     # -- snapshot bookkeeping -------------------------------------------
     def _version_path(self) -> str:
@@ -153,27 +163,94 @@ class ParquetStorage:
             df = df.drop("_kp")
         return df
 
-    def write(self, df: DataFrame, sort_by_rowkey: bool = True, partition: bool = True) -> int:
-        """Write a new snapshot and atomically publish it. Returns version."""
-        new_version = self.current_version() + 1
-        out = self.snapshot_dir(new_version)
-        if sort_by_rowkey and "rowkey" in df.columns:
-            # Range-partitioned sort → globally key-ordered files, so
-            # rowkey-range scans prune via parquet min/max, mirroring
-            # HBase's sorted-region start/stop-row scans.
-            df = df.sortWithinPartitions(F.col("rowkey"))
-        writer = df.write.mode("overwrite")
-        if partition and self.partition_prefix_len and "rowkey" in df.columns:
-            df = df.drop("_kp").withColumn(
-                "_kp", F.substring(F.col("rowkey").cast("string"), 1, self.partition_prefix_len)
-            )
-            writer = df.write.mode("overwrite").partitionBy("_kp")
-        writer.parquet(out)
-        tmp = self._version_path() + ".tmp"
+    # -- commit protocol --------------------------------------------------
+    # Two concurrent batches (MultiTableBatch from two drivers, or a
+    # streaming foreachBatch beside a batch job) would both compute
+    # new_version = current+1 and the second publish would silently
+    # clobber the first.  The claim file (O_EXCL create) serializes
+    # writers BEFORE any data is written, and the publish re-checks the
+    # base version — the loser raises ConcurrentWriteError instead of
+    # losing its batch.
+
+    def _claim_path(self, version: int) -> str:
+        return os.path.join(self.table_dir, f"v={version:06d}.claim")
+
+    def _claim(self, new_version: int) -> str:
         os.makedirs(self.table_dir, exist_ok=True)
-        with open(tmp, "w") as fh:
-            fh.write(str(new_version))
-        os.replace(tmp, self._version_path())  # atomic publish
+        path = self._claim_path(new_version)
+        for attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"pid={os.getpid()} t={time.time()}".encode())
+                os.close(fd)
+                return path
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except FileNotFoundError:
+                    continue  # holder just released; retry the O_EXCL create
+                if attempt == 0 and age > self.claim_ttl_s:
+                    # crashed writer's leftover: break it and retry once
+                    try:
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentWriteError(
+                    f"table {self.name}: version {new_version} is claimed by a "
+                    f"concurrent writer (claim age {age:.0f}s); this batch was NOT applied"
+                )
+        raise ConcurrentWriteError(f"table {self.name}: could not claim version {new_version}")
+
+    def _publish(self, base_version: int, new_version: int, claim_path: str) -> None:
+        try:
+            cur = self.current_version()
+            if cur != base_version:
+                raise ConcurrentWriteError(
+                    f"table {self.name}: version moved {base_version}->{cur} during "
+                    f"the write; this batch was NOT applied"
+                )
+            tmp = self._version_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(new_version))
+            os.replace(tmp, self._version_path())  # atomic publish
+        except Exception:
+            shutil.rmtree(self.snapshot_dir(new_version), ignore_errors=True)
+            raise
+        finally:
+            try:
+                os.unlink(claim_path)
+            except FileNotFoundError:
+                pass
+
+    def write(self, df: DataFrame, sort_by_rowkey: bool = True, partition: bool = True) -> int:
+        """Write a new snapshot and atomically publish it. Returns version.
+        Raises ConcurrentWriteError (batch not applied) if another writer
+        holds the next version — never a silent lost update."""
+        base_version = self.current_version()
+        new_version = base_version + 1
+        claim = self._claim(new_version)
+        try:
+            out = self.snapshot_dir(new_version)
+            if sort_by_rowkey and "rowkey" in df.columns:
+                # Range-partitioned sort → globally key-ordered files, so
+                # rowkey-range scans prune via parquet min/max, mirroring
+                # HBase's sorted-region start/stop-row scans.
+                df = df.sortWithinPartitions(F.col("rowkey"))
+            writer = df.write.mode("overwrite")
+            if partition and self.partition_prefix_len and "rowkey" in df.columns:
+                df = df.drop("_kp").withColumn(
+                    "_kp", F.substring(F.col("rowkey").cast("string"), 1, self.partition_prefix_len)
+                )
+                writer = df.write.mode("overwrite").partitionBy("_kp")
+            writer.parquet(out)
+        except Exception:
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
+            raise
+        self._publish(base_version, new_version, claim)
         self.vacuum_versions()
         return new_version
 
@@ -198,27 +275,34 @@ class ParquetStorage:
         the shared inodes survive."""
         assert self.supports_partial_rewrite()
         touched = {f"_kp={p}" for p in touched_prefixes}
-        new_version = self.current_version() + 1
-        prev = self.snapshot_dir(self.current_version())
-        out = self.snapshot_dir(new_version)
-        os.makedirs(out, exist_ok=True)
-        for entry in os.listdir(prev):
-            if entry.startswith("_kp=") and entry not in touched:
-                src = os.path.join(prev, entry)
-                dst = os.path.join(out, entry)
-                os.makedirs(dst, exist_ok=True)
-                for f in os.listdir(src):
-                    os.link(os.path.join(src, f), os.path.join(dst, f))
-        if "rowkey" in df.columns:
-            df = df.sortWithinPartitions(F.col("rowkey"))
-        df = df.drop("_kp").withColumn(
-            "_kp", F.substring(F.col("rowkey").cast("string"), 1, self.partition_prefix_len)
-        )
-        df.write.mode("append").partitionBy("_kp").parquet(out)
-        tmp = self._version_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(new_version))
-        os.replace(tmp, self._version_path())
+        base_version = self.current_version()
+        new_version = base_version + 1
+        claim = self._claim(new_version)
+        try:
+            prev = self.snapshot_dir(base_version)
+            out = self.snapshot_dir(new_version)
+            os.makedirs(out, exist_ok=True)
+            for entry in os.listdir(prev):
+                if entry.startswith("_kp=") and entry not in touched:
+                    src = os.path.join(prev, entry)
+                    dst = os.path.join(out, entry)
+                    os.makedirs(dst, exist_ok=True)
+                    for f in os.listdir(src):
+                        os.link(os.path.join(src, f), os.path.join(dst, f))
+            if "rowkey" in df.columns:
+                df = df.sortWithinPartitions(F.col("rowkey"))
+            df = df.drop("_kp").withColumn(
+                "_kp", F.substring(F.col("rowkey").cast("string"), 1, self.partition_prefix_len)
+            )
+            df.write.mode("append").partitionBy("_kp").parquet(out)
+        except Exception:
+            shutil.rmtree(self.snapshot_dir(new_version), ignore_errors=True)
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
+            raise
+        self._publish(base_version, new_version, claim)
         self.vacuum_versions()
         return new_version
 

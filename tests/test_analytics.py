@@ -240,3 +240,22 @@ def test_embedding_neardup_blocked_recall(spark, emb):
         assert len(blocked) / len(brute) >= 0.4, (
             f"recall collapsed: {len(blocked)}/{len(brute)}"
         )
+
+
+def test_pii_counts_reconcile_with_scrub(spark):
+    """Audit counts must equal what redact_pii replaces: an email with a
+    digit-heavy local part must count once (email), not also as phone."""
+    from hpaste_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(1, "reach 4155550199.2022@corp.example.com or 10.1.2.3 thanks")],
+        "doc_id long, text string",
+    )
+    r = df.select(
+        X.redact_pii(F.col("text")).alias("red"),
+        X.pii_counts(F.col("text")).alias("n"),
+    ).first()
+    assert r["n"]["email"] == 1
+    assert r["n"]["ipv4"] == 1
+    assert r["n"]["phone"] == 0, "local part already scrubbed as email"
+    assert r["red"].count("[EMAIL]") == 1 and "[PHONE]" not in r["red"]

@@ -208,3 +208,26 @@ def test_multi_table_batch_routing(spark, base_dir):
     assert sites.query2(spark).with_key("x.com").with_all_columns().single().column("name") == "X"
     with pytest.raises(KeyError):
         batch.on("unknown_table")
+
+
+def test_empty_put_chains_skipped_and_uncounted(spark, base_dir):
+    """Reference parity (OpBase.scala prepareOperations !put.isEmpty):
+    a .put(key) with no cells is excluded from numPuts and must not
+    merge a phantom all-null row visible to scans."""
+    _, pages, _ = web_schema(base_dir, spark)
+    res = (
+        pages.put("http://real.example/page")
+        .value(lambda t: t.title, "Real")
+        .put("http://phantom.example/empty")  # no cells staged
+        .execute(spark)
+    )
+    assert res.numPuts == 1, "empty put chain must not count"
+    keys = pages.query2(spark).with_all_columns().scan_to_iterable(lambda r: r.rowid)
+    assert "http://phantom.example/empty" not in keys
+    assert "http://real.example/page" in keys
+
+    # a batch of ONLY empty puts is a full no-op (no new snapshot)
+    v_before = pages.storage.current_version()
+    res2 = pages.put("http://phantom2.example/empty").execute(spark)
+    assert (res2.numDeletes, res2.numPuts, res2.numIncrements) == (0, 0, 0)
+    assert pages.storage.current_version() == v_before

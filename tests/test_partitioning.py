@@ -112,3 +112,38 @@ def test_partial_rewrite_delete_and_gc_safety(spark, base_dir):
     assert rows == {"a1": 1, "a2": 2, "a3": 3, "b1": 3, "b7": 7, "c2": 5}
     # point get through the DSL still prunes and reads correctly
     assert tbl.query2(spark).with_key("c2").with_all_columns().single().column("v") == 5
+
+
+def test_concurrent_writers_never_lose_updates(spark, base_dir):
+    """Commit-lock protocol: a second writer racing the same version
+    must FAIL (ConcurrentWriteError), not silently clobber the first."""
+    import os
+    import time
+
+    import pytest
+
+    from hpaste_spark.sources.storage import ConcurrentWriteError
+
+    sch = Schema(base_dir=base_dir)
+    tbl = KpTable(sch)
+    sch.create_all(spark)
+    tbl.put("k1").value("v", 1).execute(spark)
+    storage = tbl.storage
+
+    # writer B holds the claim for the next version → writer A must fail
+    nxt = storage.current_version() + 1
+    claim = storage._claim(nxt)
+    with pytest.raises(ConcurrentWriteError):
+        tbl.put("k2").value("v", 2).execute(spark)
+    # the losing batch was NOT applied and the version did not move
+    assert storage.current_version() == nxt - 1
+    assert tbl.query2(spark).with_all_columns().scan_to_iterable(lambda r: r.rowid) == ["k1"]
+
+    # stale claim (crashed writer): next writer breaks it and proceeds
+    old = time.time() - storage.claim_ttl_s - 10
+    os.utime(claim, (old, old))
+    tbl.put("k3").value("v", 3).execute(spark)
+    assert storage.current_version() == nxt
+    got = sorted(tbl.query2(spark).with_all_columns().scan_to_iterable(lambda r: r.rowid))
+    assert got == ["k1", "k3"]
+    assert not os.path.exists(claim), "claim released after publish"

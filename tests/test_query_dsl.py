@@ -225,3 +225,27 @@ def test_duplicate_selection_tolerated(spark, base_dir):
         .single()
     )
     assert row.column("title") == "t"
+
+
+def test_cache_key_isolates_snapshot_versions(spark, base_dir):
+    """An as_of_version(N) query must not be served another snapshot's
+    cached result (cache key includes every plan-shaping input)."""
+    from hpaste_spark.operators import TestCache
+
+    _, tbl = example_schema(base_dir, spark)
+    tbl.cache = TestCache()
+    tbl.put("VK").value("views", 1).execute(spark)
+    v1 = tbl.storage.current_version()
+    tbl.put("VK").value("views", 99).execute(spark)
+
+    cur = tbl.query2(spark).with_key("VK").with_all_columns().single_option(skip_cache=False)
+    old = (
+        tbl.query2(spark)
+        .as_of_version(v1)
+        .with_key("VK")
+        .with_all_columns()
+        .single_option(skip_cache=False)
+    )
+    assert cur.column("views") == 99
+    assert old.column("views") == 1, "time-travel read served the cached current snapshot"
+    assert tbl.cache.misses == 2, "different snapshots must be different cache entries"
