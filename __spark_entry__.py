@@ -1036,6 +1036,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_containment",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_x, b.doc_id AS id_y,
+             len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+             len(a.shingles) AS size_x, len(b.shingles) AS size_y
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    ),
+    oriented AS (
+      SELECT CASE WHEN size_x <= size_y THEN id_x ELSE id_y END AS id_a,
+             CASE WHEN size_x <= size_y THEN id_y ELSE id_x END AS id_b,
+             n_inter, LEAST(size_x, size_y) AS size_a
+      FROM pairs
+    )
+    SELECT id_a, id_b, ROUND(CAST(n_inter AS DOUBLE) / size_a, 6) AS containment
+    FROM oriented
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / size_a, 6) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric excerpt dedup: |A∩B|/|A| ≥ 0.5 with A the smaller
+    shingle set — catches a short doc pasted inside a long one, which
+    symmetric Jaccard scores near zero."""
+    from hpaste_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@q(
     "dedup_simhash",
     """
     WITH d AS (
@@ -1228,6 +1267,60 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivf_topk(emb, qv, k=10, k_centroids=8, nprobe=2)
+
+
+@q(
+    "sim_knn_join",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, round(unnest(v) * 1000000) AS xq
+      FROM e
+    ),
+    pl AS (
+      SELECT j, pos, ((j*2654435761 + pos*40503) % 10007) - 5003 AS comp
+      FROM range(32) r(j), (SELECT DISTINCT pos FROM dims) d
+    ),
+    dots AS (
+      SELECT vec_id, j, SUM(xq * comp) AS dot
+      FROM dims JOIN pl USING (pos) GROUP BY vec_id, j
+    ),
+    bk AS (
+      SELECT vec_id, j // 4 AS band_idx,
+             SUM(CASE WHEN dot > 0 THEN CAST(pow(2, j % 4) AS BIGINT) ELSE 0 END) AS band_key
+      FROM dots GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bk qb JOIN bk cb
+        ON qb.band_idx = cb.band_idx AND qb.band_key = cb.band_key
+      WHERE qb.vec_id % 25 = 0 AND qb.vec_id != cb.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        ROUND(list_dot_product(eq.v, ec.v)
+              / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cos_sim
+      FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (every query row → its top-5 cosine neighbors)
+    via banded hyperplane-LSH blocking; the oracle reproduces the same
+    deterministic integer-quantized plane formula, so blocked recall is
+    part of the contract.  Queries = every 25th vector; corpus = all."""
+    from hpaste_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(emb, qs, k=5, bands=8, planes_per_band=4, max_bucket=2000)
 
 
 # ---------------------------------------------------------------------------

@@ -206,6 +206,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle containment: |A∩B| / |A| ≥ threshold pairs,
+    oriented so id_a is the CONTAINED (smaller-set) side.
+
+    Jaccard misses quote/excerpt duplication: a 100-word doc pasted
+    into a 10,000-word doc has Jaccard ≈ 0.01 but containment ≈ 1.0 —
+    the contained doc contributes no new training signal and should be
+    dropped by a dedup pass even though symmetric similarity is tiny.
+
+    Same distributed shape as ngram_jaccard_pairs (shuffle on the
+    shingle, only co-shingled docs ever meet, never n²); orientation
+    by set size (tie → lower id contained) instead of id order, since
+    containment is directional.
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_x"), F.col(f"b.{id_col}").alias("id_y"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sx = sizes.select(F.col(id_col).alias("id_x"), F.col("set_size").alias("size_x"))
+    sy = sizes.select(F.col(id_col).alias("id_y"), F.col("set_size").alias("size_y"))
+    oriented = (
+        inter.join(sx, "id_x")
+        .join(sy, "id_y")
+        .select(
+            F.when(F.col("size_x") <= F.col("size_y"), F.col("id_x")).otherwise(F.col("id_y")).alias("id_a"),
+            F.when(F.col("size_x") <= F.col("size_y"), F.col("id_y")).otherwise(F.col("id_x")).alias("id_b"),
+            F.col("n_inter"),
+            F.least("size_x", "size_y").alias("size_a"),
+        )
+    )
+    return (
+        oriented.withColumn("containment", F.round(F.col("n_inter") / F.col("size_a"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash: per token hash, vote ±1 on each of `bits` bit positions;
     bit set iff the vote sum is positive.  Whole computation is nested

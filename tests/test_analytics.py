@@ -259,3 +259,59 @@ def test_pii_counts_reconcile_with_scrub(spark):
     assert r["n"]["ipv4"] == 1
     assert r["n"]["phone"] == 0, "local part already scrubbed as email"
     assert r["red"].count("[EMAIL]") == 1 and "[PHONE]" not in r["red"]
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc pasted into a long one: containment ≈ 1.0 while
+    Jaccard is tiny — and orientation puts the contained (smaller-set)
+    doc in id_a regardless of id order."""
+    from hpaste_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    excerpt = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (7, filler + " " + excerpt + " " + filler.replace("word", "tail")),
+            (9, excerpt),
+            (11, "entirely unrelated content with no shared phrases at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.5).collect()}
+    assert (9, 7) in cont, "contained doc must be id_a even though 9 > 7"
+    assert cont[(9, 7)] >= 0.9
+    jac = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (7, 9) not in jac and (9, 7) not in jac, "Jaccard must miss the excerpt"
+
+
+def test_knn_join_ranks_match_bruteforce(spark, emb):
+    """Every (query, neighbor) the blocked k-NN join returns must carry
+    the exact brute-force cosine, ranks must be contiguous and ordered,
+    and no query may retrieve itself."""
+    import math
+
+    from hpaste_spark.operators.similarity import knn_join
+
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, qs, k=3).collect()
+    assert out, "fixture buckets must produce at least one neighbor"
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"], "self-match leaked"
+        assert abs(r["cos_sim"] - cos(vecs[r["query_id"]], vecs[r["neighbor_id"]])) < 1e-4
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True), "rank order must follow cosine"

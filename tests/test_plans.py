@@ -175,3 +175,17 @@ def test_simhash_pairs_never_cartesian(spark, queries):
     plan = plan_of(queries["dedup_simhash_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_is_equi_join_never_cartesian(spark, queries):
+    """Batch k-NN must candidate via the (band_idx, band_key) equi-join;
+    a |Q|×|C| cross product must never appear."""
+    plan = plan_of(queries["sim_knn_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_join_is_shingle_equi_join(spark, queries):
+    plan = plan_of(queries["dedup_containment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
