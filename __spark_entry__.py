@@ -1324,6 +1324,83 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew mitigation (beyond-parity, SURVEY §8): hot keys are the dominant
+# failure mode of shuffles at 100 TB; these queries prove the salted
+# two-stage agg and replicated salted join return bit-identical results
+# to the plain plans the oracle runs.
+# ---------------------------------------------------------------------------
+@q(
+    "skew_salted_rollup",
+    f"""
+    SELECT l_returnflag,
+           {sql_sum2(sql_money('l_quantity'))} AS sum_qty,
+           COUNT(l_quantity)                   AS n_rows,
+           MAX(l_extendedprice)                AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l_returnflag has 3 distinct values over the whole fact table —
+    the canonical hot-key aggregation.  Salted two-stage plan: shuffle 1
+    on (flag, salt16), shuffle 2 over ≤ 3×16 rows; exact-decimal sums
+    keep the merge order-independent so the oracle hash is stable."""
+    from hpaste_spark.operators.skew import salted_groupby
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_groupby(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("sum", money("l_quantity")),
+            "n_rows": ("count", F.col("l_quantity")),
+            "max_price": ("max", F.col("l_extendedprice")),
+        },
+        salt_from=F.struct("l_orderkey", "l_linenumber"),
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_qty"), 2).cast("double").alias("sum_qty"),
+        "n_rows",
+        "max_price",
+    )
+
+
+@q(
+    "skew_salted_join",
+    f"""
+    SELECT o_orderpriority,
+           {sql_sum2(sql_money('l_extendedprice') + " * (1 - l_discount)::DECIMAL(4,2)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated salted join (orders ×8 replicas, lineitem scattered by
+    a row-unique salt) must reproduce the plain join's revenue rollup
+    exactly — the oracle runs the unsalted join."""
+    from hpaste_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("_rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(
+        li, orders, on="l_orderkey",
+        salt_from=F.struct("l_orderkey", "l_linenumber"), n_salts=8,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        dsum(F.col("_rev")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (north star): binary payload + metadata through a
 # real mapInPandas decode stage (codec faked deterministically — the
 # oracle reproduces the fake from byte lengths, proving the plumbing).
@@ -3030,12 +3107,13 @@ _R1_CHECKED = {
 
 
 def _driver_order(names) -> list[str]:
-    unchecked = [n for n in names if n not in _R1_CHECKED]
     # the two round-1 hash flakes were FIXED this round — surface them
-    # early too so their determinism fix gets a fresh driver row
+    # FIRST (ahead of the unchecked block) so their determinism fix is
+    # guaranteed a fresh driver row even under a 50-query sample budget
     refixed = [n for n in names if n in ("sess_gap_sessionize", "a_conditional_agg")]
+    unchecked = [n for n in names if n not in _R1_CHECKED]
     rest = [n for n in names if n in _R1_CHECKED and n not in refixed]
-    return unchecked + refixed + rest
+    return refixed + unchecked + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
