@@ -2208,6 +2208,40 @@ def split_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id")
 
 
+@q(
+    "pack_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard_id
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, shard_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+      FROM d
+    )
+    SELECT doc_id, shard_id, CAST(start_off // 512 AS BIGINT) AS bin_id,
+           start_off, n_tokens
+    FROM c
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-then-chunk packing of documents into
+    512-token context budgets over 8 independent shards — each doc's
+    (shard, bin, offset) assignment reproducible in any engine via the
+    md5 shard hash and per-shard running offsets."""
+    from hpaste_spark.operators.sampling import pack_token_budget as pack
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return pack(
+        d, "doc_id", X.token_count(F.col("text")), budget=512, n_shards=8
+    )
+
+
 # J1 outer-join shape: customers with zero orders kept (null-filled) —
 # the returnEmptyRows=true multi-get semantic generalized to a full scan
 # (WebCrawlSchemaTest.scala:372-389).

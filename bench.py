@@ -45,6 +45,12 @@ HEADLINE = [
     "f20_events_pushdown_range",
     "asof_click_attribution",
     "range_join_click_windows",
+    # round 2 additions: retrieval + skew + packing scale paths
+    "sim_knn_join",
+    "dedup_containment",
+    "skew_salted_rollup",
+    "skew_salted_join",
+    "pack_token_budget",
 ]
 
 

@@ -136,16 +136,19 @@ def token_hash(col: Column) -> Column:
 def word_shingles(col: Column, n: int = 3) -> Column:
     """n-word shingles (the MinHash input): array of space-joined n-grams.
 
-    Guarded for docs shorter than n tokens: F.sequence(1, 0) would
-    yield the DESCENDING sequence [1, 0] (step defaults to -1), and
-    slice(_, 0, _) then throws at runtime — so emit an empty array
-    instead."""
+    zip_with chain over n aligned slices, NOT transform-over-indices:
+    a lambda body referencing the token array re-evaluates the regexp
+    split once PER ELEMENT (O(tokens²) splits per doc — measured 6.5s
+    → 1.5s for the sf0.1 shingle explode); as zip_with arguments the
+    slices evaluate once per row.  The greatest(…, 0) slice length
+    doubles as the short-doc guard: < n tokens → empty slices → empty
+    shingle array."""
     t = tokens(col)
-    k = F.size(t)
-    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    acc = F.slice(t, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(t, 1 + j, m), lambda a, w: F.concat(a, F.lit(" "), w))
+    return acc
 
 
 def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:

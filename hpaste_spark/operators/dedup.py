@@ -158,11 +158,16 @@ def minhash_lsh_candidates(
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word-n-gram shingles per doc, exploded to rows
-    (doc_id, shingle) — the co-group substrate for exact Jaccard."""
+    (doc_id, set_size, shingle) — the co-group substrate for exact
+    Jaccard/containment.  The set size is computed on the array in the
+    SAME projection as the explode (zero shuffles), so downstream pair
+    scoring never has to join per-doc sizes back onto the — much
+    larger — pair table."""
     from hpaste_spark.functions.text import word_shingles
 
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"))
+    arr = F.array_distinct(word_shingles(F.col(text_col), n))
+    return df.select(F.col(id_col), arr.alias("_sh")).select(
+        F.col(id_col), F.size("_sh").alias("set_size"), F.explode("_sh").alias("shingle")
     )
 
 
@@ -175,14 +180,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard ≥ threshold pairs.
 
-    Distributed shape: explode shingles → self-join on shingle (only
-    docs sharing ≥1 shingle ever meet — shuffle on the shingle, never
-    n²) → intersection counts → join per-doc set sizes → Jaccard.
+    Distributed shape: explode shingles (set sizes riding along) →
+    self-join on shingle (only docs sharing ≥1 shingle ever meet —
+    shuffle on the shingle, never n²) → one agg producing intersection
+    counts AND both sizes → Jaccard as a projection.
     """
     sh = shingle_sets(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
+    # set sizes ride the exploded rows, so one shuffle join + one agg is
+    # the whole computation — no post-agg joins of the (large) pair table
     inter = (
         a.join(
             b,
@@ -190,14 +197,14 @@ def ngram_jaccard_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("a.set_size").alias("size_a"),
+            F.first("b.set_size").alias("size_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6),
         )
@@ -227,7 +234,6 @@ def containment_pairs(
     containment is directional.
     """
     sh = shingle_sets(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -237,14 +243,14 @@ def containment_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(F.col(f"a.{id_col}").alias("id_x"), F.col(f"b.{id_col}").alias("id_y"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("a.set_size").alias("size_x"),
+            F.first("b.set_size").alias("size_y"),
+        )
     )
-    sx = sizes.select(F.col(id_col).alias("id_x"), F.col("set_size").alias("size_x"))
-    sy = sizes.select(F.col(id_col).alias("id_y"), F.col("set_size").alias("size_y"))
     oriented = (
-        inter.join(sx, "id_x")
-        .join(sy, "id_y")
-        .select(
+        inter.select(
             F.when(F.col("size_x") <= F.col("size_y"), F.col("id_x")).otherwise(F.col("id_y")).alias("id_a"),
             F.when(F.col("size_x") <= F.col("size_y"), F.col("id_y")).otherwise(F.col("id_x")).alias("id_b"),
             F.col("n_inter"),

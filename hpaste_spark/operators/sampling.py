@@ -55,3 +55,52 @@ def stratified_take(
         .filter(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign each document to a (shard_id, bin_id) packing slot so
+    that consecutive docs fill fixed token budgets — the
+    pack-documents-into-context-windows step of an LLM training
+    pipeline, made deterministic and shardable.
+
+    Packing rule (offset packing): within a shard, docs are laid out in
+    ``id_col`` order at running token offsets; a doc's bin is
+    ``start_offset // budget``.  Unlike first-fit greedy (an inherently
+    sequential fold), this rule is a pure window expression — a doc
+    straddling a boundary counts toward the bin it STARTS in, matching
+    the usual concat-then-chunk training layout where a document may
+    continue into the next window.
+
+    Scale shape: the only shuffle is on ``shard_id``
+    (:func:`hash_bucket` of the id — reproducible in any engine), and
+    each shard's cumulative sum is an independent window — no global
+    order, no single-partition window, no driver state.  Shard count
+    trades packing locality against parallelism; each shard packs
+    independently so bins never span shards.
+
+    Returns the input ids with (shard_id, bin_id, start offset) — join
+    back to content for the actual concat, which stays layout-free
+    here so the assignment is engine-comparable.
+    """
+    from pyspark.sql import Window
+
+    tc = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    d = df.select(F.col(id_col), tc.cast("long").alias("n_tokens")).withColumn(
+        "shard_id", hash_bucket(F.col(id_col), n_shards)
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id", (F.col("start_off") / budget).cast("long"))
+        .select(id_col, "shard_id", "bin_id", "start_off", "n_tokens")
+    )

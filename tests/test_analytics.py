@@ -315,3 +315,30 @@ def test_knn_join_ranks_match_bruteforce(spark, emb):
         assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
         sims = [s for _, s in ranks]
         assert sims == sorted(sims, reverse=True), "rank order must follow cosine"
+
+
+def test_pack_token_budget_offsets_and_stability(spark, docs):
+    """Packing must lay docs at contiguous per-shard offsets with
+    bin = start // budget, and the assignment must not change when the
+    input is repartitioned (no dependence on physical layout)."""
+    from hpaste_spark.operators.sampling import pack_token_budget
+    from hpaste_spark.functions.text import token_count
+
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    out = pack_token_budget(d, "doc_id", token_count(F.col("text")), budget=256, n_shards=4)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        assert r["bin_id"] == r["start_off"] // 256
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in shard_rows:
+            assert r["start_off"] == off, "offsets must be gapless in id order"
+            off += r["n_tokens"]
+    again = pack_token_budget(
+        d.repartition(7), "doc_id", token_count(F.col("text")), budget=256, n_shards=4
+    ).collect()
+    key = lambda r: (r["doc_id"], r["shard_id"], r["bin_id"], r["start_off"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
