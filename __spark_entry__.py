@@ -677,6 +677,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.poly_hash(F.col("text")).alias("fingerprint"))
 
 
+@q(
+    "text_tfidf_top_terms",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM d
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, score, CAST(rk AS INT) AS rank FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 salient terms by smoothed TF-IDF; scores rounded
+    to 6 dp BEFORE ranking with a term tie-break, so the top-k can't
+    flip on last-ulp log differences between engines."""
+    from hpaste_spark.operators.tfidf import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return tfidf_top_terms(d, k=3)
+
+
+@q(
+    "text_bigram_counts",
+    """
+    WITH d AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1]))) AS ngram
+      FROM d WHERE len(t) >= 2
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams — boilerplate/template detection.  Pure
+    integer counts, (count desc, ngram) order: bit-deterministic."""
+    from hpaste_spark.operators.tfidf import corpus_ngram_counts
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return corpus_ngram_counts(d, n=2, top=20)
+
+
 # Similarity search: brute-force cosine top-k (north star baseline)
 @q(
     "sim_cosine_topk",

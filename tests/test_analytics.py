@@ -342,3 +342,30 @@ def test_pack_token_budget_offsets_and_stability(spark, docs):
     ).collect()
     key = lambda r: (r["doc_id"], r["shard_id"], r["bin_id"], r["start_off"])
     assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_tfidf_ranks_rare_terms_over_boilerplate(spark):
+    """A term unique to one doc must outscore a term present in every
+    doc, and ranks must be contiguous with the term tie-break."""
+    from hpaste_spark.operators.tfidf import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra"),
+            (2, "common words here"),
+            (3, "common words there"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf_top_terms(df, k=2).collect()}
+    assert out[(1, 1)] == "zebra", "unique term must outrank the everywhere-term"
+
+
+def test_bigram_counts_exact(spark):
+    from hpaste_spark.operators.tfidf import corpus_ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["ngram"]: r["n_occurrences"] for r in corpus_ngram_counts(df, n=2, top=10).collect()}
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
