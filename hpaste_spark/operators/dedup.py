@@ -437,17 +437,29 @@ def embedding_neardup_pairs(
     from hpaste_spark.functions.vectors import cosine
     from hpaste_spark.operators.similarity import hyperplane_band_keys
 
+    from hpaste_spark.functions.vectors import dot
+
     keys = hyperplane_band_keys(df, vec_col, id_col, bands, planes_per_band)
     buckets = keys.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
     pairs = _bucket_pairs(buckets, max_bucket)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms hoisted per ROW (not recomputed per candidate pair inside
+    # cosine(); same arithmetic, bit-identical values)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
+        "_na", F.sqrt(dot(F.col("va"), F.col("va")))
+    )
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+        "_nb", F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    denom = F.col("_na") * F.col("_nb")
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos_raw",
+            F.when(denom == 0, F.lit(0.0)).otherwise(dot(F.col("va"), F.col("vb")) / denom),
+        )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
