@@ -1383,6 +1383,60 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, qs, k=5, bands=8, planes_per_band=4, max_bucket=2000)
 
 
+@q(
+    "sim_ivf_knn_join",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS scid
+               FROM embeddings),
+    pc AS (SELECT scid, i, AVG(e[i]) AS m
+           FROM v, range(1, 65) AS r(i) GROUP BY scid, i),
+    cent AS (SELECT scid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM pc GROUP BY scid),
+    ascore AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.e, c.cvec)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+      FROM v, cent c),
+    assign AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM ascore) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % 25 = 0),
+    probes AS (SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY
+            list_dot_product(q.qv, c.cvec)
+              / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+            DESC, c.cid) AS rn
+        FROM q, cent c) WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+      WHERE p.query_id != a.vec_id),
+    sc AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, v.e)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cos_sim
+      FROM cand JOIN q ON q.query_id = cand.query_id JOIN v ON v.vec_id = cand.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM sc) t
+    WHERE rk <= 5
+    """,
+)
+def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN down the IVF path: per-query probe of the 2 nearest
+    centroid lists, exact cosine inside — the cluster-structure
+    complement to sim_knn_join's banded LSH.  Same deterministic
+    centroid/assignment formulas as sim_ivf_topk, generalized to every
+    25th vector as a query."""
+    from hpaste_spark.operators.similarity import ivf_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn_join(emb, qs, k=5, k_centroids=8, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Skew mitigation (beyond-parity, SURVEY §8): hot keys are the dominant
 # failure mode of shuffles at 100 TB; these queries prove the salted

@@ -47,6 +47,7 @@ HEADLINE = [
     "range_join_click_windows",
     # round 2 additions: retrieval + skew + packing scale paths
     "sim_knn_join",
+    "sim_ivf_knn_join",
     "dedup_containment",
     "skew_salted_rollup",
     "skew_salted_join",

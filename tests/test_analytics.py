@@ -369,3 +369,33 @@ def test_bigram_counts_exact(spark):
     )
     out = {r["ngram"]: r["n_occurrences"] for r in corpus_ngram_counts(df, n=2, top=10).collect()}
     assert out == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_ivf_knn_join_scores_match_bruteforce(spark, emb):
+    """IVF-probed neighbors must carry exact brute-force cosines with
+    contiguous, cosine-ordered ranks and no self-matches."""
+    import math
+
+    from hpaste_spark.operators.similarity import ivf_knn_join
+
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_knn_join(emb, qs, k=3, k_centroids=4, nprobe=2).collect()
+    assert out
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert abs(r["cos_sim"] - cos(vecs[r["query_id"]], vecs[r["neighbor_id"]])) < 1e-4
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)

@@ -189,3 +189,10 @@ def test_containment_join_is_shingle_equi_join(spark, queries):
     plan = plan_of(queries["dedup_containment"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_knn_join_no_cartesian(spark, queries):
+    """The probe/assign candidate generation must equi-join on the
+    centroid id; only the 8-row centroid attach may nested-loop."""
+    plan = plan_of(queries["sim_ivf_knn_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
