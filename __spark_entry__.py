@@ -1070,6 +1070,84 @@ def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_near_keep_best",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS dd FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT s AS root, s AS node FROM edges
+      UNION
+      SELECT r.root, e.dd FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    comp AS (SELECT root AS node, MIN(node) AS cluster_id FROM reach GROUP BY root),
+    qual AS (
+      SELECT doc_id, ROUND(
+        0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+        + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\\s+')) END)
+        + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                           / length(text) END)), 4) AS quality
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ck AS (
+      SELECT q.doc_id, q.quality, COALESCE(c.cluster_id, q.doc_id) AS ckey
+      FROM qual q LEFT JOIN comp c ON c.node = q.doc_id
+    )
+    SELECT doc_id, quality FROM (
+      SELECT doc_id, quality,
+             row_number() OVER (PARTITION BY ckey ORDER BY quality DESC, doc_id) AS rn
+      FROM ck) t WHERE rn = 1
+    """,
+)
+def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection by QUALITY: each duplicate cluster keeps its
+    highest-quality member (4-dp composite score, doc-id tie-break) —
+    what a production pipeline actually wants, vs near_keep's min-id
+    rule.  Singletons survive as their own cluster."""
+    from hpaste_spark.operators.dedup import keep_best_per_cluster, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    return keep_best_per_cluster(docs, pairs, X.quality_score(F.col("text")))
+
+
+@q(
     "dedup_ngram_jaccard",
     """
     WITH d AS (
@@ -2320,6 +2398,32 @@ def split_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_take(
         _t(spark, sf_dir, "documents"), "lang", "doc_id", n_per_group=5
     ).select("lang", "doc_id")
+
+
+@q(
+    "split_mixture_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < CASE WHEN lang = 'en' THEN 65536
+                 WHEN lang = 'fr' THEN 32768
+                 WHEN lang = 'de' THEN 16384
+                 ELSE 6553 END
+    """,
+)
+def split_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: keep all en, half fr, a quarter de,
+    a tenth of everything else — md5-bucket thresholds, row-local, no
+    rand(), monotone in the rate."""
+    from hpaste_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        stratum_col="lang",
+        id_col="doc_id",
+        rates={"en": 1.0, "fr": 0.5, "de": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
 
 
 @q(

@@ -463,3 +463,47 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-cluster survivor selection by QUALITY, not id order:
+    real pipelines keep the best copy of a duplicated document (longest,
+    cleanest, least boilerplate), not the one with the smallest key.
+
+    ``pairs`` is any candidate duplicate-pair table (id_a, id_b) — LSH
+    output upstream; ``quality`` is a Column expression evaluated per
+    row of ``df``.  Docs in no pair survive as their own singleton
+    cluster (COALESCE of the cluster id with the doc id), so the output
+    is one row per surviving doc: (id, quality).
+
+    Scale shape: connected components over the pair graph (one shuffle
+    per round, O(log d) star variant available), one shuffle join to
+    attach cluster ids, and a per-cluster window — cluster sizes are
+    bounded by dedup blocking, so no window partition is hot.  Quality
+    must be a ROUNDED expression (the 4-dp composite here) so the
+    argmax can't flip on fp noise; ties break on the id.
+    """
+    from pyspark.sql import Window
+
+    from hpaste_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    scored = df.select(F.col(id_col), quality.alias("quality"))
+    withc = scored.join(
+        comp, scored[id_col] == comp["node"], "left"
+    ).select(
+        scored[id_col],
+        "quality",
+        F.coalesce(F.col("cluster_id"), scored[id_col]).alias("_ck"),
+    )
+    w = Window.partitionBy("_ck").orderBy(F.col("quality").desc(), F.col(id_col))
+    return (
+        withc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "quality")
+    )

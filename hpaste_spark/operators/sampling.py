@@ -104,3 +104,28 @@ def pack_token_budget(
         .withColumn("bin_id", (F.col("start_off") / budget).cast("long"))
         .select(id_col, "shard_id", "bin_id", "start_off", "n_tokens")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing step
+    of training-data assembly ("keep all en, half fr, a tenth of the
+    rest"). Each row keeps iff ``md5-bucket(id) < rate(stratum) *
+    buckets``, so the decision is a pure row-local projection: no
+    shuffle, no rand(), reproducible across runs, engines, and
+    partitionings, and monotone in the rate (raising a stratum's rate
+    only ADDS rows — stable incremental re-mixes).
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; unlisted
+    strata use ``default_rate``.
+    """
+    thr = F.lit(int(default_rate * buckets))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(int(rate * buckets))).otherwise(thr)
+    return df.filter(hash_bucket(F.col(id_col), buckets) < thr)

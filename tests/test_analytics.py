@@ -399,3 +399,42 @@ def test_ivf_knn_join_scores_match_bruteforce(spark, emb):
         assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
         sims = [s for _, s in ranks]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_mixture_sample_rates_and_monotonicity(spark, docs):
+    """rate=1 keeps a stratum whole, rate=0 drops it, and raising a
+    rate only ever ADDS rows (stable incremental re-mixes)."""
+    from hpaste_spark.operators.sampling import mixture_sample
+
+    en_total = docs.filter(F.col("lang") == "en").count()
+    full = mixture_sample(docs, "lang", "doc_id", {"en": 1.0}, default_rate=0.0)
+    assert full.count() == en_total
+    assert full.filter(F.col("lang") != "en").count() == 0
+    small = {r["doc_id"] for r in
+             mixture_sample(docs, "lang", "doc_id", {"en": 0.3}, 0.0).collect()}
+    big = {r["doc_id"] for r in
+           mixture_sample(docs, "lang", "doc_id", {"en": 0.6}, 0.0).collect()}
+    assert small <= big
+    assert len(small) < en_total
+
+
+def test_keep_best_per_cluster_prefers_quality_over_id(spark):
+    """In a duplicate cluster the HIGHER-quality doc survives even with
+    the larger id; unclustered docs survive as singletons."""
+    from hpaste_spark.operators.dedup import keep_best_per_cluster
+
+    base = "the cat sat on the mat and the dog sat on the log"
+    df = spark.createDataFrame(
+        [
+            (1, base),                       # short -> lower quality
+            (2, base + " " + base + " and it is a tale of two copies, in the end."),
+            (3, "совершенно другой текст без общих фраз вообще"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    from hpaste_spark.functions.text import quality_score
+
+    kept = {r["doc_id"] for r in
+            keep_best_per_cluster(df, pairs, quality_score(F.col("text"))).collect()}
+    assert kept == {2, 3}, kept
