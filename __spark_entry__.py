@@ -1631,6 +1631,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, frame_bytes=64, every_k=4).select("doc_id", "frame_no", "frame_bytes")
 
 
+@q(
+    "mm_extract_features",
+    """
+    SELECT doc_id, list_transform(range(0, 16), i ->
+      CAST((octet_length(CAST(text AS BLOB)) * (2*i+1)
+            + ('0x' || substr(md5(text), 1, 8))::BIGINT * (i+1)) % 1000 AS BIGINT)) AS features
+    FROM documents
+    """,
+)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary media column —
+    the embedding-model integration point, fake model deterministic
+    from (byte length, md5 prefix) so the oracle reproduces it."""
+    from hpaste_spark.operators.multimodal import attach_media, extract_features
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media, dim=16)
+
+
 # ---------------------------------------------------------------------------
 # Analytics extensions round 2: percentiles, sessionization, TPC-H Q3
 # shape, conditional/date aggregation, string projections, composite-key

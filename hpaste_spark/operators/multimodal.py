@@ -134,3 +134,47 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> Dat
         )
         .withColumn("frame_bytes", F.octet_length("frame"))
     )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16, use_real_model: bool = False) -> DataFrame:
+    """Feature-extraction stage: (doc_id, media) → (doc_id, features
+    ARRAY<BIGINT>[dim]) through the same Arrow-batched mapInPandas
+    plumbing a real vision/audio embedding model plugs into.
+
+    The default fake model is deterministic from the payload bytes
+    (length + md5 prefix, quantized to [0, 1000)) so the full pipeline
+    — decode → features → ANN index — is end-to-end testable and
+    oracle-checkable; ``use_real_model=True`` raises at the marked
+    integration point (no torch/onnx in this container).
+
+    Scale posture: whole Arrow record batches cross the Python
+    boundary once; downstream consumers (knn_join, ivf_knn_join)
+    treat the output as any other embedding column.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if use_real_model:
+                # integration point for a real embedding model (torch /
+                # onnxruntime not available in this container)
+                raise NotImplementedError(
+                    "real feature extractors unavailable; load the model and embed here"
+                )
+            feats = []
+            for b in pdf["media"]:
+                raw = bytes(b)
+                n = len(raw)
+                h = int(hashlib.md5(raw).hexdigest()[:8], 16)
+                feats.append([(n * (2 * i + 1) + h * (i + 1)) % 1000 for i in range(dim)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.select("doc_id", "media").mapInPandas(batches, schema=FEATURES_SCHEMA)

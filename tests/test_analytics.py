@@ -438,3 +438,34 @@ def test_keep_best_per_cluster_prefers_quality_over_id(spark):
     kept = {r["doc_id"] for r in
             keep_best_per_cluster(df, pairs, quality_score(F.col("text"))).collect()}
     assert kept == {2, 3}, kept
+
+
+def test_extract_features_deterministic_and_ann_composable(spark, docs):
+    """The feature stage must be deterministic across repartitioning and
+    its output must feed the ANN join unchanged (the full multimodal →
+    embedding → retrieval pipeline)."""
+    from hpaste_spark.operators.multimodal import attach_media, extract_features
+    from hpaste_spark.operators.similarity import knn_join
+
+    media = attach_media(docs.limit(50))
+    a = {r["doc_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    b = {r["doc_id"]: r["features"] for r in
+         extract_features(attach_media(docs.limit(50).repartition(7)), dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 and all(0 <= x < 1000 for x in v) for v in a.values())
+
+    emb = extract_features(media, dim=8).selectExpr(
+        "doc_id as vec_id", "transform(features, x -> cast(x as double)) as embedding"
+    )
+    qs = emb.limit(5).selectExpr("vec_id as query_id", "embedding")
+    out = knn_join(emb, qs, k=2, bands=4, planes_per_band=2)
+    for r in out.collect():
+        assert r["query_id"] != r["neighbor_id"]
+
+
+def test_extract_features_real_model_is_marked_stub(spark, docs):
+    from hpaste_spark.operators.multimodal import attach_media, extract_features
+
+    with pytest.raises(Exception) as exc_info:
+        extract_features(attach_media(docs.limit(2)), use_real_model=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "extractor" in str(exc_info.value)
