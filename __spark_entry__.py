@@ -2420,6 +2420,45 @@ def split_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_contamination_check",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 5 AS is_eval
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, is_eval, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d WHERE len(t) >= 3
+    )
+    SELECT e.doc_id AS eval_id, tr.doc_id AS train_id,
+           ROUND(CAST(len(list_intersect(e.shingles, tr.shingles)) AS DOUBLE)
+                 / len(e.shingles), 6) AS containment
+    FROM sh e JOIN sh tr ON e.is_eval AND NOT tr.is_eval
+    WHERE len(list_intersect(e.shingles, tr.shingles)) > 0
+      AND ROUND(CAST(len(list_intersect(e.shingles, tr.shingles)) AS DOUBLE)
+                / len(e.shingles), 6) >= 0.3
+    """,
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: the md5 5% holdout plays the benchmark,
+    the rest the training corpus; flags eval docs ≥30%-contained in any
+    training doc via the cross-corpus blocked containment."""
+    from hpaste_spark.operators.dedup import cross_containment_pairs
+    from hpaste_spark.operators.sampling import hash_split
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+    tagged = hash_split(d, "doc_id", holdout_pct=5)
+    train = tagged.filter(F.col("split") == "train")
+    evals = tagged.filter(F.col("split") == "holdout")
+    return cross_containment_pairs(train, evals, threshold=0.3)
+
+
+@q(
     "split_mixture_sample",
     """
     SELECT doc_id, lang FROM documents

@@ -507,3 +507,43 @@ def keep_best_per_cluster(
         .filter(F.col("_rn") == 1)
         .select(id_col, "quality")
     )
+
+
+def cross_containment_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Eval-set contamination detection: (eval_id, train_id, containment)
+    pairs where ``containment = |shingles(eval) ∩ shingles(train)| /
+    |shingles(eval)|`` ≥ threshold — the decontamination primitive run
+    before any benchmark number is trusted.  The EVAL side is always
+    the containment denominator (a benchmark item quoted inside a big
+    training doc is contaminated no matter how large that doc is).
+
+    Same blocked shape as :func:`containment_pairs` but across two
+    corpora: explode both shingle sets (sizes riding along), equi-join
+    on the shingle — only co-shingled (train, eval) docs ever meet,
+    never |train|×|eval| — then one agg and a projection.
+    """
+    tr = shingle_sets(train, text_col, id_col, n).alias("t")
+    ev = shingle_sets(evals, text_col, id_col, n).alias("e")
+    inter = (
+        ev.join(tr, F.col("e.shingle") == F.col("t.shingle"))
+        .groupBy(
+            F.col(f"e.{id_col}").alias("eval_id"),
+            F.col(f"t.{id_col}").alias("train_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("e.set_size").alias("eval_size"),
+        )
+    )
+    return (
+        inter.withColumn("containment", F.round(F.col("n_inter") / F.col("eval_size"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("eval_id", "train_id", "containment")
+    )

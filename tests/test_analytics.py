@@ -469,3 +469,24 @@ def test_extract_features_real_model_is_marked_stub(spark, docs):
     with pytest.raises(Exception) as exc_info:
         extract_features(attach_media(docs.limit(2)), use_real_model=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or "extractor" in str(exc_info.value)
+
+
+def test_contamination_flags_quoted_eval_items(spark):
+    """An eval item quoted verbatim inside a big training doc must flag
+    with containment 1.0; unrelated eval items must pass clean."""
+    from hpaste_spark.operators.dedup import cross_containment_pairs
+
+    bench_item = "what is the capital of france the answer is paris"
+    filler = " ".join(f"tok{i} mid{i} end{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(100, filler + " " + bench_item + " " + filler)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(1, bench_item), (2, "unrelated question about something else entirely here")],
+        "doc_id long, text string",
+    )
+    out = {(r["eval_id"], r["train_id"]): r["containment"]
+           for r in cross_containment_pairs(train, evals, threshold=0.5).collect()}
+    assert out.keys() == {(1, 100)}
+    assert out[(1, 100)] == pytest.approx(1.0)
