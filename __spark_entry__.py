@@ -21,6 +21,7 @@ from hpaste_spark.sources.driver_tables import driver_htable
 from hpaste_spark.functions import text as X
 from hpaste_spark.functions import vectors as V
 from hpaste_spark.functions.money import davg, dsum, money, sql_avg2, sql_money, sql_sum2
+from hpaste_spark.functions.timeutil import epoch_us
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -557,7 +558,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("click_event_id_right").alias("click_event_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+        (epoch_us(F.col("ts")) - epoch_us(F.col("ts_right"))).alias("gap_us"),
     )
 
 
@@ -600,7 +601,7 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("purchase_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
-        F.min(F.unix_micros(F.col("w_end")) - F.unix_micros(F.col("ts"))).alias("min_gap_us"),
+        F.min(epoch_us(F.col("w_end")) - epoch_us(F.col("ts"))).alias("min_gap_us"),
     )
 
 
@@ -1634,9 +1635,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "mm_extract_features",
     """
-    SELECT doc_id, list_transform(range(0, 16), i ->
+    SELECT doc_id, to_json(list_transform(range(0, 16), i ->
       CAST((octet_length(CAST(text AS BLOB)) * (2*i+1)
-            + ('0x' || substr(md5(text), 1, 8))::BIGINT * (i+1)) % 1000 AS BIGINT)) AS features
+            + ('0x' || substr(md5(text), 1, 8))::BIGINT * (i+1)) % 1000 AS BIGINT)))::VARCHAR AS features
     FROM documents
     """,
 )
@@ -1647,7 +1648,9 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.multimodal import attach_media, extract_features
 
     media = attach_media(_t(spark, sf_dir, "documents"))
-    return extract_features(media, dim=16)
+    feats = extract_features(media, dim=16)
+    # driver harness can't hash LIST cells — serialize (VERDICT r2 #4)
+    return feats.withColumn("features", F.to_json(F.col("features")))
 
 
 # ---------------------------------------------------------------------------
@@ -1680,7 +1683,10 @@ def w_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "sess_gap_sessionize",
     """
-    SELECT event_id, user_id, session_idx FROM (
+    -- CAST: DuckDB widens SUM(int) to HUGEINT, which the driver harness
+    -- fetches via pandas as float64 and hash-compares against Spark's
+    -- long — bit-exact values still hash-mismatch (VERDICT r2 #3).
+    SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx FROM (
       SELECT event_id, user_id,
              SUM(CASE WHEN prev_ts IS NULL
                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
@@ -1748,7 +1754,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_conditional_agg",
     f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            {sql_avg2("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS avg_finished
     FROM orders GROUP BY o_orderpriority
     """,
@@ -1919,7 +1925,11 @@ def a_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "arr_collect_set",
     """
-    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments, COUNT(*) AS n
+    -- to_json: the driver harness cannot hash raw LIST cells (pandas
+    -- factorize chokes on ndarray — VERDICT r2 #4); both engines render
+    -- the same compact JSON so the comparison stays exact.
+    SELECT c_nationkey, to_json(list_sort(list(DISTINCT c_mktsegment)))::VARCHAR AS segments,
+           COUNT(*) AS n
     FROM customer GROUP BY c_nationkey
     """,
 )
@@ -1928,7 +1938,7 @@ def arr_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.to_json(F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -1972,15 +1982,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
       FROM tokh WHERE len(th) >= 3
     )
-    SELECT doc_id, list_transform(range(0, 16), i ->
-        list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+    SELECT doc_id, to_json(list_transform(range(0, 16), i ->
+        list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))))::VARCHAR AS sig
     FROM h
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.dedup import minhash_signatures
 
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    # driver harness can't hash LIST cells — serialize (VERDICT r2 #4)
+    return sigs.withColumn("sig", F.to_json(F.col("sig")))
 
 
 # F20 over the events stream table — the time-range predicate is rewritten
@@ -2501,7 +2513,7 @@ def split_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT doc_id, shard_id, CAST(start_off // 512 AS BIGINT) AS bin_id,
-           start_off, n_tokens
+           CAST(start_off AS BIGINT) AS start_off, n_tokens
     FROM c
     """,
 )
@@ -2735,7 +2747,12 @@ def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, pos, ROUND((SUM(q)::DOUBLE / COUNT(*)) / 1000000, 3) + 0 AS mv
       FROM px GROUP BY label, pos
     )
-    SELECT label, list(mv ORDER BY pos) AS centroid, COUNT(*) AS dims
+    -- milli-quantized BIGINT components: integers serialize identically
+    -- in both engines' to_json (double shortest-repr could diverge), and
+    -- the driver harness can't hash raw LIST cells (VERDICT r2 #4).
+    SELECT label,
+           to_json(list(CAST(ROUND(mv * 1000) AS BIGINT) ORDER BY pos))::VARCHAR AS centroid_milli,
+           COUNT(*) AS dims
     FROM m GROUP BY label
     """,
 )
@@ -2750,9 +2767,12 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((F.sum("q").cast("double") / F.count(F.lit(1))) / 1000000, 3) + F.lit(0.0)).alias("mv")
     )
     return m.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
-        ).alias("centroid"),
+        F.to_json(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: F.round(s.mv * 1000).cast("long"),
+            )
+        ).alias("centroid_milli"),
         F.count(F.lit(1)).alias("dims"),
     )
 

@@ -33,6 +33,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hpaste_spark.functions.timeutil import epoch_us
+
 _SIDE = "__asof_side"
 _PAY = "__asof_payload"
 _RTS = "__asof_rts"
@@ -95,9 +97,7 @@ def asof_join(
     )
 
     if tolerance_us is not None:
-        gap = F.abs(
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(_PAY)[_RTS])
-        )
+        gap = F.abs(epoch_us(F.col(ts_col)) - epoch_us(F.col(_PAY)[_RTS]))
         matched = matched.withColumn(
             _PAY, F.when(gap <= F.lit(tolerance_us), F.col(_PAY))
         )

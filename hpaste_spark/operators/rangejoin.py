@@ -31,11 +31,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hpaste_spark.functions.timeutil import epoch_us as _us
+
 _BKT = "__rj_bucket"
-
-
-def _us(c: Column) -> Column:
-    return F.unix_micros(c)
 
 
 def range_join(

@@ -32,16 +32,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long under
-    # the nanosAsLong legacy conf (set in configure_session); convert to
-    # micros with *integer* division (a double round-trip would lose the
-    # low bits at ~1.7e18 ns) — matches DuckDB's truncating nanos→micros.
+    # The fixture encoding of events.ts has changed across driver rounds:
+    #   round 1: parquet TIMESTAMP(NANOS) — read as long under the
+    #            nanosAsLong legacy conf, converted here with *integer*
+    #            division (a double round-trip would lose low bits at
+    #            ~1.7e18 ns), matching DuckDB's truncating nanos→micros;
+    #   round 2+: parquet timestamp[us] isAdjustedToUTC=false — Spark
+    #            reads TIMESTAMP_NTZ.  Normalize to TIMESTAMP: the
+    #            session TZ is pinned UTC (session.py), so the cast is a
+    #            pure type change with identical values, and everything
+    #            downstream (unix_micros, window ranges, DuckDB parity)
+    #            sees one canonical timestamp type.
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
@@ -64,18 +73,28 @@ def load_events_between(
     from pyspark.sql import types as T
 
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    raw_long = any(f.name == "ts" and isinstance(f.dataType, T.LongType) for f in df.schema.fields)
+    ts_type = next(f.dataType for f in df.schema.fields if f.name == "ts")
 
     def _us(s: str) -> int:
         t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
         return int(t.timestamp() * 1_000_000)
 
-    if raw_long:
+    if isinstance(ts_type, T.LongType):
         if start is not None:
             df = df.filter(F.col("ts") >= _us(start) * 1000)
         if end is not None:
             df = df.filter(F.col("ts") < _us(end) * 1000)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Filter on the NTZ column with an NTZ literal so the predicate
+        # stays a plain column-vs-literal comparison the parquet scan can
+        # prune on (casting the COLUMN first would defeat pushdown);
+        # normalize the type only after the filter.
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(start).cast("timestamp_ntz"))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.lit(end).cast("timestamp_ntz"))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         if start is not None:
             df = df.filter(F.col("ts") >= F.lit(start).cast("timestamp"))

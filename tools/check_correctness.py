@@ -68,9 +68,17 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        # per-query isolation: one AnalysisException must not hide the
+        # status of every query after it (VERDICT r2 "What's wrong" #1)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            msg = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
+            print(f"{name:32s} SPARK ERROR: {msg}")
+            continue
         if name not in oracles:
             print(f"{name:32s} rows={len(srows)} (rows-only check, no oracle)")
             continue
