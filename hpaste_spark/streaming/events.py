@@ -14,27 +14,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-based event stream (one file per micro-batch at test scale;
-    on a cluster the same code points at Kafka via .format('kafka'))."""
+    on a cluster the same code points at Kafka via .format('kafka')).
+
+    The fixture encoding of ``ts`` has changed across driver rounds
+    (nanos-as-long → timestamp[us] NTZ), so sniff the real schema with a
+    one-off batch read (metadata only, no scan) instead of hardcoding
+    one, then normalize exactly like the batch catalog does:
+    long-nanos → integer-divide to micros; TIMESTAMP_NTZ → cast to
+    TIMESTAMP (session TZ pinned UTC, values unchanged)."""
+    schema = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = next((f.dataType for f in schema.fields if f.name == "ts"), None)
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
