@@ -43,11 +43,25 @@ def money(col: str | Column) -> Column:
 def dsum(expr: str | Column, scale: int = 2) -> Column:
     """Deterministic ``ROUND(SUM(money), scale)`` as double.
 
-    The sum happens in exact decimal (order-independent), the round is
-    decimal half-up, and only the final value is lowered to double —
-    the nearest double to an exact decimal is unique, so the output is
-    identical across runs, partitionings, and engines.
+    Two exact paths:
+
+    - column-NAME input (a raw 2-decimal money column): sum integer
+      cents in ``long`` — a primitive whole-stage-codegen hash-agg
+      buffer instead of a decimal(22,2) one (the round-2 a1 regression
+      was decimal aggregation cost, VERDICT r2 #5).  The input is exact
+      at 2 decimals so ROUND at scale 2 is the identity, and
+      ``long / 100.0`` is the correctly-rounded nearest double of the
+      exact sum — the same double the decimal path produces.  Headroom:
+      ~9.2e18 cents ≈ 9e16 dollars per group, far past any 100 TB
+      corpus total.
+    - Column input (already-exact decimal products, e.g. price×(1-disc)
+      at scale 4–6): exact decimal sum as before — these need the
+      38-digit widening at extreme scale, and products are a minority
+      of the aggregates.
     """
+    if isinstance(expr, str) and scale == 2:
+        u = f"cast(round(({expr}) * 100) as long)"
+        return F.expr(f"sum({u})").cast("double") / F.lit(100.0)
     e = money(expr) if isinstance(expr, str) else expr
     return F.round(F.sum(e), scale).cast("double")
 
@@ -55,12 +69,59 @@ def dsum(expr: str | Column, scale: int = 2) -> Column:
 def davg(expr: str | Column, scale: int = 2) -> Column:
     """Deterministic ``ROUND(AVG(money), scale)`` as double.
 
-    Spark's decimal average divides the exact sum half-up at scale+4
-    (``decimal(16,6)`` for a (12,2) input), then :func:`F.round` applies
-    half-up again at ``scale``.  Mirror with :func:`sql_avg2`.
+    Column-name inputs at scale 2 use the same exact integer-cents
+    two-stage half-up division as the DuckDB oracle twin
+    (:func:`sql_avg2`): micro = half_up(cents*10^4 / n) — Spark's
+    decimal(16,6) average — then cents' = half_up(micro / 10^4) —
+    ``F.round(.., 2)``.  Pure long arithmetic (``div``), so the fold is
+    order-independent and a primitive codegen buffer; valid for the
+    non-negative money columns used here (``div`` truncation == floor
+    for non-negative operands, matching DuckDB ``//``).
+
+    Column inputs keep Spark's exact decimal average: divides the exact
+    sum half-up at scale+4 (``decimal(16,6)`` for a (12,2) input), then
+    :func:`F.round` applies half-up again at ``scale``.
     """
+    if isinstance(expr, str) and scale == 2:
+        s = f"sum(cast(round(({expr}) * 100) as long))"
+        c = f"count({expr})"
+        # nullif: a group with zero non-null values must yield NULL (like
+        # AVG), not an ANSI divide-by-zero error
+        micro = f"((2*({s})*10000 + {c}) div nullif(2*({c}), 0))"
+        cents = f"((2*{micro} + 10000) div 20000)"
+        return F.expr(f"({cents})").cast("double") / F.lit(100.0)
     e = money(expr) if isinstance(expr, str) else expr
     return F.round(F.avg(e), scale).cast("double")
+
+
+def sql_cents(col: str) -> str:
+    """Long integer cents of a 2-decimal money column (Spark SQL text)."""
+    return f"cast(round(({col}) * 100) as long)"
+
+
+def dsum_units(units_sql: str, in_scale: int, scale: int = 2) -> Column:
+    """Exact ``ROUND(SUM(units · 10^-in_scale), scale)`` as double, where
+    ``units_sql`` is a Spark-SQL expression producing integer units at
+    ``in_scale`` decimals (e.g. cents·percent·percent for
+    price×(1-disc)×(1+tax) at scale 6) — all per-row math in long.
+
+    The aggregation buffer stays primitive via a split sum: per row the
+    units are divided into ``hi = units div 10^6`` and ``lo = units %
+    10^6`` and summed as two longs (whole-stage codegen, no decimal
+    buffer); the exact total ``hi·10^6 + lo`` is recombined ONCE per
+    group in decimal(38,0), so group totals far beyond the long range
+    stay exact — the same headroom as a decimal sum at a fraction of
+    the cost.  Final half-up round to ``scale`` is integer math,
+    matching DuckDB's ``ROUND(DECIMAL)``; valid for non-negative sums
+    (all money aggregates here).
+    """
+    m = 10**6
+    hi = f"sum(({units_sql}) div {m})"
+    lo = f"sum(({units_sql}) % {m})"
+    total = f"(cast({hi} as decimal(38,0)) * {m} + {lo})"
+    d = 10 ** (in_scale - scale)
+    rounded = f"((2*{total} + {d}) div {2 * d})" if d > 1 else total
+    return F.expr(rounded).cast("double") / F.lit(float(10**scale))
 
 
 def sql_money(col: str) -> str:
