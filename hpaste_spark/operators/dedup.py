@@ -171,37 +171,97 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     )
 
 
+#: default document-frequency cap for shingle buckets.  A shingle shared
+#: by k docs contributes C(k,2) pair rows; boilerplate (licence headers,
+#: navigation chrome) can push k to corpus scale and k² past any
+#: executor.  Hot shingles carry no dedup signal — every doc "matches"
+#: them — so dropping their buckets bounds the blow-up the same way
+#: ``max_bucket`` does for LSH.  Inert on the driver fixtures (max df
+#: 25 at sf0.1), so oracle results are unchanged there.
+MAX_SHINGLE_DF = 1024
+
+
+def _hashed(sh: DataFrame) -> DataFrame:
+    """Replace the shingle string with its xxhash64 before the shuffle:
+    grouping/shuffling on an 8-byte long instead of a ~30-byte 3-gram
+    string (distinctness already computed on the exact strings).  A
+    64-bit collision would merge two shingle buckets — probability
+    ~|shingles|²/2⁶⁵, vanishing next to MinHash's own design error."""
+    return sh.withColumn("shingle", F.xxhash64("shingle"))
+
+
+def _shingle_pair_counts(sh: DataFrame, id_col: str, max_shingle_df: int | None) -> DataFrame:
+    """(id_x, id_y, n_inter, size_x, size_y) with id_x < id_y from an
+    exploded shingle table — via per-shingle bucket grouping, NOT a
+    self-join.
+
+    A self-join consumes the shingle pipeline (text scan, tokenize,
+    shingle arrays, explode) twice — Spark does not reuse it across the
+    join sides.  Grouping by shingle computes it once; the pair
+    expansion is a pure array expression over each bucket's collected
+    (id, size) structs, and the bucket's list size is exactly the
+    quantity the ``max_shingle_df`` cap bounds — a capped bucket is
+    dropped BEFORE the quadratic array is ever materialized (same
+    reasoning as ``max_bucket`` in the LSH path).  Capped shingles stop
+    contributing intersection evidence; set sizes still count them, so
+    containment/Jaccard of surviving pairs are conservative
+    (never overestimated) under the cap.
+    """
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("set_size").alias("sz")))
+            ).alias("docs")
+        )
+        .filter(F.size("docs") >= 2)
+    )
+    if max_shingle_df is not None:
+        buckets = buckets.filter(F.size("docs") <= max_shingle_df)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_x"),
+                    y["id"].alias("id_y"),
+                    x["sz"].alias("size_x"),
+                    y["sz"].alias("size_y"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_x").alias("id_x"), F.col("p.id_y").alias("id_y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("p.size_x").alias("size_x"),
+            F.first("p.size_y").alias("size_y"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.1,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact shingle-set Jaccard ≥ threshold pairs.
 
     Distributed shape: explode shingles (set sizes riding along) →
-    self-join on shingle (only docs sharing ≥1 shingle ever meet —
-    shuffle on the shingle, never n²) → one agg producing intersection
-    counts AND both sizes → Jaccard as a projection.
+    group by shingle → bounded per-bucket pair expansion
+    (:func:`_shingle_pair_counts`; only docs sharing ≥1 shingle ever
+    meet — shuffle on the shingle, never n²) → one agg producing
+    intersection counts AND both sizes → Jaccard as a projection.
     """
-    sh = shingle_sets(df, text_col, id_col, n)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # set sizes ride the exploded rows, so one shuffle join + one agg is
-    # the whole computation — no post-agg joins of the (large) pair table
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("a.set_size").alias("size_a"),
-            F.first("b.set_size").alias("size_b"),
-        )
+    sh = _hashed(shingle_sets(df, text_col, id_col, n))
+    inter = _shingle_pair_counts(sh, id_col, max_shingle_df).withColumnsRenamed(
+        {"id_x": "id_a", "id_y": "id_b", "size_x": "size_a", "size_y": "size_b"}
     )
     return (
         inter.withColumn(
@@ -219,6 +279,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Asymmetric shingle containment: |A∩B| / |A| ≥ threshold pairs,
     oriented so id_a is the CONTAINED (smaller-set) side.
@@ -229,26 +290,12 @@ def containment_pairs(
     dropped by a dedup pass even though symmetric similarity is tiny.
 
     Same distributed shape as ngram_jaccard_pairs (shuffle on the
-    shingle, only co-shingled docs ever meet, never n²); orientation
-    by set size (tie → lower id contained) instead of id order, since
+    shingle, bounded per-bucket expansion, never n²); orientation by
+    set size (tie → lower id contained) instead of id order, since
     containment is directional.
     """
-    sh = shingle_sets(df, text_col, id_col, n)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_x"), F.col(f"b.{id_col}").alias("id_y"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("a.set_size").alias("size_x"),
-            F.first("b.set_size").alias("size_y"),
-        )
-    )
+    sh = _hashed(shingle_sets(df, text_col, id_col, n))
+    inter = _shingle_pair_counts(sh, id_col, max_shingle_df)
     oriented = (
         inter.select(
             F.when(F.col("size_x") <= F.col("size_y"), F.col("id_x")).otherwise(F.col("id_y")).alias("id_a"),
@@ -516,6 +563,7 @@ def cross_containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Eval-set contamination detection: (eval_id, train_id, containment)
     pairs where ``containment = |shingles(eval) ∩ shingles(train)| /
@@ -525,22 +573,48 @@ def cross_containment_pairs(
     training doc is contaminated no matter how large that doc is).
 
     Same blocked shape as :func:`containment_pairs` but across two
-    corpora: explode both shingle sets (sizes riding along), equi-join
-    on the shingle — only co-shingled (train, eval) docs ever meet,
-    never |train|×|eval| — then one agg and a projection.
+    corpora: union the exploded shingle tables with a side tag, group by
+    shingle once, and expand eval×train pairs per bucket — only
+    co-shingled (train, eval) docs ever meet, never |train|×|eval|, and
+    the ``max_shingle_df`` cap bounds each side of a bucket before the
+    cross array is materialized (boilerplate shared by both corpora is
+    exactly where the k_eval × k_train blow-up lives).
     """
-    tr = shingle_sets(train, text_col, id_col, n).alias("t")
-    ev = shingle_sets(evals, text_col, id_col, n).alias("e")
-    inter = (
-        ev.join(tr, F.col("e.shingle") == F.col("t.shingle"))
-        .groupBy(
-            F.col(f"e.{id_col}").alias("eval_id"),
-            F.col(f"t.{id_col}").alias("train_id"),
-        )
+    ev = _hashed(shingle_sets(evals, text_col, id_col, n)).withColumn("_side", F.lit(0))
+    tr = _hashed(shingle_sets(train, text_col, id_col, n)).withColumn("_side", F.lit(1))
+    # collect_list skips nulls, so the per-side WHEN splits one grouping
+    # into the two bucket lists — a single shuffle on the shingle
+    doc = F.struct(F.col(id_col).alias("id"), F.col("set_size").alias("sz"))
+    buckets = (
+        ev.unionByName(tr)
+        .groupBy("shingle")
         .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("e.set_size").alias("eval_size"),
+            F.collect_list(F.when(F.col("_side") == 0, doc)).alias("evals"),
+            F.collect_list(F.when(F.col("_side") == 1, doc)).alias("trains"),
         )
+        .filter((F.size("evals") >= 1) & (F.size("trains") >= 1))
+    )
+    if max_shingle_df is not None:
+        buckets = buckets.filter(
+            (F.size("evals") <= max_shingle_df) & (F.size("trains") <= max_shingle_df)
+        )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("evals"),
+            lambda e: F.transform(
+                F.col("trains"),
+                lambda t: F.struct(
+                    e["id"].alias("eval_id"),
+                    t["id"].alias("train_id"),
+                    e["sz"].alias("eval_size"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.eval_id").alias("eval_id"), F.col("p.train_id").alias("train_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"), F.first("p.eval_size").alias("eval_size"))
     )
     return (
         inter.withColumn("containment", F.round(F.col("n_inter") / F.col("eval_size"), 6))

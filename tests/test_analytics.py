@@ -285,6 +285,39 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert (7, 9) not in jac and (9, 7) not in jac, "Jaccard must miss the excerpt"
 
 
+def test_hot_shingle_cap_bounds_boilerplate_fanout(spark):
+    """Adversarial boilerplate: one shingle shared by every doc must not
+    fan out k² pairs when capped.  With the cap below k the boilerplate
+    bucket is dropped BEFORE pair expansion, so docs related only
+    through boilerplate produce no pair at all, while genuinely
+    duplicated docs still pair through their distinctive shingles."""
+    from hpaste_spark.operators.dedup import containment_pairs
+
+    boiler = "all rights reserved standard licence header text"
+    docs = [(i, boiler + f" unique{i} body{i} tail{i} extra{i}") for i in range(20)]
+    # docs 100/101 share a real duplicated passage beyond the boilerplate
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs += [(100, boiler + " " + dup), (101, boiler + " " + dup + " plus a suffix here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=0.5, max_shingle_df=10).collect()
+    }
+    # boilerplate-only relations are dropped; the true near-dup survives
+    # (its distinctive shingles appear in only 2 docs, far below the cap)
+    assert (100, 101) in capped
+    assert all(a in (100, 101) and b in (100, 101) for a, b in capped)
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=0.5, max_shingle_df=None).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) > len(capped), (
+        "without the cap the boilerplate shingles manufacture spurious pairs"
+    )
+
+
 def test_knn_join_ranks_match_bruteforce(spark, emb):
     """Every (query, neighbor) the blocked k-NN join returns must carry
     the exact brute-force cosine, ranks must be contiguous and ordered,
