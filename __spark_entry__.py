@@ -3063,7 +3063,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q9_product_profit",
     """
-    SELECT nation, o_year, SUM(amount) AS sum_profit
+    SELECT nation, o_year, CAST(SUM(amount) AS BIGINT) AS sum_profit
     FROM (
       SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
              CAST(ROUND(l_extendedprice * (1 - l_discount), 0) AS BIGINT) AS amount
@@ -3157,8 +3157,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_returnflag",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= o_orderdate
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
