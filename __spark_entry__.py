@@ -2624,14 +2624,25 @@ def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hpaste_spark.operators.groups import salted_sum
+    from hpaste_spark.operators.skew import salted_groupby
 
     ev = _t(spark, sf_dir, "events")
-    out = salted_sum(
-        ev, ["event_type"], {"n_events": "count:*", "total_value_raw": "sum:value"}, n_salts=16
+    # integer-cents sum: order-independent under salting, matching the
+    # oracle's exact decimal sum bit for bit
+    out = salted_groupby(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.lit(1)),
+            "cents": ("sum", F.expr("cast(round(value * 100) as long)")),
+        },
+        salt_from="event_id",
+        n_salts=16,
     )
     return out.select(
-        "event_type", "n_events", F.round("total_value_raw", 2).alias("total_value")
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("total_value"),
     )
 
 

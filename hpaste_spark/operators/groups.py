@@ -94,40 +94,6 @@ def sessionize(
     return df.withColumn("session_idx", session_idx)
 
 
-def salted_sum(
-    df: DataFrame,
-    keys: list[str],
-    agg_cols: dict[str, str],
-    n_salts: int = 16,
-) -> DataFrame:
-    """Skew-safe two-stage aggregation: groupBy(keys + salt) partial →
-    groupBy(keys) final.
-
-    When one group key carries a disproportionate share of the rows
-    (power-law event types, null-ish defaults), the single final
-    partition for that key becomes the straggler.  Salting splits each
-    key across ``n_salts`` partial groups so the first (big) shuffle is
-    uniform; the second shuffle moves only k·n_salts pre-aggregated
-    rows.  Results are EXACTLY the plain groupBy (sum/count are
-    commutative monoids) — the oracle is the unsalted SQL.
-
-    agg_cols: {output_name: "sum:col" | "count:*"}.  At moderate skew
-    AQE's skew handling makes this unnecessary; use it when a handful
-    of keys dominate by orders of magnitude.
-    """
-    # any row→salt assignment is valid (the final stage re-merges);
-    # monotonically_increasing_id spreads rows evenly and is free
-    salt = (F.monotonically_increasing_id() % n_salts).alias("_salt")
-    partial_aggs, final_aggs = [], []
-    for out, spec in agg_cols.items():
-        op, col = spec.split(":", 1)
-        if op == "sum":
-            partial_aggs.append(F.sum(col).alias(f"_p_{out}"))
-            final_aggs.append(F.sum(f"_p_{out}").alias(out))
-        elif op == "count":
-            partial_aggs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
-            final_aggs.append(F.sum(f"_p_{out}").cast("long").alias(out))
-        else:
-            raise ValueError(f"salted_sum supports sum/count, got {op!r}")
-    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
-    return partial.groupBy(*keys).agg(*final_aggs)
+# NOTE: the former salted_sum lived here with a monotonically_increasing_id
+# salt; it is superseded by operators.skew.salted_groupby, whose
+# deterministic xxhash64 salt keeps results bit-stable across runs.
