@@ -3422,6 +3422,124 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-preparation extensions (operators/corpus.py): chunking, vocab
+# statistics, length histogram, PII redaction — the stages between
+# cleaning/dedup and token packing in a pre-training pipeline.
+# ---------------------------------------------------------------------------
+@q(
+    "corpus_chunk_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (SELECT doc_id, t, unnest(range(0, len(t), 96)) AS s FROM d)
+    SELECT doc_id, CAST(s // 96 AS BIGINT) AS chunk_idx,
+           CAST(least(128, len(t) - s) AS BIGINT) AS n_tokens,
+           array_to_string(t[s+1:s+128], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking, 128-token chunks every 96 tokens
+    (32-token overlap) — documents → trainable sequences in one narrow
+    map stage (no shuffle, no UDF)."""
+    from hpaste_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return chunk_documents(d, chunk_size=128, overlap=32)
+
+
+@q(
+    "corpus_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    ranked AS (
+      SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM counts
+    )
+    SELECT token, cnt, rank,
+           ROUND(CAST(cum AS DOUBLE) / (SELECT total FROM tot), 6) AS coverage
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head with cumulative coverage — "how many types cover
+    X % of tokens": tokenizer-training / vocab-sizing primitive."""
+    from hpaste_spark.operators.corpus import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return vocab_coverage(d, top_n=100)
+
+
+@q(
+    "corpus_length_histogram",
+    """
+    WITH d AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM d)
+    SELECT CAST((n // 32) * 32 AS BIGINT) AS min_tokens,
+           COUNT(*) AS n_docs,
+           ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS frac
+    FROM d GROUP BY n // 32
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram with integer (never float-log) bin edges,
+    the distribution diagnostic behind truncation/packing budgets."""
+    from hpaste_spark.operators.corpus import doc_length_histogram
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return doc_length_histogram(d, bin_width=32)
+
+
+@q(
+    "corpus_redact_pii",
+    """
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, c1,
+             len(regexp_extract_all(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS c2,
+             regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[PII]', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, c1, c2,
+             len(regexp_extract_all(t2, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}')) AS c3,
+             regexp_replace(t2, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '[PII]', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
+           CAST(length(t3) AS BIGINT) AS redacted_len, t3 AS redacted_text
+    FROM s3
+    """,
+)
+def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the fixture corpus.  The corpus is clean, so
+    this row pins the FALSE-POSITIVE direction of the contract (output
+    byte-identical to input, zero redactions); recall on synthetic PII
+    is pinned by the unit test."""
+    from hpaste_spark.operators.corpus import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

@@ -1,0 +1,161 @@
+"""Corpus-preparation operators: chunking, vocabulary statistics, and
+PII redaction — the remaining pre-training data-pipeline stages between
+cleaning/dedup (operators/dedup.py) and packing (operators/sampling.py).
+
+The reference has no analog (its values are opaque bytes transformed in
+arbitrary mappers, e.g. WebCrawlSchemaTest.scala:39); these are the
+LLM-pipeline extensions SURVEY §6 scopes as first-class.  All hot-path
+logic is JVM-side array/regexp expressions — no Python UDFs — and every
+formula has a line-for-line DuckDB twin in the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hpaste_spark.functions.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: (doc_id, chunk_idx, n_tokens,
+    chunk_text) rows with chunks of ``chunk_size`` tokens starting every
+    ``chunk_size - overlap`` tokens (the context-window prep step that
+    turns documents into trainable sequences while preserving
+    cross-boundary context in the overlap).
+
+    Shape: tokenize → per-row array expression building every chunk
+    (start offsets are a ``sequence`` with step, chunks are ``slice``
+    projections of the one token array) → posexplode.  Zero shuffles,
+    zero UDFs; a 100 TB corpus chunks in a single narrow map stage.
+    The trailing chunk is emitted short rather than dropped (training
+    pipelines pad it), so every token belongs to ≥1 chunk.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    return (
+        df.filter(F.size(toks) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("_chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_n`` most frequent tokens with
+    rank and cumulative coverage fraction — the tokenizer-training /
+    vocabulary-sizing primitive ("how many types cover 90 % of
+    tokens?").
+
+    Shape: explode tokens → one hash-agg (map-side combine collapses
+    each partition to its distinct types before the shuffle) → the
+    coverage cumsum runs a single-partition window over only the
+    aggregated type table, and the top_n cut bounds what any downstream
+    stage sees.  Ordering ties break on the token string so ranks are
+    engine-stable.
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        counts.withColumn("cum_cnt", F.sum("cnt").over(w))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("token"))),
+        )
+        .filter(F.col("rank") <= top_n)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("cum_cnt") / F.col("_total"), 6).alias("coverage"),
+        )
+    )
+
+
+def doc_length_histogram(
+    df: DataFrame,
+    bin_width: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-length histogram: documents bucketed by ``n_tokens div
+    bin_width`` with count and corpus fraction — the length-distribution
+    diagnostic behind truncation/packing decisions.  Integer binning
+    (never float log buckets) keeps bucket edges bit-identical across
+    engines."""
+    n = F.size(tokens(F.col(text_col)))
+    binned = df.select((n.cast("long") / bin_width).cast("long").alias("bin"), F.col(id_col))
+    total = binned.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            (F.col("bin") * bin_width).alias("min_tokens"),
+            F.col("n_docs"),
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("frac"),
+        )
+    )
+
+
+#: PII patterns — ASCII-class regexes with identical leftmost-match
+#: semantics in Java regex (Spark) and RE2 (DuckDB), so match counts and
+#: replacement outputs agree bit-for-bit between engine and oracle.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "[PII]",
+) -> DataFrame:
+    """Regex PII scrubbing (emails, IPv4 addresses, phone-shaped digit
+    runs) — (doc_id, n_redactions, redacted_len, redacted_text).
+
+    Pure regexp_replace/regexp_count chain: JVM-side, codegen, one
+    narrow map stage at any scale.  On clean text the contract is
+    exactness in the OTHER direction — zero false positives, output
+    byte-identical to input — which is what the fixture-corpus oracle
+    row checks; the synthetic-PII unit test checks recall.
+    """
+    redacted = F.col(text_col)
+    n_matches = F.lit(0).cast("long")
+    for _, pat in PII_PATTERNS:
+        n_matches = n_matches + F.regexp_count(redacted, F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, replacement)
+    return df.select(
+        F.col(id_col),
+        n_matches.alias("n_redactions"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        redacted.alias("redacted_text"),
+    )
