@@ -296,6 +296,188 @@ def stream_increments_into(
     q.awaitTermination(timeout_s)
 
 
+STREAM_ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("r_ts", T.ArrayType(T.LongType())),
+        T.StructField("r_pay", T.ArrayType(T.StringType())),
+        T.StructField("p_json", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def stream_stream_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: list,
+    ts_col: str = "ts",
+    payload_col: str = "value",
+    tolerance_us: int | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM backward as-of join — both sides moving (the static
+    -right case is :func:`stream_asof_enrich`).  For each left row, the
+    right row with the greatest ``right.ts <= left.ts`` on the same key,
+    emitted exactly once.
+
+    Correctness hinges on the event-time watermark: a left row at time L
+    is matchable only once no right row with ts <= L can still arrive,
+    i.e. once the watermark passes L.  So lefts buffer in state until
+    the watermark reaches them (flushed either by later data on the key
+    or by an EventTimeTimeout), and the emitted match is FINAL — no
+    retraction channel needed.
+
+    State per key is bounded, not a full history:
+
+    - pending lefts: rows in the last watermark-delay window only;
+    - right history: every future left has ts > watermark, and of the
+      rights at-or-before the watermark only the LATEST can ever win a
+      backward match — so history compacts to that single row plus
+      rights still above the watermark.
+
+    Input surface: ``left``'s non-key columns must be simple types
+    (long/double/string/timestamp) — pending rows serialize through the
+    typed state as JSON; the right payload is one column, restored to
+    its dtype on output.  Output = left columns + ``ts_right`` +
+    ``<payload_col>_right`` (nulls when no match / outside tolerance).
+    """
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    on = list(on)
+    left_extra = [c for c in left.columns if c not in on and c != ts_col]
+    pay_field = right.schema[payload_col]
+    pay_kind = (
+        "long"
+        if isinstance(pay_field.dataType, (T.LongType, T.IntegerType))
+        else "double"
+        if isinstance(pay_field.dataType, T.DoubleType)
+        else "string"
+    )
+
+    lx = left.select(
+        *on, ts_col, *left_extra,
+        F.lit(None).cast(pay_field.dataType).alias(payload_col),
+        F.lit(1).alias("_side"),
+    )
+    rx = right.select(
+        *on, ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
+        F.col(payload_col),
+        F.lit(0).alias("_side"),
+    )
+    u = lx.unionByName(rx).withWatermark(ts_col, watermark)
+
+    out_fields = (
+        [left.schema[c] for c in on]
+        + [T.StructField(ts_col, T.TimestampType())]
+        + [left.schema[c] for c in left_extra]
+        + [
+            T.StructField(f"{ts_col}_right", T.TimestampType()),
+            T.StructField(f"{payload_col}_right", pay_field.dataType),
+        ]
+    )
+    out_schema = T.StructType(out_fields)
+
+    def _restore_pay(s):
+        if s is None:
+            return None
+        # the union's null-padded long column reaches pandas as float64,
+        # so the stringified payload may carry a ".0" — round-trip via
+        # float for the long case
+        return int(float(s)) if pay_kind == "long" else float(s) if pay_kind == "double" else s
+
+    def fn(key, pdf_iter, state: "GroupState"):
+        import bisect
+
+        import pandas as pd
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        r_ts, r_pay, p_json = ([], [], [])
+        if state.exists:
+            st = state.get
+            r_ts, r_pay, p_json = list(st[0]), list(st[1]), list(st[2])
+        pending = [_json.loads(s) for s in p_json]
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_us_col = (pdf[ts_col].astype("int64") // 1000).tolist()
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i]
+                    if row["_side"] == 0:
+                        r_ts.append(int(ts_us_col[i]))
+                        r_pay.append(str(row[payload_col]))
+                    else:
+                        p = {"_ts_us": int(ts_us_col[i])}
+                        for c in left_extra:
+                            v = row[c]
+                            p[c] = None if pd.isna(v) else (v.item() if hasattr(v, "item") else v)
+                        pending.append(p)
+
+        # sort right history; duplicate (ts) resolved by max payload in
+        # the payload's OWN dtype (a string sort would rank '9' over
+        # '10'), mirroring the batch operator's max-payload-struct
+        # tiebreak
+        hist = sorted(zip(r_ts, r_pay), key=lambda h: (h[0], _restore_pay(h[1])))
+        hts = [h[0] for h in hist]
+
+        emit, keep = [], []
+        for p in sorted(pending, key=lambda x: x["_ts_us"]):
+            if p["_ts_us"] <= wm_us:
+                i = bisect.bisect_right(hts, p["_ts_us"]) - 1
+                m_ts, m_pay = (hist[i] if i >= 0 else (None, None))
+                if (
+                    m_ts is not None
+                    and tolerance_us is not None
+                    and p["_ts_us"] - m_ts > tolerance_us
+                ):
+                    m_ts, m_pay = None, None
+                emit.append((p, m_ts, m_pay))
+            else:
+                keep.append(p)
+
+        # compact: latest right <= watermark + everything above it
+        cut = bisect.bisect_right(hts, wm_us) - 1
+        hist = hist[max(cut, 0) :] if hist else []
+
+        if not keep and not hist:
+            state.remove()
+        else:
+            state.update(
+                (
+                    [h[0] for h in hist],
+                    [h[1] for h in hist],
+                    [_json.dumps(p) for p in keep],
+                )
+            )
+            if keep:
+                # flush via timer once the watermark passes the oldest
+                # pending left even if no more data arrives on this key
+                state.setTimeoutTimestamp(min(p["_ts_us"] for p in keep) // 1000 + 1)
+
+        if emit:
+            cols: dict = {c: [] for c in [f.name for f in out_fields]}
+            for p, m_ts, m_pay in emit:
+                for j, c in enumerate(on):
+                    cols[c].append(key[j])
+                cols[ts_col].append(pd.Timestamp(p["_ts_us"], unit="us"))
+                for c in left_extra:
+                    cols[c].append(p[c])
+                cols[f"{ts_col}_right"].append(
+                    pd.Timestamp(m_ts, unit="us") if m_ts is not None else pd.NaT
+                )
+                cols[f"{payload_col}_right"].append(_restore_pay(m_pay))
+            yield pd.DataFrame(cols)
+
+    return u.groupBy(*on).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=STREAM_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, timeout_s: int = 120, output_mode: str = "complete"
 ) -> None:

@@ -283,3 +283,83 @@ def test_stream_increments_staged_high_cardinality_no_collect(spark, tmp_path, m
               out.filter(F.col("rowkey").isin("k00000", "k09999", "k04999")).collect()}
     assert sample["k00000"] == (1, 0.0)
     assert sample["k09999"] == (1, float(9999 % 13))
+
+
+def test_stream_stream_asof_matches_batch(spark, tmp_path):
+    """Stream-STREAM as-of (both sides moving): replay events in 4
+    time-ordered micro-batches plus a far-future sentinel so the
+    watermark sweeps past the real data, then check every emitted match
+    equals the batch as-of join and that coverage reaches the watermark
+    horizon (nothing stuck in state that the watermark already passed)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hpaste_spark.operators.asof import asof_join
+    from hpaste_spark.streaming.events import run_to_memory, stream_stream_asof
+
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    order = pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+    tbl = tbl.take(order)
+    src_dir = tmp_path / "ss_asof"
+    src_dir.mkdir()
+    n = tbl.num_rows
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), src_dir / f"0{i}.parquet")
+    # sentinel: one far-future click on an unused key pushes the global
+    # watermark beyond every real event in the final micro-batch
+    import pandas as pd
+
+    sentinel = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": [10**9],
+                "ts": [pd.Timestamp("2030-01-01")],
+                "user_id": [-1],
+                "event_type": ["click"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        ),
+        schema=tbl.schema,
+    )
+    pq.write_table(sentinel, src_dir / "04.parquet")
+    for i in range(5):
+        os.utime(src_dir / f"0{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = read_event_stream(spark, str(src_dir))
+    lefts = stream.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    rights = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = stream_stream_asof(
+        lefts, rights, on=["user_id"], ts_col="ts",
+        payload_col="click_event_id", watermark="10 minutes",
+    )
+    run_to_memory(out, "ss_asof_test", output_mode="append")
+    got = {
+        r["event_id"]: (r["ts_right"], r["click_event_id_right"])
+        for r in spark.table("ss_asof_test").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    want = {
+        r["event_id"]: (r["ts_right"], r["click_event_id_right"])
+        for r in asof_join(
+            purchases, clicks, on=["user_id"], payload_cols=["click_event_id"]
+        ).collect()
+    }
+
+    assert got, "no matches emitted — watermark never advanced"
+    for eid, pair in got.items():
+        assert pair == want[eid], f"stream match for {eid} diverges from batch"
+    # the sentinel batch ran with the watermark past every real event,
+    # so all but at most the final micro-batch's stragglers must be out;
+    # timers for the very last batch may fire after availableNow stops
+    assert len(got) >= int(0.75 * len(want)), (got and f"{len(got)}/{len(want)} emitted")
