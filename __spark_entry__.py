@@ -20,7 +20,8 @@ from hpaste_spark.sources.catalog import load_table
 from hpaste_spark.sources.driver_tables import driver_htable
 from hpaste_spark.functions import text as X
 from hpaste_spark.functions import vectors as V
-from hpaste_spark.functions.money import davg, dsum, money, sql_avg2, sql_money, sql_sum2
+from hpaste_spark.functions.money import (davg, dsum, dsum_disc, dsum_mul,
+    dsum_units_total, money, sql_avg2, sql_money, sql_sum2)
 from hpaste_spark.functions.timeutil import epoch_us
 
 SF0001 = "/root/testdata/sf0.001"
@@ -144,7 +145,7 @@ def j1_join5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
-            dsum(money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("revenue"),
+            dsum_disc().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1583,7 +1584,9 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        (money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("_rev"),
+        F.expr(
+            "cast(round(l_extendedprice*100) as long) * (100 - cast(round(l_discount*100) as long))"
+        ).alias("_rev_u4"),
     )
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
@@ -1592,8 +1595,10 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, orders, on="l_orderkey",
         salt_from=F.struct("l_orderkey", "l_linenumber"), n_salts=8,
     )
+    from hpaste_spark.functions.money import dsum_units
+
     return j.groupBy("o_orderpriority").agg(
-        dsum(F.col("_rev")).alias("revenue"),
+        dsum_units("_rev_u4", 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1738,20 +1743,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        # exact decimal sum: the top-10 cut is on an order-independent
-        # value, so membership can't flip with partition layout
+        # exact integer-unit sum: the top-10 cut orders on the exact
+        # un-rounded unit total (matching the oracle's ORDER BY on the
+        # raw SUM), so membership can't flip with partition layout —
+        # while the emitted revenue is the half-up round at 2 decimals
         .agg(
-            F.sum(money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
-            .alias("rev_raw")
+            dsum_disc().alias("revenue"),
+            dsum_units_total(
+                "cast(round(l_extendedprice*100) as long) * (100 - cast(round(l_discount*100) as long))"
+            ).alias("_rev_units"),
         )
-        .orderBy(F.col("rev_raw").desc(), F.col("o_orderkey"))
+        .orderBy(F.col("_rev_units").desc(), F.col("o_orderkey"))
         .limit(10)
-        .select(
-            "o_orderkey",
-            F.round("rev_raw", 2).cast("double").alias("revenue"),
-            "o_orderdate",
-            "o_orderpriority",
-        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
 
@@ -2053,7 +2057,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")).alias("revenue"),
+            dsum_mul().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2091,7 +2095,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .select("c_custkey", "c_name", "n_name")),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("revenue"))
+        .agg(dsum_disc().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -2154,7 +2158,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy("l_suppkey")
-        .agg(dsum(money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("total_rev"))
+        .agg(dsum_disc().alias("total_rev"))
     )
     supplier = _t(spark, sf_dir, "supplier")
     max_rev = rev.agg(F.max("total_rev").alias("m"))
@@ -2231,7 +2235,7 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return joined.filter(bracket).agg(
-        dsum(money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("revenue"),
+        dsum_disc().alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -2956,7 +2960,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == F.col("s_suppkey")) & (cust.c_nationkey == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(dsum(money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("revenue"))
+        .agg(dsum_disc().alias("revenue"))
     )
 
 
@@ -3006,11 +3010,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(
-            dsum(
-                money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
-            ).alias("revenue")
-        )
+        .agg(dsum_disc().alias("revenue"))
     )
 
 
@@ -3141,11 +3141,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(
-            dsum(
-                money("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
-            ).alias("part_value")
-        )
+        .agg(dsum_disc().alias("part_value"))
     )
     # part_value is exact at 2 decimals; the 0.1% threshold stays in
     # decimal so boundary parts compare identically on both engines

@@ -115,13 +115,40 @@ def dsum_units(units_sql: str, in_scale: int, scale: int = 2) -> Column:
     matching DuckDB's ``ROUND(DECIMAL)``; valid for non-negative sums
     (all money aggregates here).
     """
-    m = 10**6
-    hi = f"sum(({units_sql}) div {m})"
-    lo = f"sum(({units_sql}) % {m})"
-    total = f"(cast({hi} as decimal(38,0)) * {m} + {lo})"
+    total = _units_total_sql(units_sql)
     d = 10 ** (in_scale - scale)
     rounded = f"((2*{total} + {d}) div {2 * d})" if d > 1 else total
     return F.expr(rounded).cast("double") / F.lit(float(10**scale))
+
+
+def _units_total_sql(units_sql: str) -> str:
+    m = 10**6
+    hi = f"sum(({units_sql}) div {m})"
+    lo = f"sum(({units_sql}) % {m})"
+    return f"(cast({hi} as decimal(38,0)) * {m} + {lo})"
+
+
+def dsum_units_total(units_sql: str) -> Column:
+    """The exact decimal(38,0) unit total of :func:`dsum_units`'s split
+    sum, un-rounded — use as an ORDER BY / comparison key when ranking
+    must follow the full-precision sum rather than the rounded output."""
+    return F.expr(_units_total_sql(units_sql))
+
+
+def dsum_disc(ext_col: str = "l_extendedprice", disc_col: str = "l_discount", scale: int = 2) -> Column:
+    """Exact ``ROUND(SUM(ext·(1-disc)), scale)`` as double — the
+    TPC-H revenue aggregate — on the integer-unit fast path:
+    cents·percent at scale 4, split-summed in long (:func:`dsum_units`).
+    Bit-identical to the decimal form the oracle computes."""
+    e, d = sql_cents(ext_col), sql_cents(disc_col)
+    return dsum_units(f"({e}) * (100 - {d})", 4, scale)
+
+
+def dsum_mul(ext_col: str = "l_extendedprice", frac_col: str = "l_discount", scale: int = 2) -> Column:
+    """Exact ``ROUND(SUM(ext·frac), scale)`` as double (e.g. Q6's
+    revenue = price × discount) via the same integer-unit path."""
+    e, d = sql_cents(ext_col), sql_cents(frac_col)
+    return dsum_units(f"({e}) * ({d})", 4, scale)
 
 
 def sql_money(col: str) -> str:
