@@ -52,6 +52,10 @@ HEADLINE = [
     "skew_salted_rollup",
     "skew_salted_join",
     "pack_token_budget",
+    # round 3 additions: corpus-prep stages
+    "corpus_chunk_overlap",
+    "corpus_vocab_coverage",
+    "corpus_redact_pii",
 ]
 
 
