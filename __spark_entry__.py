@@ -3536,6 +3536,54 @@ def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "w_cume_dist_percent_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def w_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 family completion: distribution-rank window functions with a
+    total (price, key) ordering so ranks are engine-stable."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+    )
+
+
+@q(
+    "split_group_reservoir",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM r WHERE rn <= 10
+    """,
+)
+def split_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source reservoir: first 10 docs per source in
+    md5(id) order — a partitioning-stable uniform-ish sample (no
+    rand()), one exchange on source + windowed top-k."""
+    from hpaste_spark.operators.sampling import group_reservoir
+
+    return group_reservoir(_t(spark, sf_dir, "documents"), "source", k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

@@ -129,3 +129,31 @@ def mixture_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(int(rate * buckets))).otherwise(thr)
     return df.filter(hash_bucket(F.col(id_col), buckets) < thr)
+
+
+def group_reservoir(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group "reservoir": the k rows per group ranked
+    first by ``md5(id)`` — a uniform-looking, engine- and
+    partitioning-stable sample (the md5 order is effectively random but
+    identical everywhere, so re-runs and the oracle agree row-for-row,
+    unlike ``rand()``-based reservoirs).
+
+    Shape: one hash exchange on the group column + a per-group window
+    top-k — no global sort, no driver state; group count bounds the
+    output at |groups|·k rows regardless of input scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(id_col, group_col, "rn")
+    )
