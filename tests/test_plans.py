@@ -196,3 +196,40 @@ def test_ivf_knn_join_no_cartesian(spark, queries):
     centroid id; only the 8-row centroid attach may nested-loop."""
     plan = plan_of(queries["sim_ivf_knn_join"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_single_narrow_stage(spark, queries):
+    """Document chunking must be scan → project/explode with ZERO
+    exchanges — at 100 TB any shuffle here moves the whole corpus."""
+    plan = plan_of(queries["corpus_chunk_overlap"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_redact_pii_is_single_narrow_stage(spark, queries):
+    plan = plan_of(queries["corpus_redact_pii"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_coverage_cumsum_runs_over_aggregated_types_only(spark, queries):
+    """The single-partition coverage window is safe ONLY because it runs
+    over the post-aggregation type table: the plan must place the token
+    hash-agg (partial+final) BEFORE the window, never window raw tokens."""
+    plan = plan_of(queries["corpus_vocab_coverage"](spark, SF_DIR))
+    # formatted trees print parent-first, so the required dataflow
+    # (Generate → HashAggregate → Window) reads top-down as
+    # Window … HashAggregate … Generate in the window's branch
+    win = plan.find("Window")
+    assert win != -1
+    agg = plan.find("HashAggregate", win)
+    assert agg != -1, "window must sit above a hash-agg, not raw tokens:\n" + plan
+    assert plan.find("Generate", win) > agg, (
+        "token explode must be BELOW the agg feeding the window:\n" + plan
+    )
+
+
+def test_containment_has_no_join_at_all(spark, queries):
+    """Round-3 shape: pair expansion is per-shingle bucket grouping —
+    the plan must contain no join operator of any kind (the old
+    self-join recomputed the shingle pipeline twice)."""
+    plan = plan_of(queries["dedup_containment"](spark, SF_DIR))
+    assert "Join" not in plan, plan
