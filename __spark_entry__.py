@@ -3503,22 +3503,24 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "corpus_redact_pii",
     """
+    -- mirrors functions/text.py PII_PATTERNS and the sequential
+    -- [EMAIL] -> [IPV4] -> [PHONE] scrub chain exactly
     WITH s1 AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g') AS t1
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
       FROM documents
     ),
     s2 AS (
       SELECT doc_id, c1,
              len(regexp_extract_all(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS c2,
-             regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[PII]', 'g') AS t2
+             regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g') AS t2
       FROM s1
     ),
     s3 AS (
       SELECT doc_id, c1, c2,
-             len(regexp_extract_all(t2, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}')) AS c3,
-             regexp_replace(t2, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '[PII]', 'g') AS t3
+             len(regexp_extract_all(t2, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS c3,
+             regexp_replace(t2, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[PHONE]', 'g') AS t3
       FROM s2
     )
     SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
@@ -3582,6 +3584,56 @@ def split_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.sampling import group_reservoir
 
     return group_reservoir(_t(spark, sf_dir, "documents"), "source", k=10)
+
+
+@q(
+    "dedup_incremental_lsh",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
+    )
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n_bands
+    FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) b
+    JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) c
+      ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+    GROUP BY 1, 2
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: new docs (every 10th id, standing in for an
+    incoming batch) against the stored band-key index of the existing
+    corpus — the batch signs only itself; the corpus is an equi-joined
+    stored table, never re-signed."""
+    from hpaste_spark.operators.dedup import incremental_lsh_candidates, minhash_band_keys
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_bands = minhash_band_keys(corpus)
+    return incremental_lsh_candidates(corpus_bands, batch, max_bucket=2000)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -123,39 +123,34 @@ def doc_length_histogram(
     )
 
 
-#: PII patterns — ASCII-class regexes with identical leftmost-match
-#: semantics in Java regex (Spark) and RE2 (DuckDB), so match counts and
-#: replacement outputs agree bit-for-bit between engine and oracle.
-PII_PATTERNS = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
-    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"),
-)
-
-
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    replacement: str = "[PII]",
 ) -> DataFrame:
-    """Regex PII scrubbing (emails, IPv4 addresses, phone-shaped digit
-    runs) — (doc_id, n_redactions, redacted_len, redacted_text).
+    """DataFrame-level PII scrubbing — (doc_id, n_redactions,
+    redacted_len, redacted_text) over the column functions
+    :func:`hpaste_spark.functions.text.redact_pii` / ``pii_counts``
+    (ONE pattern source; the patterns and the [EMAIL]/[IPV4]/[PHONE]
+    replacement chain live there).
 
-    Pure regexp_replace/regexp_count chain: JVM-side, codegen, one
-    narrow map stage at any scale.  On clean text the contract is
-    exactness in the OTHER direction — zero false positives, output
-    byte-identical to input — which is what the fixture-corpus oracle
-    row checks; the synthetic-PII unit test checks recall.
+    Pure regexp chain: JVM-side, codegen, one narrow map stage at any
+    scale.  On clean text the contract is exactness in the OTHER
+    direction — zero false positives, output byte-identical to input —
+    which is what the fixture-corpus oracle row checks; the
+    synthetic-PII unit test checks recall.
     """
-    redacted = F.col(text_col)
-    n_matches = F.lit(0).cast("long")
-    for _, pat in PII_PATTERNS:
-        n_matches = n_matches + F.regexp_count(redacted, F.lit(pat))
-        redacted = F.regexp_replace(redacted, pat, replacement)
+    from hpaste_spark.functions.text import PII_PATTERNS, pii_counts
+    from hpaste_spark.functions.text import redact_pii as redact_col
+
+    n = pii_counts(F.col(text_col))
+    total = None
+    for kind, _ in PII_PATTERNS:
+        total = n[kind] if total is None else total + n[kind]
+    redacted = redact_col(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_matches.alias("n_redactions"),
+        total.cast("long").alias("n_redactions"),
         F.length(redacted).cast("long").alias("redacted_len"),
         redacted.alias("redacted_text"),
     )

@@ -88,6 +88,81 @@ def minhash_signatures(
     return agg.select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) banded-LSH keys — the stored "dedup
+    index" of a corpus.  Persist this table (partitioned/bucketed by the
+    band key) and every future batch dedups against it with one
+    equi-join instead of re-signing the corpus
+    (:func:`incremental_lsh_candidates`)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    # sigs ends in an aggregation, so `sig` is an attribute below — the
+    # band-key expressions referencing it `bands` times stay cheap
+    # (attribute reads, no re-computation)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    # band key: polynomial combine of the band's minhash values
+    band_entries = []
+    for b in range(bands):
+        part = F.slice(F.col("sig"), b * rows + 1, rows)
+        key = F.aggregate(part, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % HASH_MOD)
+        band_entries.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def incremental_lsh_candidates(
+    corpus_bands: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup candidates: for each NEW
+    document, the existing-corpus docs sharing ≥1 LSH band —
+    (batch_id, corpus_id, n_bands).
+
+    The ingest-time dedup shape at 100 TB: the corpus index
+    (``corpus_bands`` from :func:`minhash_band_keys`) is computed once
+    and stored; each incoming batch signs only ITSELF and equi-joins
+    the index on (band_idx, band_key) — no corpus re-signing, no
+    corpus×corpus pair expansion, and the corpus side of the join is a
+    partition-prunable stored table.  ``max_bucket`` drops degenerate
+    corpus buckets (boilerplate bands) by grouping the corpus side
+    before the join, so the quadratic bucket never materializes.
+    """
+    bb = minhash_band_keys(batch, text_col, id_col, num_hashes, bands, shingle)
+    cb = corpus_bands
+    if max_bucket is not None:
+        buckets = (
+            cb.groupBy("band_idx", "band_key")
+            .agg(F.collect_list(F.col(id_col)).alias("ids"))
+            .filter(F.size("ids") <= max_bucket)
+        )
+        cb = buckets.select("band_idx", "band_key", F.explode("ids").alias(id_col))
+    pairs = bb.alias("b").join(
+        cb.alias("c"),
+        (F.col("b.band_idx") == F.col("c.band_idx"))
+        & (F.col("b.band_key") == F.col("c.band_key")),
+    )
+    return (
+        pairs.groupBy(
+            F.col(f"b.{id_col}").alias("batch_id"), F.col(f"c.{id_col}").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -112,21 +187,7 @@ def minhash_lsh_candidates(
     clique is better handled by exact_dedup first (identical docs are
     exact dups by definition).
     """
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    # sigs ends in an aggregation, so `sig` is an attribute below — the
-    # band-key expressions referencing it `bands` times stay cheap
-    # (attribute reads, no re-computation)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
-    # band key: polynomial combine of the band's minhash values
-    band_entries = []
-    for b in range(bands):
-        part = F.slice(F.col("sig"), b * rows + 1, rows)
-        key = F.aggregate(part, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % HASH_MOD)
-        band_entries.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_key")
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, shingle)
 
     # Pairs via bucket grouping, NOT a self-join: a self-join consumes the
     # banded relation (and the signature computation behind it) twice.

@@ -523,3 +523,31 @@ def test_contamination_flags_quoted_eval_items(spark):
            for r in cross_containment_pairs(train, evals, threshold=0.5).collect()}
     assert out.keys() == {(1, 100)}
     assert out[(1, 100)] == pytest.approx(1.0)
+
+
+def test_incremental_lsh_matches_full_lsh_cross_pairs(spark):
+    """The incremental batch-vs-corpus candidates must be exactly the
+    cross-partition subset of the full all-pairs LSH run (same bands,
+    same counts) — indexing the corpus once loses nothing."""
+    from hpaste_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    inc = {
+        (r["batch_id"], r["corpus_id"]): r["n_bands"]
+        for r in incremental_lsh_candidates(minhash_band_keys(corpus), batch).collect()
+    }
+    full = {}
+    for r in minhash_lsh_candidates(docs).collect():
+        a, b, n = r["id_a"], r["id_b"], r["n_bands"]
+        if (a % 10 == 0) != (b % 10 == 0):
+            batch_id, corpus_id = (a, b) if a % 10 == 0 else (b, a)
+            full[(batch_id, corpus_id)] = n
+    assert inc == full

@@ -70,7 +70,7 @@ def test_redact_pii_recall_and_false_positive_guard(spark):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in redact_pii(df).collect()}
-    assert out[1]["n_redactions"] == 1 and "[PII]" in out[1]["redacted_text"]
+    assert out[1]["n_redactions"] == 1 and "[EMAIL]" in out[1]["redacted_text"]
     assert "example.co.uk" not in out[1]["redacted_text"]
     assert out[2]["n_redactions"] == 1 and "192.168" not in out[2]["redacted_text"]
     assert out[3]["n_redactions"] == 1 and "5309" not in out[3]["redacted_text"]
