@@ -3636,6 +3636,97 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_candidates(corpus_bands, batch, max_bucket=2000)
 
 
+# End-to-end training-data preparation (north-star composite, round 3):
+# normalize → exact-dedup keeper → quality + language gates → PII scrub →
+# sliding-window chunking → per-source yield.  ONE DataFrame program —
+# every stage is a prior oracle-checked primitive — and the whole thing
+# is exactly mirrored in the DuckDB oracle below.
+@q(
+    "pipe_prepare_training_data",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')),
+                                     '\\s+', ' ', 'g'))) AS content_key,
+             ROUND(
+               0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+                             / len(regexp_split_to_array(trim(text), '\\s+')) END)
+               + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                  / length(text) END)), 4) AS quality,
+             CASE
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('el','la','de','que'))) > 0 THEN 'es'
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('der','die','das','und'))) > 0 THEN 'de'
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('le','les','des','est'))) > 0 THEN 'fr'
+               WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('the','and','is','of'))) > 0 THEN 'en'
+               ELSE 'unknown'
+             END AS lang_guess
+      FROM documents WHERE length(trim(text)) > 0
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY content_key) AS keeper
+        FROM scored) k
+      WHERE doc_id = keeper AND quality >= 0.5 AND lang_guess <> 'unknown'
+    ), red AS (
+      SELECT doc_id, source,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g'),
+               '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[PHONE]', 'g') AS rtext
+      FROM kept
+    ), tok AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(rtext), '\\s+') AS t
+      FROM red WHERE length(trim(rtext)) > 0
+    ), c AS (
+      SELECT doc_id, source, t, unnest(range(0, len(t), 96)) AS s FROM tok
+    )
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(least(128, len(t) - s)) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source
+    """,
+)
+def pipe_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data path as one lazy plan: at 100 TB every
+    stage is either a narrow projection (normalize, score, redact,
+    chunk) or one well-keyed exchange (the content-key dedup window and
+    the final per-source rollup)."""
+    from hpaste_spark.functions.text import redact_pii as redact_col
+    from hpaste_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(X.normalize_text(F.col("text")).cast("binary")).alias("content_key"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+    keeper = Window.partitionBy("content_key")
+    kept = (
+        scored.withColumn("keeper", F.min("doc_id").over(keeper))
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("lang_guess") != "unknown")
+        )
+    )
+    red = kept.select("doc_id", "source", redact_col(F.col("text")).alias("rtext"))
+    chunks = chunk_documents(
+        red, chunk_size=128, overlap=32, text_col="rtext", carry_cols=("source",)
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

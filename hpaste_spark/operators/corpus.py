@@ -23,6 +23,7 @@ def chunk_documents(
     overlap: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Sliding-window token chunking: (doc_id, chunk_idx, n_tokens,
     chunk_text) rows with chunks of ``chunk_size`` tokens starting every
@@ -43,11 +44,13 @@ def chunk_documents(
     toks = tokens(F.col(text_col))
     starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step))
     chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    carry = list(carry_cols)
     return (
         df.filter(F.size(toks) > 0)
-        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+        .select(F.col(id_col), *carry, F.posexplode(chunks).alias("chunk_idx", "_chunk"))
         .select(
             id_col,
+            *carry,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.size("_chunk").cast("long").alias("n_tokens"),
             F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
