@@ -52,10 +52,11 @@ HEADLINE = [
     "skew_salted_rollup",
     "skew_salted_join",
     "pack_token_budget",
-    # round 3 additions: corpus-prep stages
+    # round 3 additions: corpus-prep stages + the end-to-end composite
     "corpus_chunk_overlap",
     "corpus_vocab_coverage",
     "corpus_redact_pii",
+    "pipe_prepare_training_data",
 ]
 
 
