@@ -3727,6 +3727,32 @@ def pipe_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "vec_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 ROUND(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale
+          FROM e)
+    SELECT vec_id, scale,
+           to_json(CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT)) END)::VARCHAR AS q
+    FROM s
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4 B/dim → 1 B/dim): the
+    storage-compression step for a 100 TB embedding corpus.  Scale
+    rounds to 9 dp before quantizing so both engines divide by the
+    identical double and every code matches exactly."""
+    qz = V.quantize_int8(F.col("embedding"))
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        qz["scale"].alias("scale"),
+        F.to_json(qz["q"]).alias("q"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

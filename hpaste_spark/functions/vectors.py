@@ -33,3 +33,25 @@ def cosine(a: Column, b: Column) -> Column:
 def l2_distance(a: Column, b: Column) -> Column:
     diffs = F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization: struct(scale, q) with
+    ``q[i] = round(x[i] / scale)`` for ``scale = max|x| / 127`` — the
+    storage-compression step for embedding columns at corpus scale
+    (4 bytes/dim float → 1 byte/dim, recall loss well under ANN noise).
+    Scale is rounded to 9 dp BEFORE quantizing so both engines divide by
+    the identical double and the int codes match exactly.  All-zero
+    vectors get scale 0 and all-zero codes (no divide-by-zero)."""
+    v = as_double(vec)
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.round(amax / F.lit(127.0), 9)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize(qstruct: Column) -> Column:
+    """Approximate reconstruction: ``q[i] * scale`` (double array)."""
+    return F.transform(qstruct["q"], lambda c: c.cast("double") * qstruct["scale"])

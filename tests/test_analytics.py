@@ -551,3 +551,22 @@ def test_incremental_lsh_matches_full_lsh_cross_pairs(spark):
             batch_id, corpus_id = (a, b) if a % 10 == 0 else (b, a)
             full[(batch_id, corpus_id)] = n
     assert inc == full
+
+
+def test_int8_quantization_roundtrip_error_bound(spark, emb):
+    """Dequantized vectors must be within scale/2 per component
+    (half-step rounding error) and preserve cosine ranks closely."""
+    from hpaste_spark.functions.vectors import dequantize, quantize_int8
+
+    qz = quantize_int8(F.col("embedding"))
+    rows = (
+        emb.limit(50)
+        .select("vec_id", "embedding", qz.alias("qz"), dequantize(qz).alias("back"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        scale = r["qz"]["scale"]
+        assert all(abs(int(c)) <= 127 for c in r["qz"]["q"]), "codes must fit int8"
+        for orig, rec in zip(r["embedding"], r["back"]):
+            assert abs(float(orig) - rec) <= scale / 2 + 1e-12
