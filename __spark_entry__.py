@@ -3753,6 +3753,44 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_encode_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS tok_id
+      FROM counts QUALIFY tok_id <= 100
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS token
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)
+    ),
+    enc AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.tok_id, 0) AS tok_id
+      FROM pos p LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           to_json(list(tok_id ORDER BY pos))::VARCHAR AS ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def corpus_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: docs encoded against the top-100
+    corpus-frequency vocabulary (OOV → 0) — the text→ids step of the
+    training pipeline, with the id arrays JSON-serialized for the
+    driver harness."""
+    from hpaste_spark.operators.corpus import encode_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return encode_tokens(d, vocab_size=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

@@ -126,6 +126,49 @@ def doc_length_histogram(
     )
 
 
+def encode_tokens(
+    df: DataFrame,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer application: encode each document's tokens against the
+    corpus-frequency vocabulary head (:func:`vocab_coverage` ranks; OOV
+    → id 0) — (doc_id, n_tokens, n_oov, ids as JSON).
+
+    Shape: the vocabulary is |V| rows — broadcast — so encoding is
+    posexplode → broadcast hash join → one (doc) hash-agg re-collecting
+    ids in position order.  The corpus never shuffles by token; the only
+    exchange is the per-doc regroup, and at 100 TB the vocab build
+    itself (one hash-agg) is the cheap step.
+    """
+    vocab = vocab_coverage(df, top_n=vocab_size, text_col=text_col).select(
+        "token", F.col("rank").alias("tok_id")
+    )
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    )
+    enc = pos.join(F.broadcast(vocab), "token", "left").select(
+        id_col, "pos", F.coalesce(F.col("tok_id"), F.lit(0)).alias("tok_id")
+    )
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0)).alias("n_oov"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))), lambda s: s["tok_id"]
+            ).alias("_ids"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.to_json(F.col("_ids")).alias("ids"),
+        )
+    )
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -363,3 +363,50 @@ def test_stream_stream_asof_matches_batch(spark, tmp_path):
     # so all but at most the final micro-batch's stragglers must be out;
     # timers for the very last batch may fire after availableNow stops
     assert len(got) >= int(0.75 * len(want)), (got and f"{len(got)}/{len(want)} emitted")
+
+
+def test_stream_stream_asof_tolerance_nulls_stale_matches(spark, tmp_path):
+    """A match older than tolerance_us must be emitted with NULL payload
+    (left row kept — outer shape), mirroring the batch operator."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hpaste_spark.streaming.events import run_to_memory, stream_stream_asof
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 9],
+            "ts": [
+                base,                                # click for user 7
+                base + pd.Timedelta(minutes=1),      # purchase u7: fresh match
+                base + pd.Timedelta(hours=3),        # purchase u7: stale (>1h)
+                base + pd.Timedelta(hours=3, minutes=1),  # purchase u8: no click ever
+                base + pd.Timedelta(days=30),        # sentinel click, unused key
+            ],
+            "user_id": [7, 7, 7, 8, -1],
+            "event_type": ["click", "purchase", "purchase", "purchase", "click"],
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    src = tmp_path / "tol_src"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(rows.iloc[:4]), src / "00.parquet")
+    pq.write_table(pa.Table.from_pandas(rows.iloc[4:]), src / "01.parquet")
+
+    stream = read_event_stream(spark, str(src))
+    lefts = stream.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    rights = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = stream_stream_asof(
+        lefts, rights, on=["user_id"], payload_col="click_event_id",
+        tolerance_us=3_600_000_000, watermark="1 minute",
+    )
+    run_to_memory(out, "ss_tol_test", output_mode="append")
+    got = {r["event_id"]: r["click_event_id_right"] for r in spark.table("ss_tol_test").collect()}
+    assert got[2] == 1, "fresh match within tolerance keeps the payload"
+    assert got[3] is None, "stale match beyond tolerance must null out"
+    assert got[4] is None, "never-matched left row still emitted (outer shape)"
