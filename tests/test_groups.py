@@ -50,3 +50,19 @@ def test_zscore_zero_variance_group(spark):
     out = {r["event_id"]: r["zscore"] for r in zscore_normalize(df, ["user_id"], "value", "event_id").collect()}
     assert out[1] == 0.0 and out[2] == 0.0
     assert abs(out[3] + 1.0) < 1e-9 and abs(out[4] - 1.0) < 1e-9
+
+
+def test_davg_integer_cents_path_empty_and_null_groups(spark):
+    """The long-arithmetic davg must yield NULL (not an ANSI
+    divide-by-zero error) for groups with zero non-null values, and
+    match exact half-up rounding elsewhere."""
+    from hpaste_spark.functions.money import davg
+
+    df = spark.createDataFrame(
+        [("a", 1.01), ("a", 2.02), ("b", None), ("c", 0.01)],
+        "k string, v double",
+    )
+    rows = {r["k"]: r["avg_v"] for r in df.groupBy("k").agg(davg("v").alias("avg_v")).collect()}
+    assert rows["a"] == 1.52  # (101 + 202) cents / 2 = 151.5 -> half-up 152
+    assert rows["b"] is None, "all-null group must be NULL, not a div-by-zero"
+    assert rows["c"] == 0.01
