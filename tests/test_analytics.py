@@ -570,3 +570,34 @@ def test_int8_quantization_roundtrip_error_bound(spark, emb):
         assert all(abs(int(c)) <= 127 for c in r["qz"]["q"]), "codes must fit int8"
         for orig, rec in zip(r["embedding"], r["back"]):
             assert abs(float(orig) - rec) <= scale / 2 + 1e-12
+
+
+def test_ivf_lloyd_iterations_do_not_increase_sse(spark, emb):
+    """k-means invariant: each Lloyd round's within-cluster SSE (against
+    the centroids it produced) must not exceed the previous round's —
+    and the refinement must stay deterministic across re-runs."""
+    from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    def sse(iters):
+        cents = ivf_centroids(emb, k_centroids=4, iterations=iters).persist()
+        assign = ivf_assign(emb, cents)
+        joined = (
+            emb.join(assign, "vec_id")
+            .join(cents, "cid")
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.col("cvec"),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("d2")
+            )
+        )
+        return joined.agg(F.sum("d2")).first()[0]
+
+    s1, s2, s3 = sse(1), sse(2), sse(3)
+    assert s2 <= s1 + 1e-6 and s3 <= s2 + 1e-6, (s1, s2, s3)
+    assert sse(2) == s2, "refined centroids must be run-deterministic"
