@@ -11,7 +11,7 @@ formula has a line-for-line DuckDB twin in the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hpaste_spark.functions.text import tokens
@@ -70,32 +70,62 @@ def vocab_coverage(
 
     Shape: explode tokens → one hash-agg (map-side combine collapses
     each partition to its distinct types before the shuffle) → the
-    coverage cumsum runs a single-partition window over only the
-    aggregated type table, and the top_n cut bounds what any downstream
-    stage sees.  Ordering ties break on the token string so ranks are
-    engine-stable.
+    top_n head is taken with ``orderBy(...).limit(top_n)``, which Spark
+    plans as TakeOrderedAndProject — a distributed per-partition top-k
+    merge, never a global sort of the full type table.  Rank and the
+    coverage cumsum then run as a single-row array fold (``array_sort``
+    → one O(n) ``aggregate``) over only the ≤top_n surviving entries,
+    so the plan contains NO WindowExec at all: the unbounded type table
+    (10⁷–10⁸ types on a web corpus) is never moved to one partition.
+    Ordering ties break on the token string so ranks are engine-stable;
+    ``top_n`` is a vocabulary head and expected ≤ ~1e5 (the fold's array
+    lives on a single row).
     """
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("_total"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = (
-        counts.withColumn("cum_cnt", F.sum("cnt").over(w))
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("token"))),
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
+    # ascending struct sort on (-cnt, token) == (cnt desc, token asc)
+    sorted_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("cnt")).alias("_neg"),
+                F.col("token").alias("token"),
+                F.col("cnt").alias("cnt"),
+            )
         )
-        .filter(F.col("rank") <= top_n)
+    )
+    fold_zero = F.expr(
+        "named_struct('cum', 0L, "
+        "'out', cast(array() as array<struct<token:string,cnt:bigint,cum:bigint>>))"
+    )
+    folded = head.agg(sorted_arr.alias("_arr")).select(
+        F.aggregate(
+            "_arr",
+            fold_zero,
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["token"].alias("token"),
+                            x["cnt"].alias("cnt"),
+                            (acc["cum"] + x["cnt"]).alias("cum"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        )["out"].alias("_out")
     )
     return (
-        ranked.crossJoin(F.broadcast(total))
+        folded.select(F.posexplode("_out").alias("pos", "s"))
+        .crossJoin(F.broadcast(total))
         .select(
-            "token",
-            "cnt",
-            F.col("rank").cast("long").alias("rank"),
-            F.round(F.col("cum_cnt") / F.col("_total"), 6).alias("coverage"),
+            F.col("s.token").alias("token"),
+            F.col("s.cnt").alias("cnt"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.round(F.col("s.cum") / F.col("_total"), 6).alias("coverage"),
         )
     )
 

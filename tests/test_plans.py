@@ -210,21 +210,25 @@ def test_redact_pii_is_single_narrow_stage(spark, queries):
     assert "Exchange" not in plan, plan
 
 
-def test_vocab_coverage_cumsum_runs_over_aggregated_types_only(spark, queries):
-    """The single-partition coverage window is safe ONLY because it runs
-    over the post-aggregation type table: the plan must place the token
-    hash-agg (partial+final) BEFORE the window, never window raw tokens."""
+def test_vocab_coverage_has_no_window_and_topk_merges(spark, queries):
+    """Round-4 shape: the vocabulary head is a distributed top-k
+    (TakeOrderedAndProject), and rank/cumsum are a single-row array fold
+    over the ≤top_n survivors — the plan must contain NO WindowExec
+    (an unpartitioned window would drag the full 10⁷–10⁸-row type table
+    to one partition) and must never global-sort the type table."""
     plan = plan_of(queries["corpus_vocab_coverage"](spark, SF_DIR))
-    # formatted trees print parent-first, so the required dataflow
-    # (Generate → HashAggregate → Window) reads top-down as
-    # Window … HashAggregate … Generate in the window's branch
-    win = plan.find("Window")
-    assert win != -1
-    agg = plan.find("HashAggregate", win)
-    assert agg != -1, "window must sit above a hash-agg, not raw tokens:\n" + plan
-    assert plan.find("Generate", win) > agg, (
-        "token explode must be BELOW the agg feeding the window:\n" + plan
+    assert "Window" not in plan, "no window may appear in vocab_coverage:\n" + plan
+    assert "TakeOrderedAndProject" in plan, (
+        "top_n head must plan as a distributed top-k merge:\n" + plan
     )
+
+
+def test_encode_tokens_vocab_branch_has_no_window(spark, queries):
+    """encode_tokens embeds the vocab_coverage head as its broadcast
+    side; the round-3 unpartitioned window must not ride back in."""
+    plan = plan_of(queries["corpus_encode_tokens"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_containment_has_no_join_at_all(spark, queries):
