@@ -3796,43 +3796,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return a1_groupby_rollup_sum(spark, SF0001)
 
 
-def _ever_checked() -> tuple[set, set]:
-    """(ever driver-checked, red-or-err in the latest round) query names,
-    read from the committed CORRECTNESS_r*.json driver artifacts.  The
-    driver samples the first N registry entries per round, so ordering is
-    how evidence gets captured: queries whose past rows were red (and
-    were fixed this round) go first, never-checked queries next, the
-    already-green long tail last."""
+def _evidence() -> "tuple[dict, set]":
+    """({query: round of its LATEST green driver row}, currently-red
+    set), read from the committed CORRECTNESS_r*.json driver artifacts.
+    Reds accumulate across rounds and are cleared only when a LATER
+    round records the query green — a query that went red once and was
+    never re-sampled must keep its priority, not silently launder back
+    to 'checked'."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    checked: set = set()
+    last_green: dict = {}
     red: set = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except Exception:
             continue
-        checked.update(rows)
-        red = {
-            n
-            for n, r in rows.items()
-            if r.get("err") not in (None, "no_oracle") or r.get("hash_match") is False
-        }
-    return checked, red
+        for n, r in rows.items():
+            if r.get("err") not in (None, "no_oracle") or r.get("hash_match") is False:
+                red.add(n)
+            else:
+                last_green[n] = rnd
+                red.discard(n)
+    return last_green, red
 
 
 def _driver_order(names) -> list[str]:
-    checked, red = _ever_checked()
-    # r2's bench crash also invalidated the two temporal joins' r1 rows —
-    # they were re-fixed this round and need fresh evidence
-    red = red | {"asof_click_attribution", "range_join_click_windows"}
-    refixed = [n for n in names if n in red]
-    unchecked = [n for n in names if n not in checked and n not in red]
-    rest = [n for n in names if n in checked and n not in red]
-    return refixed + unchecked + rest
+    """Evidence-capture ordering for the driver's per-round sample of
+    the first N registry entries: currently-red queries first (they need
+    a fresh green row), never-checked next, then the green tail sorted
+    OLDEST-green-round-first so evidence staleness self-heals — a query
+    last validated on round-1 code outranks one validated last round."""
+    last_green, red = _evidence()
+    idx = {n: i for i, n in enumerate(names)}
+    reds = [n for n in names if n in red]
+    unchecked = [n for n in names if n not in red and n not in last_green]
+    stale_first = sorted(
+        (n for n in names if n not in red and n in last_green),
+        key=lambda n: (last_green[n], idx[n]),
+    )
+    return reds + unchecked + stale_first
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -83,7 +83,13 @@ def davg(expr: str | Column, scale: int = 2) -> Column:
     :func:`F.round` applies half-up again at ``scale``.
     """
     if isinstance(expr, str) and scale == 2:
-        s = f"sum(cast(round(({expr}) * 100) as long))"
+        # widen the cent sum to decimal(38,0) before the *2*10^4 blowup:
+        # in pure long, 2*s*10000 wraps once a group's cent sum passes
+        # ~4.6e14 (~$4.6T) — silently wrong averages at 100 TB.  The
+        # fold itself still runs on a primitive long buffer; only the
+        # once-per-group division pays the decimal cost.  Headroom is
+        # now ~5e33 cents per group (decimal38 / 2e4).
+        s = f"cast(sum(cast(round(({expr}) * 100) as long)) as decimal(38,0))"
         c = f"count({expr})"
         # nullif: a group with zero non-null values must yield NULL (like
         # AVG), not an ANSI divide-by-zero error

@@ -313,6 +313,7 @@ def stream_stream_asof(
     payload_col: str = "value",
     tolerance_us: int | None = None,
     watermark: str = "10 minutes",
+    right_state_ttl_us: int | None = None,
 ) -> DataFrame:
     """Stream-STREAM backward as-of join — both sides moving (the static
     -right case is :func:`stream_asof_enrich`).  For each left row, the
@@ -333,6 +334,17 @@ def stream_stream_asof(
       rights at-or-before the watermark only the LATEST can ever win a
       backward match — so history compacts to that single row plus
       rights still above the watermark.
+
+    Right-only keys (a key that sees rights but never a left — e.g.
+    clicks with no purchases) would otherwise pin that one compacted
+    row forever.  With ``tolerance_us`` set, a right r is unmatchable
+    once ``r.ts + tolerance <= watermark`` (future lefts have
+    ts > watermark), so it is evicted and an event-time timeout clears
+    the idle key with no further data.  Without a tolerance the latest
+    right is a legitimate match for arbitrarily-late lefts, so eviction
+    changes results; ``right_state_ttl_us`` opts into bounded state
+    anyway (lefts arriving more than the TTL after the last right on
+    their key lose the match — the standard state-TTL trade).
 
     Input surface: ``left``'s non-key columns must be simple types
     (long/double/string/timestamp) — pending rows serialize through the
@@ -387,6 +399,14 @@ def stream_stream_asof(
         # float for the long case
         return int(float(s)) if pay_kind == "long" else float(s) if pay_kind == "double" else s
 
+    # a genuinely-null right payload is stored as a None array element,
+    # never stringified ("None"/"nan" would crash _restore_pay); sort
+    # nulls-first within a ts tie so a real payload wins the dedup
+    def _hist_key(h):
+        if h[1] is None:
+            return (h[0], 0, 0 if pay_kind != "string" else "")
+        return (h[0], 1, _restore_pay(h[1]))
+
     def fn(key, pdf_iter, state: "GroupState"):
         import bisect
 
@@ -406,7 +426,8 @@ def stream_stream_asof(
                     row = pdf.iloc[i]
                     if row["_side"] == 0:
                         r_ts.append(int(ts_us_col[i]))
-                        r_pay.append(str(row[payload_col]))
+                        pv = row[payload_col]
+                        r_pay.append(None if pd.isna(pv) else str(pv))
                     else:
                         p = {"_ts_us": int(ts_us_col[i])}
                         for c in left_extra:
@@ -418,7 +439,7 @@ def stream_stream_asof(
         # the payload's OWN dtype (a string sort would rank '9' over
         # '10'), mirroring the batch operator's max-payload-struct
         # tiebreak
-        hist = sorted(zip(r_ts, r_pay), key=lambda h: (h[0], _restore_pay(h[1])))
+        hist = sorted(zip(r_ts, r_pay), key=_hist_key)
         hts = [h[0] for h in hist]
 
         emit, keep = [], []
@@ -439,6 +460,11 @@ def stream_stream_asof(
         # compact: latest right <= watermark + everything above it
         cut = bisect.bisect_right(hts, wm_us) - 1
         hist = hist[max(cut, 0) :] if hist else []
+        # with a tolerance (or explicit TTL), a right is dead once no
+        # future left (ts > watermark) can still reach it
+        ttl_us = tolerance_us if tolerance_us is not None else right_state_ttl_us
+        if ttl_us is not None:
+            hist = [h for h in hist if h[0] + ttl_us > wm_us]
 
         if not keep and not hist:
             state.remove()
@@ -454,6 +480,10 @@ def stream_stream_asof(
                 # flush via timer once the watermark passes the oldest
                 # pending left even if no more data arrives on this key
                 state.setTimeoutTimestamp(min(p["_ts_us"] for p in keep) // 1000 + 1)
+            elif ttl_us is not None:
+                # right-only key: arm a timer at the instant the last
+                # retained right expires so idle state self-evicts
+                state.setTimeoutTimestamp((max(h[0] for h in hist) + ttl_us) // 1000 + 1)
 
         if emit:
             cols: dict = {c: [] for c in [f.name for f in out_fields]}

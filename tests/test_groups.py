@@ -66,3 +66,16 @@ def test_davg_integer_cents_path_empty_and_null_groups(spark):
     assert rows["a"] == 1.52  # (101 + 202) cents / 2 = 151.5 -> half-up 152
     assert rows["b"] is None, "all-null group must be NULL, not a div-by-zero"
     assert rows["c"] == 0.01
+
+
+def test_davg_cent_sum_past_long_intermediate_headroom(spark):
+    """A group whose cent sum exceeds ~4.6e14 must still average
+    correctly: the pre-division 2*s*10^4 blowup runs in decimal(38,0),
+    not long (where it would silently wrap with ANSI off)."""
+    from hpaste_spark.functions.money import davg
+
+    df = spark.createDataFrame(
+        [("a", 2.0e12), ("a", 4.0e12)], "k string, v double"
+    )  # cent sum 6e14 > 4.6e14 old headroom
+    rows = {r["k"]: r["avg_v"] for r in df.groupBy("k").agg(davg("v").alias("avg_v")).collect()}
+    assert rows["a"] == 3.0e12

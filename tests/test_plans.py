@@ -231,6 +231,26 @@ def test_encode_tokens_vocab_branch_has_no_window(spark, queries):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_band_key_construction_runs_no_jobs(spark):
+    """hyperplane_band_keys must be pure plan construction — it used to
+    run df.head() (a full Spark job re-executing the upstream lineage)
+    every time a query was merely built.  The planes table now derives
+    its dim lazily from limit(1), or from an explicit ``dim``.  (A
+    parquet-backed query still pays a schema-inference footer read at
+    build time — that is the source, not the operator.)"""
+    from hpaste_spark.operators.similarity import hyperplane_band_keys
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.5, 0.1, -1.0])], "vec_id long, embedding array<double>"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    hyperplane_band_keys(df)
+    hyperplane_band_keys(df, dim=3)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, f"band-key construction launched {after - before} Spark job(s)"
+
+
 def test_containment_has_no_join_at_all(spark, queries):
     """Round-3 shape: pair expansion is per-shingle bucket grouping —
     the plan must contain no join operator of any kind (the old

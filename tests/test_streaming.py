@@ -410,3 +410,105 @@ def test_stream_stream_asof_tolerance_nulls_stale_matches(spark, tmp_path):
     assert got[2] == 1, "fresh match within tolerance keeps the payload"
     assert got[3] is None, "stale match beyond tolerance must null out"
     assert got[4] is None, "never-matched left row still emitted (outer shape)"
+
+
+def _write_event_batches(tmp_path, name, frames):
+    """One parquet file per frame, mtime-ordered so the file source
+    replays them as separate micro-batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / name
+    src.mkdir()
+    for i, f in enumerate(frames):
+        p = src / f"{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(f, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return src
+
+
+def test_stream_stream_asof_right_ttl_evicts_idle_state(spark, tmp_path):
+    """With right_state_ttl_us set, a right row is evicted once
+    ``ts + ttl <= watermark``: a left arriving after the eviction
+    horizon must get a NULL match (observable proof the compacted
+    right-history row did not linger), instead of the match the
+    unttl'd operator would emit."""
+    import pandas as pd
+
+    from hpaste_spark.streaming.events import run_to_memory, stream_stream_asof
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(eid, ts, uid, etype, value=0.0):
+        return pd.DataFrame(
+            {
+                "event_id": [eid], "ts": [ts], "user_id": [uid],
+                "event_type": [etype], "value": [value], "props": ["{}"],
+            }
+        )
+
+    frames = [
+        ev(1, base, 9, "click"),                              # right-only until much later
+        ev(100, base + pd.Timedelta(hours=2), -1, "purchase"),  # advance watermark
+        ev(2, base + pd.Timedelta(hours=3), 9, "purchase"),   # left AFTER right expired
+        ev(101, base + pd.Timedelta(hours=5), -1, "purchase"),
+        ev(102, base + pd.Timedelta(hours=6), -1, "purchase"),
+    ]
+    src = _write_event_batches(tmp_path, "ttl_src", frames)
+    stream = read_event_stream(spark, str(src))
+    lefts = stream.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    rights = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = stream_stream_asof(
+        lefts, rights, on=["user_id"], payload_col="click_event_id",
+        watermark="1 minute", right_state_ttl_us=3_600_000_000,
+    )
+    run_to_memory(out, "ss_ttl_test", output_mode="append")
+    got = {r["event_id"]: r["click_event_id_right"] for r in spark.table("ss_ttl_test").collect()}
+    assert 2 in got, "left on the evicted key must still flush (outer shape)"
+    assert got[2] is None, "right row must be evicted at ts+ttl, not matched"
+
+
+def test_stream_stream_asof_null_right_payload_survives(spark, tmp_path):
+    """A right row whose payload is NULL must round-trip through state
+    without crashing (_restore_pay previously did float('None')) and
+    emit a match with ts_right set and a NULL payload."""
+    import numpy as np
+    import pandas as pd
+
+    from hpaste_spark.streaming.events import run_to_memory, stream_stream_asof
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b0 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [base, base + pd.Timedelta(minutes=5)],
+            "user_id": [7, 7],
+            "event_type": ["click", "purchase"],
+            "value": [np.nan, 3.0],  # the click's payload is NULL
+            "props": ["{}"] * 2,
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "event_id": [9], "ts": [base + pd.Timedelta(days=30)], "user_id": [-1],
+            "event_type": ["purchase"], "value": [0.0], "props": ["{}"],
+        }
+    )
+    b2 = b1.assign(event_id=[10], ts=[base + pd.Timedelta(days=31)])
+    src = _write_event_batches(tmp_path, "nullpay_src", [b0, b1, b2])
+    stream = read_event_stream(spark, str(src))
+    lefts = stream.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    rights = stream.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = stream_stream_asof(
+        lefts, rights, on=["user_id"], payload_col="value", watermark="1 minute"
+    )
+    run_to_memory(out, "ss_nullpay_test", output_mode="append")
+    got = {r["event_id"]: (r["ts_right"], r["value_right"]) for r in spark.table("ss_nullpay_test").collect()}
+    assert 2 in got
+    ts_right, value_right = got[2]
+    assert ts_right is not None, "the null-payload click is still the as-of match"
+    assert value_right is None
