@@ -1371,9 +1371,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8)
 
 
-@q(
-    "sim_ivf_topk",
-    """
+# shared by sim_ivf_topk (in-plan clustering) and sim_ivf_topk_stored
+# (prebuilt index): both compute the identical IVF result
+_IVF_TOPK_ORACLE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS scid
                FROM embeddings),
     pc AS (SELECT scid, i, AVG(e[i]) AS m
@@ -1401,8 +1401,10 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
       FROM v JOIN assign a USING (vec_id) JOIN probes p ON a.cid = p.cid, q)
     ORDER BY cos_raw DESC, vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@q("sim_ivf_topk", _IVF_TOPK_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: deterministic coarse centroids (seed partition
     mean, rounded 6dp), nearest-centroid inverted lists, nprobe=2 probe
@@ -1412,6 +1414,30 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivf_topk(emb, qv, k=10, k_centroids=8, nprobe=2)
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(here, ".scratch", "ivf_index", os.path.basename(os.path.normpath(sf_dir)))
+
+
+@q("sim_ivf_topk_stored", _IVF_TOPK_ORACLE)
+def sim_ivf_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a STORED index (similarity.build_ivf_index):
+    centroids + the corpus parquet-partitioned by assigned cid, built
+    write-once (here: on first call per fixture, into a gitignored
+    scratch dir) and then queried with the probe restriction planned as
+    a dynamicpruningexpression PartitionFilter on cid — the query scans
+    ~nprobe/k_centroids of the stored corpus instead of re-clustering.
+    Same parameters as sim_ivf_topk, hence the same oracle."""
+    from hpaste_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "vectors", "_SUCCESS")):
+        build_ivf_index(emb, idx, k_centroids=8)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_topk_indexed(spark, idx, qv, k=10, nprobe=2)
 
 
 @q(
@@ -1468,9 +1494,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, qs, k=5, bands=8, planes_per_band=4, max_bucket=2000)
 
 
-@q(
-    "sim_ivf_knn_join",
-    """
+# shared by sim_ivf_knn_join (in-plan) and sim_ivf_knn_join_stored
+# (prebuilt index): identical IVF batch k-NN result
+_IVF_KNN_ORACLE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS scid
                FROM embeddings),
     pc AS (SELECT scid, i, AVG(e[i]) AS m
@@ -1505,8 +1531,10 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
       FROM sc) t
     WHERE rk <= 5
-    """,
-)
+    """
+
+
+@q("sim_ivf_knn_join", _IVF_KNN_ORACLE)
 def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN down the IVF path: per-query probe of the 2 nearest
     centroid lists, exact cosine inside — the cluster-structure
@@ -1520,6 +1548,25 @@ def sim_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_knn_join(emb, qs, k=5, k_centroids=8, nprobe=2)
+
+
+@q("sim_ivf_knn_join_stored", _IVF_KNN_ORACLE)
+def sim_ivf_knn_join_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF k-NN over the STORED index: the per-query probe set
+    reaches the cid-partitioned vectors table via a broadcast equi-join
+    (dynamic partition pruning), and the pruned scan carries the
+    embeddings so scoring never re-reads the corpus.  Same parameters
+    as sim_ivf_knn_join, hence the same oracle."""
+    from hpaste_spark.operators.similarity import build_ivf_index, ivf_knn_join_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "vectors", "_SUCCESS")):
+        build_ivf_index(emb, idx, k_centroids=8)
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn_join_indexed(spark, idx, qs, k=5, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

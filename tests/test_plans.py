@@ -251,6 +251,32 @@ def test_band_key_construction_runs_no_jobs(spark):
     assert after == before, f"band-key construction launched {after - before} Spark job(s)"
 
 
+def test_stored_ivf_index_prunes_cid_partitions(spark, queries):
+    """The stored-index IVF query must plan the probe restriction as a
+    PARTITION filter on the index's cid layout (dynamic partition
+    pruning from the broadcast probe side) — scanning all cid
+    partitions would defeat the write-once index."""
+    plan = plan_of(queries["sim_ivf_topk_stored"](spark, SF_DIR))
+    assert "dynamicpruningexpression" in plan, (
+        "probe join must prune cid partitions:\n" + plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_stored_ivf_knn_join_prunes_and_scans_once(spark, queries):
+    """The stored-index batch k-NN must prune cid partitions AND read
+    the vectors table exactly once — scoring carries the embeddings out
+    of the pruned scan instead of joining back to the unpruned table."""
+    plan = plan_of(queries["sim_ivf_knn_join_stored"](spark, SF_DIR))
+    assert "dynamicpruningexpression" in plan, plan
+    assert plan.count("vectors]") <= plan.count("dynamicpruning"), (
+        "every vectors-table scan must be partition-pruned:\n" + plan
+    )
+    # only the K-row centroid attach may nested-loop (same allowance as
+    # test_ivf_knn_join_no_cartesian)
+    assert "CartesianProduct" not in plan
+
+
 def test_containment_has_no_join_at_all(spark, queries):
     """Round-3 shape: pair expansion is per-shingle bucket grouping —
     the plan must contain no join operator of any kind (the old
