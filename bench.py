@@ -116,12 +116,16 @@ def main() -> None:
 
     # Warm the JVM paths the queries exercise — vectorized parquet reader,
     # whole-stage codegen compilation (several seconds for the wide
-    # array-fold expressions), broadcast machinery — by running every
-    # headline query once at the tiny SF.  The measured numbers are then
-    # the data-proportional cost, not one-time class-load/JIT.
+    # array-fold expressions), broadcast machinery, and HotSpot tiering
+    # (the first sf0.1 execution of a wide codegen'd aggregate runs
+    # ~40% slower until C2 compiles it; 3× tiny + 1× sf0.01 reaches the
+    # invocation thresholds) — by running every headline query at the
+    # tiny SFs.  The measured numbers are then the data-proportional
+    # steady-state cost, not one-time class-load/JIT.
     spark.range(1000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
+    for warm_dir in ("/root/testdata/sf0.001",) * 3 + ("/root/testdata/sf0.01",):
+        if not os.path.isdir(warm_dir):
+            continue
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:
