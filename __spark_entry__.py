@@ -3838,6 +3838,61 @@ def corpus_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_tokens(d, vocab_size=100)
 
 
+@q(
+    "vec_random_projection",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (
+      SELECT vec_id, j,
+        list_sum(list_transform(range(1, len(v)+1), d ->
+          round(v[d]*1000000) * ((((j*2654435761 + (d-1)*40503) % 10007) - 5003)))) AS units
+      FROM e, range(0, 16) r(j)
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS pos,
+           ROUND(units / ((1000000::BIGINT * 5003) * sqrt(16.0)), 6) AS proj_val
+    FROM u
+    """,
+)
+def vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims over the embeddings table —
+    the compression step before cheap ANN/clustering.  Integer-
+    quantized dots against the deterministic plane matrix make every
+    accumulation exact (no fold-order noise); single narrow map stage,
+    zero shuffles."""
+    from hpaste_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+
+
+@q(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 1000),
+    lp AS (
+      SELECT t.doc_id, ln(COALESCE(v.cnt, 1)::DOUBLE / tot.total) AS lp
+      FROM tok t LEFT JOIN vocab v USING (token), tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(-AVG(lp), 4) AS logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean negative log-probability
+    under the corpus's own top-1000 unigram model (OOV floor 1/N) —
+    the CCNet/Gopher-style LM filtering signal, computed with the same
+    TakeOrderedAndProject vocabulary head as corpus_vocab_coverage."""
+    from hpaste_spark.operators.corpus import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return unigram_logprob(d, vocab_size=1000)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

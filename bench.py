@@ -57,10 +57,13 @@ HEADLINE = [
     "corpus_vocab_coverage",
     "corpus_redact_pii",
     "pipe_prepare_training_data",
-    # round 4 additions: ingest-shape dedup + stored-index ANN
+    # round 4 additions: ingest-shape dedup + stored-index ANN +
+    # LM-filter scoring + embedding compression
     "dedup_incremental_lsh",
     "sim_ivf_topk_stored",
     "sim_ivf_knn_join_stored",
+    "text_unigram_logprob",
+    "vec_random_projection",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -199,6 +199,50 @@ def encode_tokens(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean negative log
+    probability under the corpus's own unigram model — (doc_id,
+    n_tokens, logprob).  The CCNet/Gopher-style LM-filtering signal
+    with the corpus itself standing in for the language model:
+    boilerplate and natural text score low, gibberish and rare-token
+    soup score high.
+
+    Model: p(tok) = cnt(tok)/N for the ``vocab_size`` most frequent
+    tokens (ties broken on the token string), floor 1/N for everything
+    else — the head is the model, the tail is OOV, exactly the split a
+    real tokenizer/LM deployment has.  score = round(-avg(ln p), 4).
+
+    Shape: one token hash-agg → distributed top-k head
+    (TakeOrderedAndProject, same as :func:`vocab_coverage` — the
+    unbounded type table never single-partitions) broadcast to a
+    posexplode → broadcast-join → per-doc hash-agg.  The corpus never
+    shuffles by token; both corpus passes are narrow + one exchange
+    each.
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(vocab_size)
+    pos = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    scored = (
+        pos.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(F.coalesce(F.col("cnt"), F.lit(1)).cast("double") / F.col("_total")).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.avg("_lp"), 4).alias("logprob"),
+    )
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

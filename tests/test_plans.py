@@ -277,6 +277,21 @@ def test_stored_ivf_knn_join_prunes_and_scans_once(spark, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_random_projection_is_single_narrow_stage(spark, queries):
+    """JL projection must be scan → fold/posexplode with ZERO exchanges
+    — at 100 TB any shuffle here moves the whole embedding table."""
+    plan = plan_of(queries["vec_random_projection"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_unigram_logprob_vocab_head_no_window(spark, queries):
+    """The unigram model head must take the same distributed top-k as
+    vocab_coverage — no WindowExec over the unbounded type table."""
+    plan = plan_of(queries["text_unigram_logprob"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_containment_has_no_join_at_all(spark, queries):
     """Round-3 shape: pair expansion is per-shingle bucket grouping —
     the plan must contain no join operator of any kind (the old
