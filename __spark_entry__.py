@@ -3893,6 +3893,32 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d, vocab_size=1000)
 
 
+@q(
+    "dedup_repeated_ngrams",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      FROM d, unnest(range(1, greatest(len(t)-4, 0)+1)) AS r(i)
+    )
+    SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+    FROM s GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup signal (Lee et al. 2021): every
+    5-gram appearing in >= 2 distinct documents, with doc and occurrence
+    counts — the boilerplate/license-header spans document-level MinHash
+    can't see.  One narrow shingle explode + one hash-agg."""
+    from hpaste_spark.operators.dedup import repeated_ngram_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return repeated_ngram_spans(d, n=5, min_docs=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

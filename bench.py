@@ -64,6 +64,7 @@ HEADLINE = [
     "sim_ivf_knn_join_stored",
     "text_unigram_logprob",
     "vec_random_projection",
+    "dedup_repeated_ngrams",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -345,6 +345,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated n-gram spans across documents — (shingle, n_docs,
+    n_occurrences) for every n-gram appearing in ≥ ``min_docs`` distinct
+    docs.  The span-level exact-substring dedup signal of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better"):
+    document-level near-dup passes (MinHash) miss boilerplate /
+    license-header / quoted spans repeated inside otherwise-distinct
+    documents; this surfaces them for span REMOVAL rather than doc
+    removal.
+
+    Shape: one narrow shingle explode (zip_with chain — no O(tokens²)
+    re-split) → ONE hash-agg keyed by the shingle computing
+    count(*) + count(distinct doc) (Spark plans the distinct as the
+    standard two-phase expand — both phases map-side combined) →
+    having-filter.  The output is bounded by the repeated-span count,
+    never the corpus; at 100 TB this is the same single-shuffle shape
+    as word-count.
+    """
+    from hpaste_spark.functions.text import word_shingles
+
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    return (
+        ex.groupBy("shingle")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
