@@ -78,3 +78,42 @@ def test_redact_pii_recall_and_false_positive_guard(spark):
     assert out[4]["redacted_text"] == "perfectly clean text with no identifiers at all", (
         "clean text must pass through byte-identical (false-positive guard)"
     )
+
+
+def test_unigram_logprob_head_vs_oov_and_exact_value(spark):
+    """Vocab tokens score cnt/N; OOV floors at 1/N.  With vocab_size=1
+    only the most frequent token is in-model, everything else OOV."""
+    import math
+
+    from hpaste_spark.operators.corpus import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # counts: a=3, b=2, c=1, N=6; vocab_size=1 -> model = {a: 3/6}
+    out = {r["doc_id"]: (r["n_tokens"], r["logprob"]) for r in
+           unigram_logprob(df, vocab_size=1).collect()}
+    exp1 = round(-(3 * math.log(3 / 6) + math.log(1 / 6)) / 4, 4)
+    exp2 = round(-(2 * math.log(1 / 6)) / 2, 4)
+    assert out[1] == (4, exp1)
+    assert out[2] == (2, exp2)
+
+
+def test_repeated_ngram_spans_counts_and_short_doc_guard(spark):
+    """Docs shorter than n yield no spans; a span repeated within ONE
+    doc doesn't qualify (min_docs counts distinct docs), and occurrence
+    counts include within-doc repeats for qualifying spans."""
+    from hpaste_spark.operators.dedup import repeated_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z w"),            # shares "x y z" with doc 2
+            (2, "x y z q x y z"),      # "x y z" twice within doc 2
+            (3, "solo solo solo solo solo"),  # repeats only within itself
+            (4, "ab"),                 # shorter than n -> no spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["shingle"]: (r["n_docs"], r["n_occurrences"]) for r in
+           repeated_ngram_spans(df, n=3, min_docs=2).collect()}
+    assert out == {"x y z": (2, 3)}

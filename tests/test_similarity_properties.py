@@ -112,3 +112,32 @@ def test_containment_matches_set_model_exactly(spark, docs):
     assert got.keys() == expect.keys()
     for pair, c in expect.items():
         assert got[pair] == pytest.approx(c, abs=1e-6)
+
+
+def test_random_projection_is_exact_integer_math(spark):
+    """The projection must equal the integer-model reference exactly —
+    quantized components x integer plane comps, one final division —
+    independent of partitioning (fold order can't matter because every
+    accumulation is an exact integer below 2^53)."""
+    import math
+
+    from hpaste_spark.operators.similarity import (
+        PLANE_HALF,
+        PLANE_MOD,
+        PLANE_P1,
+        PLANE_P2,
+        random_projection,
+    )
+
+    vecs = [(1, [0.25, -1.5, 3.0]), (2, [1e-7, 0.0, -0.999999])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").repartition(4)
+    out = {(r["vec_id"], r["pos"]): r["proj_val"]
+           for r in random_projection(df, out_dim=4).collect()}
+    scale = float(10**6 * PLANE_HALF) * math.sqrt(4.0)
+    for vid, v in vecs:
+        for j in range(4):
+            units = sum(
+                round(x * 10**6) * ((j * PLANE_P1 + d * PLANE_P2) % PLANE_MOD - PLANE_HALF)
+                for d, x in enumerate(v)
+            )
+            assert out[(vid, j)] == round(units / scale, 6), (vid, j)
