@@ -1916,7 +1916,8 @@ def s2_multiget_empty_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "x2_group_zscore",
     """
-    SELECT event_id, user_id, ROUND(CASE WHEN sd > 0 THEN (value - m) / sd ELSE 0.0 END, 4) AS zscore
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN sd > 0 THEN (value - m) / sd ELSE 0.0 END, 4) + 0.0 AS zscore
     FROM (SELECT event_id, user_id, value,
                  AVG(value) OVER (PARTITION BY user_id) AS m,
                  STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd
@@ -1928,7 +1929,11 @@ def x2_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     out = zscore_normalize(ev, ["user_id"], "value", "event_id")
-    return out.select("event_id", "user_id", F.round("zscore", 4).alias("zscore"))
+    # + 0.0 collapses IEEE -0.0 (DuckDB ROUND keeps the sign on tiny
+    # negatives, Spark doesn't — first observable at sf0.1 row counts)
+    return out.select(
+        "event_id", "user_id", (F.round("zscore", 4) + F.lit(0.0)).alias("zscore")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0/0.0 and fp noise beyond ~12 significant digits
+        if v == 0.0:
+            return "0"  # collapse -0.0/0.0 (%g keeps the sign!)
+        # collapse fp noise beyond ~12 significant digits
         return f"{v:.10g}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
