@@ -512,3 +512,56 @@ def test_stream_stream_asof_null_right_payload_survives(spark, tmp_path):
     ts_right, value_right = got[2]
     assert ts_right is not None, "the null-payload click is still the as-of match"
     assert value_right is None
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """foreachBatch ingest dedup: the union of per-micro-batch candidate
+    sets against a standing corpus index must equal the batch operator
+    run over all streamed docs at once (same code path per batch; the
+    split must not change results — batch docs only join the CORPUS
+    index, never each other)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hpaste_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+    )
+    from hpaste_spark.streaming.dedup import stream_incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    newdocs = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus_bands = minhash_band_keys(corpus).persist()
+
+    # stream source: the new docs split into 2 mtime-ordered files
+    pdf = newdocs.toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+    src = _write_event_batches(
+        tmp_path, "inc_dedup_src", [pdf.iloc[:half], pdf.iloc[half:]]
+    )
+    stream = (
+        spark.readStream.schema(newdocs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    got: set = set()
+    batches: list = []
+
+    def sink(df, batch_id):
+        batches.append(batch_id)
+        got.update(
+            (r["batch_id"], r["corpus_id"], r["n_bands"]) for r in df.collect()
+        )
+
+    stream_incremental_dedup(stream, corpus_bands, sink)
+
+    want = {
+        (r["batch_id"], r["corpus_id"], r["n_bands"])
+        for r in incremental_lsh_candidates(corpus_bands, newdocs).collect()
+    }
+    assert len(batches) == 2, "expected one foreachBatch call per file"
+    assert want, "fixture must produce at least one near-dup candidate"
+    assert got == want
+    corpus_bands.unpersist()
