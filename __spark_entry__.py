@@ -1416,9 +1416,26 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qv, k=10, k_centroids=8, nprobe=2)
 
 
+#: bump to invalidate stored IVF indexes when centroid/assignment code changes
+_IVF_INDEX_VERSION = 1
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
+    """Scratch location keyed by fixture IDENTITY (mtime+size of the
+    embeddings file and the index-code version), not just the sf name —
+    a regenerated fixture or changed clustering code must rebuild, never
+    silently serve a stale index."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVF_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVF_INDEX_VERSION}"
     here = os.path.dirname(os.path.abspath(__file__))
-    return os.path.join(here, ".scratch", "ivf_index", os.path.basename(os.path.normpath(sf_dir)))
+    return os.path.join(
+        here, ".scratch", "ivf_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
 
 
 @q("sim_ivf_topk_stored", _IVF_TOPK_ORACLE)
@@ -3943,9 +3960,15 @@ def _evidence() -> "tuple[dict, set]":
     here = os.path.dirname(os.path.abspath(__file__))
     last_green: dict = {}
     red: set = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+
+    def _round_of(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else 0
+
+    # numeric round order, NOT lexicographic: r100 must process after
+    # r99, or an older green row would clear a newer red
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_of):
+        rnd = _round_of(path)
         try:
             with open(path) as fh:
                 rows = json.load(fh)

@@ -90,8 +90,13 @@ def _bench_stream_stream_asof(spark, sf_dir: str) -> None:
     )
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    # always re-point: lexists catches dangling symlinks (exists()
+    # follows them and would crash the re-symlink), and a same-basename
+    # key must not silently stream a previous fixture
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(target, link)
     stream = read_event_stream(spark, src_dir)
     lefts = stream.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     rights = stream.filter(F.col("event_type") == "click").select(

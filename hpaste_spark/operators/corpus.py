@@ -58,6 +58,33 @@ def chunk_documents(
     )
 
 
+def _token_stats(df: DataFrame, text_col: str) -> "tuple[DataFrame, DataFrame]":
+    """(counts, total): the distinct-type count table (one hash-agg,
+    map-side combined) and the single-row corpus token total — the ONE
+    definition of the vocabulary substrate shared by
+    :func:`vocab_coverage`, :func:`encode_tokens` (via vocab_coverage),
+    and :func:`unigram_logprob`, so tokenization and tie-break changes
+    can never diverge between them."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return counts, total
+
+
+def _vocab_head(counts: DataFrame, top_n: int) -> DataFrame:
+    """Distributed top-k of the type table (TakeOrderedAndProject —
+    per-partition top-k merge, never a global sort); ties break on the
+    token string so ranks are engine-stable."""
+    return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
+
+
+#: vocab_coverage's single-row cumsum fold copies the accumulated array
+#: per element (O(top_n²) element copies); past this bound the fold is
+#: no longer "trivial on one row" and the operator refuses rather than
+#: degrade (use encode/logprob heads directly, or a two-level cumsum)
+MAX_VOCAB_FOLD = 65536
+
+
 def vocab_coverage(
     df: DataFrame,
     top_n: int = 100,
@@ -77,14 +104,20 @@ def vocab_coverage(
     → one O(n) ``aggregate``) over only the ≤top_n surviving entries,
     so the plan contains NO WindowExec at all: the unbounded type table
     (10⁷–10⁸ types on a web corpus) is never moved to one partition.
-    Ordering ties break on the token string so ranks are engine-stable;
-    ``top_n`` is a vocabulary head and expected ≤ ~1e5 (the fold's array
-    lives on a single row).
+    Ordering ties break on the token string so ranks are engine-stable.
+    The fold copies its accumulator per element — O(top_n²) element
+    copies on one row — so ``top_n`` is bounded by ``MAX_VOCAB_FOLD``
+    (65536 ≈ sub-second; the operator raises past it rather than
+    silently degrade).
     """
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("_total"))
-    head = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
+    if top_n > MAX_VOCAB_FOLD:
+        raise ValueError(
+            f"top_n={top_n} exceeds MAX_VOCAB_FOLD={MAX_VOCAB_FOLD}: the "
+            "single-row cumsum fold is O(top_n²); use the un-cumsum'd "
+            "_vocab_head for larger vocabularies"
+        )
+    counts, total = _token_stats(df, text_col)
+    head = _vocab_head(counts, top_n)
     # ascending struct sort on (-cnt, token) == (cnt desc, token asc)
     sorted_arr = F.array_sort(
         F.collect_list(
@@ -224,10 +257,8 @@ def unigram_logprob(
     shuffles by token; both corpus passes are narrow + one exchange
     each.
     """
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("_total"))
-    vocab = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(vocab_size)
+    counts, total = _token_stats(df, text_col)
+    vocab = _vocab_head(counts, vocab_size)
     pos = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     scored = (
         pos.join(F.broadcast(vocab), "token", "left")

@@ -63,5 +63,12 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # returning with the query live would hand the caller a
+        # silently-incomplete candidate set while foreachBatch keeps
+        # firing in the background
+        q.stop()
+        raise TimeoutError(
+            f"stream_incremental_dedup did not drain within {timeout_s}s"
+        )
     return q

@@ -344,7 +344,8 @@ def stream_stream_asof(
     right is a legitimate match for arbitrarily-late lefts, so eviction
     changes results; ``right_state_ttl_us`` opts into bounded state
     anyway (lefts arriving more than the TTL after the last right on
-    their key lose the match — the standard state-TTL trade).
+    their key lose the match — the standard state-TTL trade).  When
+    both are set, the tighter (smaller) bound governs eviction.
 
     Input surface: ``left``'s non-key columns must be simple types
     (long/double/string/timestamp) — pending rows serialize through the
@@ -472,8 +473,12 @@ def stream_stream_asof(
         cut = bisect.bisect_right(hts, wm_us) - 1
         hist = hist[max(cut, 0) :] if hist else []
         # with a tolerance (or explicit TTL), a right is dead once no
-        # future left (ts > watermark) can still reach it
-        ttl_us = tolerance_us if tolerance_us is not None else right_state_ttl_us
+        # future left (ts > watermark) can still reach it; when both
+        # are set the TIGHTER bound wins — an explicit state TTL below
+        # the tolerance is a deliberate state-size-over-recall trade
+        # and must not be silently ignored
+        _ttls = [t for t in (tolerance_us, right_state_ttl_us) if t is not None]
+        ttl_us = min(_ttls) if _ttls else None
         if ttl_us is not None:
             hist = [h for h in hist if h[0] + ttl_us > wm_us]
 

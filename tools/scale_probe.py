@@ -34,7 +34,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scratch", "sf1_probe")
 PROBES = ["dedup_minhash_lsh", "sim_knn_join", "corpus_encode_tokens"]
+# rotate lowercase AND digits per replica: tokens made of digits or
+# mixed case would otherwise shingle identically across replicas,
+# re-introducing the cross-replica near-dups the probe must avoid
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+DIGITS = "0123456789"
+FROM_CHARS = ALPHA + DIGITS
 
 
 def synthesize(spark) -> None:
@@ -47,14 +52,18 @@ def synthesize(spark) -> None:
 
     reps = spark.range(10).select(F.col("id").cast("int").alias("r"))
     rot_map = F.create_map(
-        *[c for r in range(10) for c in (F.lit(r), F.lit(ALPHA[r:] + ALPHA[:r]))]
+        *[
+            c
+            for r in range(10)
+            for c in (F.lit(r), F.lit(ALPHA[r:] + ALPHA[:r] + DIGITS[r:] + DIGITS[:r]))
+        ]
     )
     d10 = (
         docs.crossJoin(reps)
         .withColumn("_rot", rot_map[F.col("r")])
         .select(
             (F.col("doc_id") + F.col("r").cast("long") * n_docs).alias("doc_id"),
-            F.expr(f"translate(text, '{ALPHA}', _rot)").alias("text"),
+            F.expr(f"translate(text, '{FROM_CHARS}', _rot)").alias("text"),
             "lang",
             "source",
             "n_chars",
