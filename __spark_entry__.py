@@ -3941,6 +3941,52 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_spans(d, n=5, min_docs=2)
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB twin of corpus.bpe_train_merges: the same
+    delimiter-wrapped state string, the same (total desc, lhs, rhs)
+    argmax per round, the same non-overlapping replace — one CTE stage
+    per merge, generated mechanically."""
+    stages = [
+        """WITH w AS (
+      SELECT w, COUNT(*) AS wc FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0) GROUP BY w
+    ),
+    s0 AS (SELECT wc, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM w)"""
+    ]
+    for k in range(1, n_merges + 1):
+        stages.append(
+            f"""p{k} AS (
+      SELECT l, r, SUM(wc) AS total FROM (
+        SELECT wc, syms[i] AS l, syms[i+1] AS r
+        FROM (SELECT wc, string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS syms
+              FROM s{k - 1}),
+             unnest(range(1, len(syms))) AS t(i)
+      ) GROUP BY l, r
+    ),
+    b{k} AS (SELECT l, r, total FROM p{k} ORDER BY total DESC, l, r LIMIT 1),
+    s{k} AS (SELECT wc, replace(s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+                                chr(1)||b.l||b.r||chr(2)) AS s FROM s{k - 1}, b{k} b)"""
+        )
+    selects = [
+        f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, total AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return ",\n".join(stages) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@q("corpus_bpe_merges", _bpe_oracle(8))
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 8 learned merges over the
+    documents corpus (word-frequency-dict based, deterministic argmax
+    tie-breaks) — the vocabulary-induction step of a tokenizer
+    pipeline, iterative like the reference's chained MR jobs."""
+    from hpaste_spark.operators.corpus import bpe_train_merges
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return bpe_train_merges(d, n_merges=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

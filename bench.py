@@ -65,6 +65,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "vec_random_projection",
     "dedup_repeated_ngrams",
+    "corpus_bpe_merges",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -144,6 +145,16 @@ def main() -> None:
             except Exception:
                 pass
         spark.catalog.clearCache()  # drop tiny-SF persisted intermediates
+
+    # warm the streaming engine once at the tiny SF (micro-batch
+    # planner, state-store classes, the applyInPandasWithState Python
+    # worker pool — ~8 s of one-time init that is not the operator)
+    if os.path.isdir("/root/testdata/sf0.001"):
+        for runner in STREAMING.values():
+            try:
+                runner(spark, "/root/testdata/sf0.001")
+            except Exception:
+                pass
 
     # write-once index builds at the bench SF, untimed: the timed run
     # measures the partition-pruned query, which is the operator's point

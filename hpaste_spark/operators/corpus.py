@@ -232,6 +232,101 @@ def encode_tokens(
     )
 
 
+#: symbol delimiters for the BPE state string: each symbol is stored as
+#: \x01<sym>\x02, so a pair pattern \x01a\x02\x01b\x02 can only match
+#: whole adjacent symbols (never a substring inside a longer symbol),
+#: and left-to-right non-overlapping replace() IS the BPE greedy merge
+_BPE_L = "\x01"
+_BPE_R = "\x02"
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge training over the corpus — the
+    vocabulary-induction step of a tokenizer pipeline.  Returns the
+    learned merge table (merge_rank, lhs, rhs, merged, pair_count),
+    rank 1 = first merge.
+
+    Classic BPE trains on the WORD-FREQUENCY dictionary, not the raw
+    corpus: one pass collapses the corpus to (distinct word, count) —
+    Zipf makes this table tiny relative to 100 TB of text — then each
+    merge round is (a) one hash-agg counting adjacent symbol pairs
+    weighted by word count, (b) a 1-row argmax collect (ties break on
+    the pair strings, engine-stable), (c) a literal string replace
+    applying the merge.  Symbols live delimiter-wrapped in one string
+    per word (see ``_BPE_L``) so the merge is a plain non-overlapping
+    ``replace`` — the exact semantics the DuckDB oracle replays.  Each
+    round's state is persisted and the PREVIOUS round's cache released
+    as soon as the new state is materialized (localCheckpoint blocks
+    would outlive the call and survive clearCache(), leaking executor
+    storage per invocation); the merge table is driver-built, so the
+    final state cache is released before returning too.
+
+    Like the reference's chained-MR jobs (SURVEY §3.3) this is an
+    iterative driver-coordinated pipeline: the per-round collect is ONE
+    row (the argmax), never data.
+    """
+    from hpaste_spark.functions.text import tokens as _tokens
+
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    wrapped = F.aggregate(
+        chars, F.lit(""), lambda acc, c: F.concat(acc, F.lit(_BPE_L), c, F.lit(_BPE_R))
+    )
+    state = words.select("wc", wrapped.alias("s")).persist()
+
+    spark = df.sparkSession
+    out_schema = "merge_rank long, lhs string, rhs string, merged string, pair_count long"
+    merges = []
+    for k in range(n_merges):
+        syms = F.split(
+            F.col("s").substr(F.lit(2), F.length("s") - 2), _BPE_R + _BPE_L
+        )
+        pairs = state.select(
+            "wc",
+            F.explode(
+                # slice BOTH sides to size-1: zip_with pads the shorter
+                # array with nulls, so a 1-symbol word would otherwise
+                # emit a (char, null) pair
+                F.zip_with(
+                    F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("wc").alias("total"))
+            .orderBy(F.col("total").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, total = best[0]["lhs"], best[0]["rhs"], best[0]["total"]
+        merges.append((k + 1, lhs, rhs, lhs + rhs, int(total)))
+        pat = _BPE_L + lhs + _BPE_R + _BPE_L + rhs + _BPE_R
+        rep = _BPE_L + lhs + rhs + _BPE_R
+        new_state = state.select(
+            "wc", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
+        ).persist()
+        new_state.count()  # materialize before releasing the parent cache
+        state.unpersist()
+        state = new_state
+    state.unpersist()
+    return spark.createDataFrame(merges, out_schema)
+
+
 def unigram_logprob(
     df: DataFrame,
     vocab_size: int = 1000,

@@ -117,3 +117,25 @@ def test_repeated_ngram_spans_counts_and_short_doc_guard(spark):
     out = {r["shingle"]: (r["n_docs"], r["n_occurrences"]) for r in
            repeated_ngram_spans(df, n=3, min_docs=2).collect()}
     assert out == {"x y z": (2, 3)}
+
+
+def test_bpe_train_merges_hand_corpus_and_overlap_semantics(spark):
+    """Hand-checkable BPE: overlapping pairs COUNT both occurrences but
+    merge greedily leftmost ('aaa' -> (aa)(a)); later rounds see merged
+    symbols; training stops early when no pairs remain."""
+    from hpaste_spark.operators.corpus import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaa aaa ba")], "doc_id long, text string")
+    # words: aaa(wc2), ba(wc1).  r1 pairs: (a,a)=4 (2 per 'aaa', x2), (b,a)=1
+    #   -> merge1 (a,a,'aa',4); 'aaa' becomes (aa)(a)
+    # r2 pairs: (aa,a)=2, (b,a)=1 -> merge2 (aa,a,'aaa',2)
+    # r3 pairs: (b,a)=1 -> merge3; r4: none -> stop at 3 rows
+    rows = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    assert rows == [
+        (1, "a", "a", "aa", 4),
+        (2, "aa", "a", "aaa", 2),
+        (3, "b", "a", "ba", 1),
+    ]
