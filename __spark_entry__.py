@@ -3941,18 +3941,20 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_spans(d, n=5, min_docs=2)
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled DuckDB twin of corpus.bpe_train_merges: the same
-    delimiter-wrapped state string, the same (total desc, lhs, rhs)
-    argmax per round, the same non-overlapping replace — one CTE stage
-    per merge, generated mechanically."""
+def _bpe_oracle(n_merges: int, mode: str = "merges") -> str:
+    """Unrolled DuckDB twin of corpus.bpe_train_merges /
+    bpe_segment_words: the same delimiter-wrapped state string, the
+    same (total desc, lhs, rhs) argmax per round, the same
+    non-overlapping replace — one CTE stage per merge, generated
+    mechanically.  mode='merges' emits the merge table; mode='segments'
+    emits the final word segmentation."""
     stages = [
         """WITH w AS (
       SELECT w, COUNT(*) AS wc FROM (
         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
         FROM documents WHERE length(trim(text)) > 0) GROUP BY w
     ),
-    s0 AS (SELECT wc, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM w)"""
+    s0 AS (SELECT w, wc, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM w)"""
     ]
     for k in range(1, n_merges + 1):
         stages.append(
@@ -3965,14 +3967,20 @@ def _bpe_oracle(n_merges: int) -> str:
       ) GROUP BY l, r
     ),
     b{k} AS (SELECT l, r, total FROM p{k} ORDER BY total DESC, l, r LIMIT 1),
-    s{k} AS (SELECT wc, replace(s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
-                                chr(1)||b.l||b.r||chr(2)) AS s FROM s{k - 1}, b{k} b)"""
+    s{k} AS (SELECT w, wc, replace(s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+                                   chr(1)||b.l||b.r||chr(2)) AS s FROM s{k - 1}, b{k} b)"""
         )
+    body = ",\n".join(stages) + "\n"
+    if mode == "segments":
+        return body + f"""
+    SELECT w, wc, CAST(len(syms) AS BIGINT) AS n_syms, array_to_string(syms, ' ') AS segmentation
+    FROM (SELECT w, wc, string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS syms
+          FROM s{n_merges})"""
     selects = [
         f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, total AS pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
     ]
-    return ",\n".join(stages) + "\n" + "\nUNION ALL ".join(selects)
+    return body + "\nUNION ALL ".join(selects)
 
 
 @q("corpus_bpe_merges", _bpe_oracle(8))
@@ -3985,6 +3993,18 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
     return bpe_train_merges(d, n_merges=8)
+
+
+@q("corpus_bpe_segment", _bpe_oracle(8, mode="segments"))
+def corpus_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application: the corpus word dictionary segmented under the
+    8 learned merges — (w, wc, n_syms, segmentation).  The train loop's
+    final state IS the segmentation; encoding documents is then a
+    broadcast join of this dictionary."""
+    from hpaste_spark.operators.corpus import bpe_segment_words
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return bpe_segment_words(d, n_merges=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:

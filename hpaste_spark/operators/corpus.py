@@ -269,6 +269,21 @@ def bpe_train_merges(
     iterative driver-coordinated pipeline: the per-round collect is ONE
     row (the argmax), never data.
     """
+    merges, state = _bpe_loop(df, n_merges, text_col)
+    state.unpersist()
+    out_schema = "merge_rank long, lhs string, rhs string, merged string, pair_count long"
+    return df.sparkSession.createDataFrame(merges, out_schema)
+
+
+def _bpe_syms(s_col: F.Column) -> F.Column:
+    """Symbol array from the delimiter-wrapped state string."""
+    return F.split(s_col.substr(F.lit(2), F.length(s_col) - 2), _BPE_R + _BPE_L)
+
+
+def _bpe_loop(df: DataFrame, n_merges: int, text_col: str):
+    """The shared BPE training loop: returns (merge rows, final word
+    state).  The returned state DataFrame is PERSISTED — the caller
+    must unpersist it."""
     from hpaste_spark.functions.text import tokens as _tokens
 
     words = (
@@ -282,15 +297,11 @@ def bpe_train_merges(
     wrapped = F.aggregate(
         chars, F.lit(""), lambda acc, c: F.concat(acc, F.lit(_BPE_L), c, F.lit(_BPE_R))
     )
-    state = words.select("wc", wrapped.alias("s")).persist()
+    state = words.select("w", "wc", wrapped.alias("s")).persist()
 
-    spark = df.sparkSession
-    out_schema = "merge_rank long, lhs string, rhs string, merged string, pair_count long"
     merges = []
     for k in range(n_merges):
-        syms = F.split(
-            F.col("s").substr(F.lit(2), F.length("s") - 2), _BPE_R + _BPE_L
-        )
+        syms = _bpe_syms(F.col("s"))
         pairs = state.select(
             "wc",
             F.explode(
@@ -318,13 +329,41 @@ def bpe_train_merges(
         pat = _BPE_L + lhs + _BPE_R + _BPE_L + rhs + _BPE_R
         rep = _BPE_L + lhs + rhs + _BPE_R
         new_state = state.select(
-            "wc", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
+            "w", "wc", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
         ).persist()
         new_state.count()  # materialize before releasing the parent cache
         state.unpersist()
         state = new_state
-    state.unpersist()
-    return spark.createDataFrame(merges, out_schema)
+    return merges, state
+
+
+def bpe_segment_words(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE APPLICATION: the corpus word dictionary segmented under the
+    learned merges — (w, wc, n_syms, segmentation with symbols space-
+    joined).  Train + apply in one pass: the training loop's final
+    state IS the segmentation of every distinct word, so applying costs
+    nothing beyond training (the corpus itself never re-tokenizes —
+    encoding documents is then a broadcast join of this dictionary,
+    exactly :func:`encode_tokens`'s shape).  The n_syms sum over wc is
+    the post-BPE corpus token count — the compression diagnostic that
+    drives vocabulary-size decisions."""
+    _, state = _bpe_loop(df, n_merges, text_col)
+    syms = _bpe_syms(F.col("s"))
+    out = state.select(
+        "w",
+        "wc",
+        F.size(syms).cast("long").alias("n_syms"),
+        F.concat_ws(" ", syms).alias("segmentation"),
+    )
+    # safe to release immediately: the learned merges are baked into
+    # the plan as LITERAL replace patterns, so recomputing `out` is one
+    # word-count agg plus a chain of narrow replaces — no re-training
+    state.unpersist(blocking=False)
+    return out
 
 
 def unigram_logprob(

@@ -139,3 +139,15 @@ def test_bpe_train_merges_hand_corpus_and_overlap_semantics(spark):
         (2, "aa", "a", "aaa", 2),
         (3, "b", "a", "ba", 1),
     ]
+
+
+def test_bpe_segment_words_matches_merge_sequence(spark):
+    """Segmentation is the train loop's final state: after merges
+    (a,a)->(aa) then (aa,a)->(aaa), 'aaa' is one symbol and 'ba' stays
+    two chars until its own merge lands."""
+    from hpaste_spark.operators.corpus import bpe_segment_words
+
+    df = spark.createDataFrame([(1, "aaa aaa ba")], "doc_id long, text string")
+    out = {r["w"]: (r["wc"], r["n_syms"], r["segmentation"]) for r in
+           bpe_segment_words(df, n_merges=2).collect()}
+    assert out == {"aaa": (2, 1, "aaa"), "ba": (1, 2, "b a")}
