@@ -3976,6 +3976,14 @@ def _bpe_oracle(n_merges: int, mode: str = "merges") -> str:
     SELECT w, wc, CAST(len(syms) AS BIGINT) AS n_syms, array_to_string(syms, ' ') AS segmentation
     FROM (SELECT w, wc, string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS syms
           FROM s{n_merges})"""
+    if mode == "encode":
+        return body + f"""
+    SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents WHERE length(trim(text)) > 0) dw
+    JOIN (SELECT w, CAST(len(string_split(substr(s, 2, length(s)-2), chr(2)||chr(1))) AS BIGINT) AS n_syms
+          FROM s{n_merges}) seg USING (w)
+    GROUP BY doc_id"""
     selects = [
         f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, total AS pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
@@ -4005,6 +4013,29 @@ def corpus_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
     return bpe_segment_words(d, n_merges=8)
+
+
+@q("corpus_bpe_encode", _bpe_oracle(8, mode="encode"))
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BPE encoding: per-document word and BPE-token
+    counts under the 8 learned merges — (doc_id, n_words,
+    n_bpe_tokens), the compression diagnostic of the trained tokenizer.
+    Shape: the segmentation DICTIONARY (distinct words — tiny by Zipf)
+    broadcasts to a posexplode→join→per-doc agg; the corpus itself is
+    tokenized once and never re-shuffled by word."""
+    from hpaste_spark.operators.corpus import bpe_segment_words
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    seg = bpe_segment_words(d, n_merges=8).select("w", "n_syms")
+    docw = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("w"))
+    return (
+        docw.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
