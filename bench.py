@@ -66,6 +66,7 @@ HEADLINE = [
     "vec_random_projection",
     "dedup_repeated_ngrams",
     "corpus_bpe_merges",
+    "fuzzy_name_matches",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -292,6 +292,14 @@ def test_unigram_logprob_vocab_head_no_window(spark, queries):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_fuzzy_join_blocks_on_deletion_keys_never_nested_loop(spark, queries):
+    """The edit-distance self-join must candidate via the deletion-key
+    EQUI-join — a levenshtein inequality join would plan a cartesian."""
+    plan = plan_of(queries["fuzzy_name_matches"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_containment_has_no_join_at_all(spark, queries):
     """Round-3 shape: pair expansion is per-shingle bucket grouping —
     the plan must contain no join operator of any kind (the old
