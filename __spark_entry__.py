@@ -3985,7 +3985,8 @@ def _bpe_oracle(n_merges: int, mode: str = "merges") -> str:
           FROM s{n_merges}) seg USING (w)
     GROUP BY doc_id"""
     selects = [
-        f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, total AS pair_count FROM b{k}"
+        f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, "
+        f"CAST(total AS BIGINT) AS pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
     ]
     return body + "\nUNION ALL ".join(selects)
