@@ -300,6 +300,7 @@ def _bpe_loop(df: DataFrame, n_merges: int, text_col: str):
     state = words.select("w", "wc", wrapped.alias("s")).persist()
 
     merges = []
+    prev = None
     for k in range(n_merges):
         syms = _bpe_syms(F.col("s"))
         pairs = state.select(
@@ -322,18 +323,24 @@ def _bpe_loop(df: DataFrame, n_merges: int, text_col: str):
             .limit(1)
             .collect()
         )
+        # this collect just materialized `state`'s cache (the pair agg
+        # reads through it), so the round-(k-1) cache it was built from
+        # can be released now — one job per round, no extra count()
+        if prev is not None:
+            prev.unpersist()
         if not best:
             break
         lhs, rhs, total = best[0]["lhs"], best[0]["rhs"], best[0]["total"]
         merges.append((k + 1, lhs, rhs, lhs + rhs, int(total)))
         pat = _BPE_L + lhs + _BPE_R + _BPE_L + rhs + _BPE_R
         rep = _BPE_L + lhs + rhs + _BPE_R
-        new_state = state.select(
+        prev = state
+        state = state.select(
             "w", "wc", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
         ).persist()
-        new_state.count()  # materialize before releasing the parent cache
-        state.unpersist()
-        state = new_state
+    if prev is not None:
+        prev.unpersist()  # the final round's parent; merges are baked
+        # literals, so any recompute of the final state is narrow
     return merges, state
 
 
