@@ -4043,31 +4043,27 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_name_matches",
     """
     WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part),
+    names AS (SELECT s, COUNT(*) AS m FROM p GROUP BY s),
     keyed AS (
-      SELECT DISTINCT id, s, k FROM p,
+      SELECT DISTINCT s, k FROM names,
         unnest(list_distinct(list_append(
           list_transform(range(1, length(s)+1),
                          i -> substr(s, 1, CAST(i AS INT)-1) || substr(s, CAST(i AS INT)+1, length(s))),
           s))) AS t(k)
     ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, a.s AS sa, b.id AS id_b, b.s AS sb
-      FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id
+    near1 AS (
+      SELECT sa, sb FROM (
+        SELECT DISTINCT a.s AS sa, b.s AS sb
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.s < b.s
+      ) WHERE levenshtein(sa, sb) <= 1
     ),
-    pairs AS (
-      SELECT id_a, id_b, levenshtein(sa, sb) AS dist FROM cand
-      WHERE levenshtein(sa, sb) <= 1
-    ),
-    sides AS (
-      SELECT id_a AS id, dist FROM pairs UNION ALL SELECT id_b AS id, dist FROM pairs
-    ),
-    counts AS (
-      SELECT id, CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-             CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near
-      FROM sides GROUP BY id
+    sym AS (SELECT sa AS s, sb AS o FROM near1 UNION ALL SELECT sb AS s, sa AS o FROM near1),
+    nearw AS (
+      SELECT sym.s, CAST(SUM(n.m) AS BIGINT) AS n_near
+      FROM sym JOIN names n ON n.s = sym.o GROUP BY sym.s
     )
-    SELECT p.id, COALESCE(n_exact, 0) AS n_exact, COALESCE(n_near, 0) AS n_near
-    FROM p LEFT JOIN counts USING (id)
+    SELECT p.id, CAST(n.m - 1 AS BIGINT) AS n_exact, COALESCE(nearw.n_near, 0) AS n_near
+    FROM p JOIN names n USING (s) LEFT JOIN nearw ON nearw.s = p.s
     """,
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,18 +56,23 @@ def edit_distance_pairs(
             "deletion blocking is lossless only for max_dist <= 1; "
             "chain merges or use n-gram blocking for larger radii"
         )
+    # internal aliases must differ from the caller's column names, or
+    # re-referencing `col` inside the same select resolves as a lateral
+    # alias (internal analyzer error under Generate)
+    s_al = "_s" if col not in ("_s", "_k") else "_s__fz"
+    k_al = "_k" if col not in ("_k",) and id_col != "_k" else "_k__fz"
     keyed = df.select(
-        F.col(id_col), F.col(col).alias("_s"), F.explode(deletion_keys(F.col(col))).alias("_k")
+        F.col(id_col), F.col(col).alias(s_al), F.explode(deletion_keys(F.col(col))).alias(k_al)
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
-        a.join(b, F.col("a._k") == F.col("b._k"))
+        a.join(b, F.col(f"a.{k_al}") == F.col(f"b.{k_al}"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col("a._s").alias("_sa"),
+            F.col(f"a.{s_al}").alias("_sa"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("b._s").alias("_sb"),
+            F.col(f"b.{s_al}").alias("_sb"),
         )
         .distinct()
     )
@@ -85,24 +90,45 @@ def fuzzy_match_counts(
     max_dist: int = 1,
 ) -> DataFrame:
     """Per-string near-match profile — (id, n_exact, n_near): how many
-    OTHER strings sit at distance 0 (exact duplicates) and at 1..max_dist.
-    The bounded-output diagnostic view of :func:`edit_distance_pairs`
-    (pair sets grow quadratically inside duplicate clusters; the per-id
-    rollup stays |corpus|-sized)."""
-    pairs = edit_distance_pairs(df, col, id_col, max_dist)
-    both = pairs.select(F.col("id_a").alias(id_col), "dist").unionAll(
-        pairs.select(F.col("id_b").alias(id_col), "dist")
+    OTHER strings sit at distance 0 (exact duplicates) and at
+    1..max_dist.
+
+    Scale shape: DEDUPE-THEN-JOIN.  The materialized pair set is
+    quadratic inside duplicate clusters (k copies of a name = k² pairs
+    — 37 s vs 2 s at bench scale on a clustered name space), but the
+    near-match STRUCTURE lives entirely on distinct strings: with
+    multiplicity m(name),
+
+      n_exact(id with name a) = m(a) - 1
+      n_near(id with name a)  = Σ over distinct b at distance 1..k of m(b)
+
+    so the deletion-key join runs on the vocabulary-sized distinct-name
+    table, weights fold in one agg, and the corpus is touched only by
+    the name-count agg and the final profile attach (broadcast-sized).
+    """
+    names = df.groupBy(col).agg(F.count(F.lit(1)).alias("_m"))
+    # the name doubles as its own pair id; `concat` breaks the
+    # attribute identity so the self-join doesn't alias one attr twice
+    # (which trips Spark's resolver with an internal error)
+    pairs = edit_distance_pairs(
+        names.select(F.concat(F.col(col)).alias("_nid"), F.col(col).alias("_s")),
+        col="_s",
+        id_col="_nid",
+        max_dist=max_dist,
+    )  # distinct names as their own ids; only dist >= 1 survives
+    sym = pairs.select(F.col("id_a").alias(col), F.col("id_b").alias("_other")).unionAll(
+        pairs.select(F.col("id_b").alias(col), F.col("id_a").alias("_other"))
     )
-    counts = both.groupBy(id_col).agg(
-        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
-        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0)).cast("long").alias("n_near"),
-    )
-    return (
-        df.select(id_col)
-        .join(counts, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+    near = (
+        sym.join(
+            names.select(F.col(col).alias("_other"), F.col("_m").alias("_mo")), "_other"
         )
+        .groupBy(col)
+        .agg(F.sum("_mo").alias("_near"))
     )
+    prof = names.join(near, col, "left").select(
+        col,
+        (F.col("_m") - 1).cast("long").alias("n_exact"),
+        F.coalesce("_near", F.lit(0)).cast("long").alias("n_near"),
+    )
+    return df.select(id_col, col).join(prof, col).select(id_col, "n_exact", "n_near")
