@@ -4077,6 +4077,101 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_counts(p, col="s", id_col="id", max_dist=1)
 
 
+@q(
+    "mix_temperature_sample",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, CAST(floor(sqrt(n) * 1048576) AS BIGINT) AS wt FROM c),
+    d AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum, CAST(SUM(n) AS BIGINT) AS total FROM w),
+    r AS (
+      SELECT lang,
+             CAST(floor(LEAST(1.0, 0.5 * total * wt / (CAST(n AS DOUBLE) * wsum)) * 65536)
+                  AS BIGINT) AS thr
+      FROM w, d
+    )
+    SELECT doc_id, documents.lang AS lang
+    FROM documents JOIN r USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 65536 < thr
+    """,
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus re-mixing (mT5/XLM-R style): resample
+    the documents table toward a flattened language mixture (tau=0.5,
+    target half the corpus) — head languages downweighted, tail
+    languages kept whole; md5-thresholded so the exact kept-row SET is
+    the oracle contract, not just per-stratum counts."""
+    from hpaste_spark.operators.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture(d, "lang", "doc_id", tau=0.5, target_frac=0.5)
+    return kept.select("doc_id", "lang")
+
+
+@q(
+    "prof_table_stats",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def prof_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling: per-column null count, exact
+    cardinality, and native-type min/max rendered as strings — the
+    data-quality recon step before/after a big transform.  One agg
+    (shared-Expand distinct set) + a one-row stack unpivot."""
+    from hpaste_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@q(
+    "skew_key_report",
+    """
+    WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nkeys FROM c),
+    h AS (SELECT o_custkey, cnt FROM c ORDER BY cnt DESC, o_custkey LIMIT 10)
+    SELECT o_custkey, cnt,
+           ROUND(cnt / CAST(total AS DOUBLE), 6) AS frac,
+           ROUND(CAST(cnt AS DOUBLE) * nkeys / total, 4) AS skew
+    FROM h, s
+    """,
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-key diagnostic: the 10 heaviest customer
+    keys in orders with count, corpus fraction, and skew ratio vs the
+    per-key mean — the measurement behind the salt-or-broadcast
+    decision.  Distributed top-k head (TakeOrderedAndProject), never a
+    global sort."""
+    from hpaste_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

@@ -1,0 +1,68 @@
+"""Table profiling: per-column statistics in one pass.
+
+The data-quality reconnaissance step every pipeline runs before (and
+after) a big transform — null rates, cardinalities, and value ranges
+per column — expressed as ONE aggregate over the table and unpivoted
+to a row per column.  The reference exposes no profiling surface (its
+schema layer is declarative only, HbaseTable.scala's column registry);
+this is the operational tooling a 100 TB engine needs around it.
+
+Scale shape: a single ``agg`` computes every statistic in one scan
+(Catalyst plans the ``count(distinct)`` set via a shared Expand — one
+shuffle round, map-side partial everywhere), and the unpivot is a
+``stack`` over the ONE result row.  ``approx_distinct=True`` swaps the
+exact distinct counts for HyperLogLog sketches (no Expand, purely
+mergeable partials) — at 100 TB that is the default posture; exact is
+kept for oracle-comparable audits.  min/max are taken in the column's
+NATIVE type and cast to string afterwards, so numeric/date ranges are
+true ordering extremes, not lexicographic accidents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: "Sequence[str] | None" = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_str, max_str) — one
+    row per profiled column, computed in a single pass.  ``n_distinct``
+    excludes nulls (SQL COUNT(DISTINCT) semantics); ``min_str`` /
+    ``max_str`` are the native-type extremes rendered as strings (null
+    when the column is entirely null)."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    bad = [c for c in cols if not c.replace("_", "").isalnum()]
+    if bad:
+        raise ValueError(f"unsupported column names for stack unpivot: {bad}")
+    distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {parts}) as (col_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("_rows").cast("long").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )

@@ -131,6 +131,69 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col), buckets) < thr)
 
 
+#: weight quantum for temperature_mixture: stratum weights n^tau are
+#: floored to multiples of 2^-20 BEFORE summing, so the normalizer is
+#: an exact integer sum (a double sum over strata would be summation-
+#: order-dependent and break cross-engine reproducibility)
+WEIGHT_SCALE = 1 << 20
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    tau: float = 0.5,
+    target_frac: float = 0.5,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Temperature-based corpus re-mixing — the multilingual /
+    multi-domain resampling step (mT5/XLM-R style): stratum ``s`` with
+    share ``p_s = n_s/N`` is sampled with probability ``q_s ∝ p_s^tau``,
+    flattening the mixture toward uniform as ``tau → 0`` (tau=1 is
+    proportional, i.e. plain uniform downsampling).  Returns the kept
+    rows; per-stratum keep rate is ``min(1, target_frac·N·q_s/n_s)`` so
+    the output totals ~``target_frac·N`` rows (exactly the md5-bucket
+    realization of it) with head strata downweighted and tail strata
+    kept whole.
+
+    Determinism/scale shape: one column-pruned count pass (hash-agg to
+    |strata| rows) → the rate table is derived IN-PLAN and broadcast
+    back, so the main pass is scan → broadcast join → row-local
+    md5-threshold filter — no shuffle of the corpus, no rand(), no
+    driver collect, monotone in ``target_frac`` (raising it only adds
+    rows).  Cross-engine exactness: weights ``n^tau`` are floored to
+    integer multiples of 2^-20 (``WEIGHT_SCALE``) before the normalizer
+    sum, so the sum is exact integer arithmetic (order-free); the rate
+    itself is then a deterministic double expression over exact longs,
+    and tau=0.5 uses ``sqrt`` (IEEE correctly-rounded, bit-identical in
+    any engine) rather than libm ``pow`` (1-ulp licensed).  The oracle
+    replays the formula literally.
+    """
+    n = F.col("_n")
+    root = F.sqrt(n) if tau == 0.5 else F.pow(n, F.lit(float(tau)))
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    weighted = counts.select(
+        stratum_col, "_n", F.floor(root * WEIGHT_SCALE).cast("long").alias("_w")
+    )
+    denom = weighted.agg(F.sum("_w").alias("_wsum"), F.sum("_n").alias("_total"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * F.col("_total")
+        * F.col("_w")
+        / (n.cast("double") * F.col("_wsum")),
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(stratum_col, F.floor(rate * buckets).cast("long").alias("_thr"))
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash_bucket(F.col(id_col), buckets) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def group_reservoir(
     df: DataFrame,
     group_col: str,

@@ -79,6 +79,40 @@ def salted_groupby(
     )
 
 
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle key: the
+    ``top_n`` heaviest values of ``key_col`` with row count, corpus
+    fraction, and skew ratio (count / mean-per-key) — the measurement
+    you take BEFORE deciding between a plain shuffle, a broadcast, or
+    :func:`salted_groupby` / :func:`salted_join` (skew ≫ 1 on the head
+    key means one reducer inherits that multiple of the average load).
+
+    Shape: one hash-agg to per-key counts (map-side combined), a
+    broadcast single-row (total, n_keys) summary, and the head taken
+    with ``orderBy().limit()`` — TakeOrderedAndProject, a distributed
+    per-partition top-k merge; the unbounded key table is never
+    single-partitioned or globally sorted.  Ties at the boundary break
+    on the key value so the report is engine-stable.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    summary = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    head = counts.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(top_n)
+    return head.crossJoin(F.broadcast(summary)).select(
+        key_col,
+        "cnt",
+        F.round(F.col("cnt") / F.col("_total"), 6).alias("frac"),
+        F.round(
+            F.col("cnt").cast("double") * F.col("_nkeys") / F.col("_total"), 4
+        ).alias("skew"),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

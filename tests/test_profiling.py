@@ -1,0 +1,150 @@
+"""Temperature mixing, table profiling, and skew diagnostics —
+semantic + plan-shape checks on the driver fixtures at sf0.001."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpaste_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF, "orders")
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def test_temperature_flattens_toward_uniform(spark, docs):
+    """tau=0.5 must downweight the head language relative to the tail:
+    the kept-fraction of the largest stratum is strictly below that of
+    the smallest (that is the whole point of temperature resampling)."""
+    from hpaste_spark.operators.sampling import temperature_mixture
+
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = temperature_mixture(docs, "lang", "doc_id", tau=0.5, target_frac=0.5)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    head = max(base, key=base.get)
+    tail = min(base, key=base.get)
+    assert got[head] / base[head] < got[tail] / base[tail]
+    # tail strata whose rate clamps at 1 are kept whole
+    total = sum(base.values())
+    wsum = sum(int((n ** 0.5) * (1 << 20)) for n in base.values())
+    for lang, n in base.items():
+        rate = min(1.0, 0.5 * total * int((n ** 0.5) * (1 << 20)) / (n * wsum))
+        if rate == 1.0:
+            assert got.get(lang, 0) == n
+
+
+def test_temperature_tau1_is_uniform_downsampling(spark, docs):
+    """tau=1 collapses to plain proportional sampling: every stratum's
+    keep threshold is the same target_frac bucket cut."""
+    from hpaste_spark.operators.sampling import hash_bucket, temperature_mixture
+
+    kept = temperature_mixture(docs, "lang", "doc_id", tau=1.0, target_frac=0.4)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    expect = {
+        r["doc_id"]
+        for r in docs.select("doc_id", hash_bucket(F.col("doc_id"), 65536).alias("b"))
+        .collect()
+        if r["b"] < int(0.4 * 65536)
+    }
+    assert ids == expect
+
+
+def test_temperature_monotone_in_target_frac(spark, docs):
+    """Raising target_frac only ever ADDS rows (md5-threshold keeps
+    re-mixes incremental, same contract as mixture_sample)."""
+    from hpaste_spark.operators.sampling import temperature_mixture
+
+    small = {r["doc_id"] for r in
+             temperature_mixture(docs, "lang", "doc_id", 0.5, 0.3).select("doc_id").collect()}
+    big = {r["doc_id"] for r in
+           temperature_mixture(docs, "lang", "doc_id", 0.5, 0.6).select("doc_id").collect()}
+    assert small <= big
+    assert len(small) < len(big)
+
+
+# ---------------------------------------------------------------- profile
+
+
+def test_profile_counts_nulls_distincts_and_native_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 10.0), (2, None, 2.5), (3, "a", None), (3, "a", 2.5)],
+        "k long, s string, v double",
+    )
+    from hpaste_spark.operators.profile import profile_table
+
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert (rows["k"]["n_nulls"], rows["k"]["n_distinct"]) == (0, 3)
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (1, 2)
+    assert (rows["v"]["n_nulls"], rows["v"]["n_distinct"]) == (1, 2)
+    # native-type extremes: numeric min is 2.5, not lexicographic "10.0"
+    assert rows["v"]["min_str"] == "2.5"
+    assert rows["v"]["max_str"] == "10.0"
+    assert rows["k"]["min_str"] == "1"
+
+
+def test_profile_all_null_column_and_approx_mode(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+    from hpaste_spark.operators.profile import profile_table
+
+    r = {x["col_name"]: x for x in profile_table(df).collect()}
+    assert r["s"]["n_distinct"] == 0
+    assert r["s"]["min_str"] is None and r["s"]["max_str"] is None
+    approx = {x["col_name"]: x for x in profile_table(df, approx_distinct=True).collect()}
+    assert approx["k"]["n_distinct"] == 2  # HLL exact at tiny cardinality
+
+
+def test_profile_is_one_scan_no_join(spark, orders):
+    """The profile is ONE aggregate pass: no joins, no unions of
+    per-column scans — the plan reads the table once (Expand handles
+    the distinct set) and the unpivot is driver-free."""
+    from hpaste_spark.operators.profile import profile_table
+
+    plan = profile_table(
+        orders, ["o_orderkey", "o_orderstatus"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------- skew
+
+
+def test_skew_report_values_and_order(spark):
+    rows = [("hot", i) for i in range(60)] + [("warm", i) for i in range(30)]
+    rows += [(f"k{i}", 0) for i in range(10)]  # 10 singleton keys
+    df = spark.createDataFrame(rows, "key string, x long")
+    from hpaste_spark.operators.skew import skew_report
+
+    got = skew_report(df, "key", top_n=3).collect()
+    assert [r["key"] for r in got] == ["hot", "warm", "k0"]  # ties break on key
+    total, nkeys = 100, 12
+    assert got[0]["cnt"] == 60
+    assert got[0]["frac"] == round(60 / total, 6)
+    assert got[0]["skew"] == round(60 * nkeys / total, 4)
+    assert got[2]["cnt"] == 1
+
+
+def test_skew_report_head_is_distributed_topk(spark, orders):
+    """The head must plan as TakeOrderedAndProject (per-partition top-k
+    merge), never a global Sort of the unbounded key table."""
+    from hpaste_spark.operators.skew import skew_report
+
+    plan = skew_report(
+        orders, "o_custkey", top_n=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
