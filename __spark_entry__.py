@@ -4078,6 +4078,49 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_semantic",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS scid
+               FROM embeddings),
+    pc AS (SELECT scid, i, AVG(e[i]) AS m FROM v, range(1, 65) AS r(i) GROUP BY scid, i),
+    cent AS (SELECT scid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM pc GROUP BY scid),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.e, c.cvec)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+      FROM v, cent c),
+    assign AS (SELECT vec_id, cid, cc FROM (
+        SELECT vec_id, cid, cc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    m AS (SELECT a.vec_id, a.cid, a.cc AS ccent, v.e FROM assign a JOIN v USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.ccent AS ca, y.ccent AS cb,
+             list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_raw
+      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    losers AS (
+      SELECT DISTINCT CASE WHEN ca >= cb THEN id_b ELSE id_a END AS vec_id
+      FROM pairs WHERE cos_raw >= 0.4)
+    SELECT m.vec_id, m.cid, ROUND(m.ccent, 6) + 0 AS centroid_sim
+    FROM m LEFT JOIN losers USING (vec_id) WHERE losers.vec_id IS NULL
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings fixture:
+    k-means cluster (the IVF coarse centroids, iterations=1), then
+    within each cluster drop every vector with an above-threshold
+    cosine neighbor closer to the centroid — the kept-row SET is the
+    oracle contract.  The quadratic step is cluster-local (cid
+    equi-join); k_centroids scales with corpus size at 100 TB."""
+    from hpaste_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k_centroids=8, threshold=0.4
+    )
+
+
+@q(
     "mix_temperature_sample",
     """
     WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),

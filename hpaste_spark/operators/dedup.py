@@ -623,6 +623,82 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k_centroids: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 1,
+    max_cluster: "int | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then inside each cluster drop every vector that has an
+    above-threshold cosine neighbor CLOSER to the centroid — semantic
+    near-duplicates are pruned while one representative (the most
+    central copy, the paper's keep rule) survives.  Returns the kept
+    rows as (id, cid, centroid_sim).
+
+    Unlike the LSH near-dup paths (which find lexical/embedding
+    near-IDENTICAL pairs), clustering first makes the quadratic step
+    local: the only pair expansion is a cid equi-join, so total work is
+    Σ|cluster|² — bounded by keeping cluster size ~n/k constant, i.e.
+    ``k_centroids`` MUST scale with corpus size (the paper uses k in
+    the tens of thousands at 100M+ points; at 100 TB, build the
+    clusters once via :func:`~hpaste_spark.operators.similarity.
+    build_ivf_index` and run per-cid).  ``max_cluster`` optionally caps
+    each cluster's pair expansion to its most-central members
+    (deterministic (cc desc, id) rank, same posture as the LSH
+    ``max_bucket`` guards) so one degenerate mega-cluster cannot go
+    quadratic.
+
+    Keep rule determinism: a pair (a < b) above threshold drops the
+    member with the LOWER centroid-cosine, ties drop the higher id —
+    pure expressions over values both engines compute identically, so
+    the kept-row SET is the oracle contract."""
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.vectors import as_double, cosine
+    from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(df, k_centroids, vec_col, id_col, iterations)
+    assign = ivf_assign(df, cents, vec_col, id_col, with_score=True)
+    m = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_e")).join(
+        assign, id_col
+    )
+    if max_cluster is not None:
+        w = Window.partitionBy("cid").orderBy(F.col("cc").desc(), F.col(id_col))
+        m = m.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= max_cluster
+        ).drop("_rk")
+    a = m.select(
+        F.col(id_col).alias("id_a"), "cid", F.col("cc").alias("ca"),
+        F.col("_e").alias("ea"),
+    )
+    b = m.select(
+        F.col(id_col).alias("id_b"), "cid", F.col("cc").alias("cb"),
+        F.col("_e").alias("eb"),
+    )
+    losers = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_raw") >= threshold)
+        # id_a < id_b here, so "ties drop the higher id" is ca >= cb -> b
+        .select(
+            F.when(F.col("ca") >= F.col("cb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return m.join(losers, id_col, "left_anti").select(
+        F.col(id_col),
+        "cid",
+        (F.round(F.col("cc"), 6) + F.lit(0.0)).alias("centroid_sim"),
+    )
+
+
 def keep_best_per_cluster(
     df: DataFrame,
     pairs: DataFrame,

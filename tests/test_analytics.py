@@ -601,3 +601,42 @@ def test_ivf_lloyd_iterations_do_not_increase_sse(spark, emb):
     s1, s2, s3 = sse(1), sse(2), sse(3)
     assert s2 <= s1 + 1e-6 and s3 <= s2 + 1e-6, (s1, s2, s3)
     assert sse(2) == s2, "refined centroids must be run-deterministic"
+
+
+def test_semantic_dedup_prunes_central_neighbor_rule(spark):
+    """SemDeDup keep rule: in an above-threshold within-cluster pair
+    the member FARTHER from the centroid is dropped; unrelated vectors
+    survive; the kept set is partitioning-stable."""
+    from hpaste_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # even ids seed cluster 0 (id % 2): two near-identical vectors
+        # plus one distant one
+        (0, [1.0, 0.0, 0.0, 0.05]),
+        (2, [1.0, 0.01, 0.0, 0.0]),   # ~cos 0.999 with id 0
+        (4, [0.1, 0.0, 1.0, 0.0]),    # unrelated
+        # odd ids seed cluster 1: all mutually distant
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.1, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, k_centroids=2, threshold=0.9)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert len(ids & {0, 2}) == 1          # exactly one of the near-pair survives
+    assert {1, 3, 4} <= ids                 # everything else survives
+    again = {r["vec_id"] for r in semantic_dedup(
+        df.repartition(5), k_centroids=2, threshold=0.9).collect()}
+    assert again == ids
+
+
+def test_semantic_dedup_plan_is_cluster_local_equi_join(spark, emb):
+    """The quadratic step must ride a cid EQUI-join — never a
+    cartesian/nested-loop pair expansion — and max_cluster caps the
+    per-cluster expansion deterministically."""
+    from hpaste_spark.operators.dedup import semantic_dedup
+
+    plan = semantic_dedup(emb, k_centroids=8, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    capped = semantic_dedup(emb, k_centroids=8, threshold=0.4, max_cluster=10)
+    assert capped.count() <= 80  # <= k_centroids * max_cluster rows survive
