@@ -67,6 +67,12 @@ HEADLINE = [
     "dedup_repeated_ngrams",
     "corpus_bpe_merges",
     "fuzzy_name_matches",
+    # round 4, second batch: semantic dedup, temperature mixing, and
+    # the profiling/diagnostic utilities
+    "dedup_semantic",
+    "mix_temperature_sample",
+    "prof_table_stats",
+    "skew_key_report",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
