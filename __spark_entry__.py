@@ -719,6 +719,42 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_bm25_topk",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM d
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    m AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector')),
+    dfq AS (SELECT term, COUNT(*) AS df FROM m GROUP BY term),
+    sc AS (
+      SELECT m.doc_id,
+             ROUND(SUM(ROUND(
+               ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * m.tf * (1.2 + 1.0)
+               / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6)), 4) AS score
+      FROM m JOIN dfq USING (term) JOIN dl USING (doc_id), st
+      GROUP BY m.doc_id)
+    SELECT doc_id, score, CAST(rk AS INT) AS rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc) t
+    WHERE rk <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-10 docs for a 3-term query.  Scores
+    rounded (6 dp per-term, 4 dp per-doc) before ranking with a doc-id
+    tie-break — top-k can't flip on double-addition order."""
+    from hpaste_spark.operators.tfidf import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return bm25_topk(d, ["hash", "join", "vector"], k=10)
+
+
+@q(
     "text_bigram_counts",
     """
     WITH d AS (
@@ -1778,6 +1814,71 @@ def sess_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak_cols=["event_id"]).select(
         "event_id", "user_id", "session_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-step funnel (single-shuffle fold; contrast with the
+# join-chain funnel_view_click_purchase above) + cohort retention —
+# the per-user ordered-replay reducer shapes HPaste's secondary-sort
+# MR jobs express (mapreduce2.scala:1040 sort/grouping comparators),
+# as one shuffle + a JVM array fold / two hash aggs.  operators/funnel.py.
+# ---------------------------------------------------------------------------
+@q(
+    "funnel_ordered_steps",
+    """
+    WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id),
+    c AS (
+      SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM s0) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM s1)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s2)
+    )
+    SELECT CAST(step AS INT) AS step, step_name, CAST(n_users AS BIGINT) AS n_users,
+           ROUND(CASE WHEN (SELECT COUNT(*) FROM s0) > 0
+                      THEN n_users * 100.0 / (SELECT COUNT(*) FROM s0)
+                      ELSE 0.0 END, 2) AS pct_of_first
+    FROM c
+    """,
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel: one shuffle + fold,
+    not the oracle's k self-joins (semantics proven equal — greedy
+    earliest matching; see funnel.py docstring)."""
+    from hpaste_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@q(
+    "funnel_cohort_retention",
+    """
+    WITH ev AS (SELECT user_id,
+                       CAST(FLOOR(epoch_us(ts) / (7 * 86400 * CAST(1000000 AS BIGINT))) AS BIGINT) AS p
+                FROM events),
+    f AS (SELECT user_id, MIN(p) AS cohort FROM ev GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, p FROM ev),
+    g AS (SELECT cohort AS cohort_period, p - cohort AS period_offset,
+                 COUNT(*) AS n_active
+          FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+    b AS (SELECT cohort_period, n_active AS base FROM g WHERE period_offset = 0)
+    SELECT g.cohort_period, CAST(g.period_offset AS BIGINT) AS period_offset,
+           CAST(g.n_active AS BIGINT) AS n_active,
+           ROUND(g.n_active * 100.0 / b.base, 2) AS retention_pct
+    FROM g JOIN b USING (cohort_period)
+    """,
+)
+def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period_days=7)
 
 
 @q(

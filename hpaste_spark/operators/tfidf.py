@@ -89,3 +89,66 @@ def corpus_ngram_counts(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
         .limit(top)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by Okapi BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), the non-negative
+    variant).  Returns (doc_id, score, rank).
+
+    Distributed shape: term-frequency and document-length come from the
+    SAME (doc, term, tf) hash-agg; the query-term filter cuts the
+    scored side to |query| rows per matching doc BEFORE the length
+    join, and document frequencies + corpus stats ride in as broadcast
+    aggregates.  Top-k plans as TakeOrderedAndProject (never a global
+    sort); the rank window runs over the <= k survivors only.
+
+    Cross-engine stability: each term's contribution is rounded to
+    6 dp before the per-doc sum, and the summed score to 4 dp before
+    ranking, with a doc-id tie-break — so last-ulp double-addition
+    order cannot flip the top-k between engines.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    tf = doc_term_freq(df, text_col, id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    matched = tf.filter(F.col("term").isin(terms))
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = F.round(
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )

@@ -640,3 +640,34 @@ def test_semantic_dedup_plan_is_cluster_local_equi_join(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan
     capped = semantic_dedup(emb, k_centroids=8, threshold=0.4, max_cluster=10)
     assert capped.count() <= 80  # <= k_centroids * max_cluster rows survive
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus vs a by-hand score: rarer query term
+    dominates, longer docs are penalized, ranks are contiguous."""
+    import math
+
+    from hpaste_spark.operators.tfidf import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "cat fish fish fish"),
+            (3, "bird bird bird bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["score"], r["rank"]) for r in bm25_topk(df, ["cat", "dog"], k=3).collect()}
+    # N=3, avgdl = (3+4+4)/3; df(cat)=2, df(dog)=1
+    k1, b = 1.2, 0.75
+    avgdl = 11 / 3
+
+    def s(tf, dfreq, dl):
+        idf = math.log(1.0 + (3 - dfreq + 0.5) / (dfreq + 0.5))
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    exp1 = round(s(2, 2, 3) + s(1, 1, 3), 4)
+    exp2 = round(s(1, 2, 4), 4)
+    assert out[1] == (exp1, 1)
+    assert out[2] == (exp2, 2)
+    assert 3 not in out, "doc without any query term must not appear"

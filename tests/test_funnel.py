@@ -1,0 +1,82 @@
+"""funnel_counts / cohort_retention unit semantics.
+
+Hand-built event histories where the strict-order rules matter:
+out-of-order steps don't count, same-timestamp events don't chain,
+and retention cells divide by the cohort's offset-0 size.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from hpaste_spark.operators.funnel import cohort_retention, funnel_counts
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(uid, minutes, tp):
+    return Row(user_id=uid, ts=T0 + dt.timedelta(minutes=minutes), event_type=tp)
+
+
+def test_funnel_strict_order_and_counts(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        _ev(1, 0, "view"), _ev(1, 5, "click"), _ev(1, 9, "purchase"),
+        # u2 clicks BEFORE viewing: click must not count (purchase neither)
+        _ev(2, 0, "click"), _ev(2, 5, "view"), _ev(2, 6, "purchase"),
+        # u3 views only
+        _ev(3, 1, "view"),
+        # u4 same-timestamp view+click: strict > means click doesn't chain
+        _ev(4, 2, "view"), _ev(4, 2, "click"),
+        # u5 never enters the funnel
+        _ev(5, 3, "error"),
+    ]
+    out = funnel_counts(
+        spark.createDataFrame(rows), ["view", "click", "purchase"]
+    ).orderBy("step").collect()
+    assert [(r.step, r.step_name, r.n_users) for r in out] == [
+        (1, "view", 4),
+        (2, "click", 1),
+        (3, "purchase", 1),
+    ]
+    assert out[0].pct_of_first == 100.0
+    assert out[1].pct_of_first == 25.0
+
+
+def test_funnel_second_chance_after_first_stage(spark):
+    # view @0, click @-5 (ignored), click @3 -> counts
+    rows = [_ev(1, 0, "view"), _ev(1, -5, "click"), _ev(1, 3, "click")]
+    out = funnel_counts(spark.createDataFrame(rows), ["view", "click"]).collect()
+    by = {r.step_name: r.n_users for r in out}
+    assert by == {"view": 1, "click": 1}
+
+
+def test_funnel_rejects_bad_steps(spark):
+    df = spark.createDataFrame([_ev(1, 0, "view")])
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["view"])
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["view", "view"])
+
+
+def test_cohort_retention_cells(spark):
+    day = 86_400
+    rows = [
+        # u1 first in period 0, active periods 0 and 1
+        _ev(1, 0, "view"), _ev(1, (8 * day) // 60, "view"),
+        # u2 first in period 0, active period 0 only
+        _ev(2, day // 60, "view"),
+        # u3 first in period 1
+        _ev(3, (8 * day) // 60, "view"),
+    ]
+    out = cohort_retention(
+        spark.createDataFrame(rows), period_days=7
+    ).orderBy("cohort_period", "period_offset").collect()
+    cells = {(r.cohort_period, r.period_offset): (r.n_active, r.retention_pct) for r in out}
+    # period index is absolute epoch weeks; relative offsets are what we assert
+    (c0, _off0) = min(cells)[0], 0
+    assert cells[(c0, 0)] == (2, 100.0)
+    assert cells[(c0, 1)] == (1, 50.0)
+    assert cells[(c0 + 1, 0)] == (1, 100.0)
+    assert len(cells) == 3
