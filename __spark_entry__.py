@@ -1256,6 +1256,47 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_winnow_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
+    ),
+    win AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-3, 0)+1),
+          i -> list_min(hs[i:i+3]))) AS fps
+      FROM h WHERE len(hs) >= 4
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM win)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing overlap: pairs sharing >= 2 selected fingerprints
+    (window-min of w=4 consecutive 3-gram hashes).  Same bucket-grouped
+    pair counting as the shingle paths, at ~2/(w+1) the row density."""
+    from hpaste_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), n=3, w=4, min_common=2
+    )
+
+
+@q(
     "dedup_simhash",
     """
     WITH d AS (

@@ -198,6 +198,25 @@ def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
     return F.transform(folded, lambda v: F.when(v < HASH_MOD, v))
 
 
+def winnow_fingerprints(col: Column, n: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting scheme): the minimum
+    k-gram hash in each sliding window of ``w`` consecutive k-gram
+    hashes, deduplicated.  Guarantees a match of length >= n+w-1
+    shares a fingerprint while storing only ~2/(w+1) of the hashes.
+
+    Same zip_with-over-aligned-slices shape as shingle_hashes (the
+    window min is a w-way F.least fold), so the whole selection is one
+    narrow codegen stage — no shuffle, no UDF.  Documents with fewer
+    than w k-grams yield an empty array."""
+    h = shingle_hashes(col, n)
+    m = F.greatest(F.size(h) - (w - 1), F.lit(0))
+    acc = F.slice(h, 1, m)
+    for j in range(1, w):
+        acc = F.zip_with(acc, F.slice(h, 1 + j, m), lambda a, b: F.least(a, b))
+    return F.array_distinct(acc)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact-dedup keys: lowercase, strip markup-ish
     tags, collapse runs of whitespace, trim.  Mirrored in the oracle

@@ -384,6 +384,60 @@ def repeated_ngram_spans(
     )
 
 
+def winnow_fingerprint_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Distinct winnowing fingerprints per doc, exploded to
+    (doc_id, set_size, shingle) rows — the same co-group substrate
+    shape as ``shingle_sets`` but over the ~2/(w+1)-density MOSS
+    selection instead of every shingle, so the downstream pair shuffle
+    moves a fraction of the rows for the same guaranteed-match length
+    (>= n+w-1 tokens).  ``set_size`` via the count-window for the same
+    double-evaluation reason documented on shingle_sets."""
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.text import winnow_fingerprints
+
+    ex = df.select(
+        F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), n, w)).alias("shingle")
+    )
+    win = Window.partitionBy(id_col)
+    return ex.withColumn("set_size", F.count(F.lit(1)).over(win)).select(
+        id_col, "set_size", "shingle"
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+    min_common: int = 2,
+    max_fp_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(id_a, id_b, n_common) — document pairs sharing >= ``min_common``
+    winnowing fingerprints.  The plagiarism/boilerplate-overlap detector
+    at fingerprint density instead of full-shingle density: the bucket
+    grouping, quadratic-guard cap, and never-self-join reuse
+    ``_shingle_pair_counts`` verbatim (fingerprints are already 64-bit
+    hashes, so the xxhash64 pre-hash step is skipped)."""
+    sets = winnow_fingerprint_sets(df, text_col, id_col, n, w)
+    pairs = _shingle_pair_counts(sets, id_col, max_fp_df)
+    return (
+        pairs.filter(F.col("n_inter") >= min_common)
+        .select(
+            F.col("id_x").alias("id_a"),
+            F.col("id_y").alias("id_b"),
+            F.col("n_inter").alias("n_common"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

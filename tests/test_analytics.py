@@ -671,3 +671,46 @@ def test_bm25_hand_computed(spark):
     assert out[1] == (exp1, 1)
     assert out[2] == (exp2, 2)
     assert 3 not in out, "doc without any query term must not appear"
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing's match guarantee: two docs sharing a run of
+    >= n+w-1 tokens (here 3+4-1=6) MUST share a fingerprint; and the
+    selected set is strictly sparser than the full shingle set."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.functions.text import shingle_hashes, winnow_fingerprints
+    from hpaste_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token run
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six seven"),
+            (2, f"eight nine ten {shared} eleven twelve thirteen"),
+            (3, "totally different words with no run overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_common=1).collect()
+    }
+    assert (1, 2) in pairs, "guaranteed-length shared run must fingerprint-match"
+    assert not any(3 in p for p in pairs)
+
+    sizes = df.select(
+        F.size(shingle_hashes(F.col("text"))).alias("all_sh"),
+        F.size(winnow_fingerprints(F.col("text"))).alias("fps"),
+    ).collect()
+    assert all(r["fps"] < r["all_sh"] for r in sizes)
+    assert all(r["fps"] >= 1 for r in sizes)
+
+
+def test_winnow_short_doc_empty(spark):
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.functions.text import winnow_fingerprints
+
+    # 5 tokens -> 3 shingles < w=4 -> no complete window -> empty
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert df.select(F.size(winnow_fingerprints(F.col("text"))).alias("s")).first()["s"] == 0
