@@ -1831,6 +1831,109 @@ def w_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-series reshaping + wide pivot + correlation profiling
+# (operators/timeseries.py, groups.pivot_counts, profile.numeric_corr).
+# ---------------------------------------------------------------------------
+@q(
+    "ts_resample_gapfill",
+    """
+    WITH ev AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / (15 * 60 * CAST(1000000 AS BIGINT))) AS BIGINT) AS b,
+             value
+      FROM events
+    ),
+    agg AS (SELECT b, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM ev GROUP BY b),
+    bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds)
+    SELECT CAST(b * (15 * 60 * CAST(1000000 AS BIGINT)) AS BIGINT) AS bucket_start_us,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           sum_value
+    FROM spine LEFT JOIN agg USING (b)
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute resample with a dense sequence-exploded bucket spine:
+    empty buckets appear with n_events=0 / sum_value NULL."""
+    from hpaste_spark.operators.timeseries import resample_gapfill
+
+    return resample_gapfill(_t(spark, sf_dir, "events"), bucket_minutes=15)
+
+
+@q(
+    "ts_rolling_range",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n,
+           ROUND(SUM(value) OVER w, 2) AS rolling_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-user rolling count/sum with a RANGE frame on
+    epoch micros — ties share a frame, so output is deterministic
+    without a row tie-break."""
+    from hpaste_spark.operators.timeseries import rolling_range_agg
+
+    return rolling_range_agg(_t(spark, sf_dir, "events"), window_minutes=60)
+
+
+@q(
+    "a_pivot_event_type_counts",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def a_pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type matrix via explicit-values pivot — a
+    single conditional-agg hash-agg, no distinct-collect pre-pass."""
+    from hpaste_spark.operators.groups import pivot_counts
+
+    return pivot_counts(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+    )
+
+
+@q(
+    "prof_numeric_corr",
+    """
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax', ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax', ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+    """,
+)
+def prof_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numerics in ONE
+    fused aggregate pass (the oracle's 6 scans collapse to 1 here)."""
+    from hpaste_spark.operators.profile import numeric_corr
+
+    return numeric_corr(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 @q(
     "sess_gap_sessionize",
     """

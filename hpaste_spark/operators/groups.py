@@ -97,3 +97,31 @@ def sessionize(
 # NOTE: the former salted_sum lived here with a monotonically_increasing_id
 # salt; it is superseded by operators.skew.salted_groupby, whose
 # deterministic xxhash64 salt keeps results bit-stable across runs.
+
+
+def pivot_counts(
+    df: DataFrame,
+    key_col: str,
+    pivot_col: str,
+    values: "list[str]",
+    agg_col: "str | None" = None,
+) -> DataFrame:
+    """Wide one-row-per-key pivot: count (or sum of ``agg_col``) of
+    rows per (key, pivot-value), one output column per value in
+    ``values``.  The value list is EXPLICIT — Spark's two-pass
+    ``pivot()`` without values runs a distinct-collect job over the
+    pivot column first, a full extra scan at 100 TB; with the list
+    supplied the pivot is a single map-side-combined hash-agg, exactly
+    a conditional-aggregation GROUP BY.  Unlisted pivot values are
+    dropped (standard PIVOT IN (...) semantics); missing cells are 0
+    for counts, NULL for sums."""
+    if not values:
+        raise ValueError("pivot_counts needs an explicit value list")
+    g = df.groupBy(key_col).pivot(pivot_col, values)
+    if agg_col is None:
+        out = g.count()
+        return out.select(
+            key_col,
+            *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
+        )
+    return g.sum(agg_col)

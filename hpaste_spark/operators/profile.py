@@ -66,3 +66,29 @@ def profile_table(
         "min_str",
         "max_str",
     )
+
+
+def numeric_corr(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """(col_x, col_y, corr) — pairwise Pearson correlation for every
+    unordered column pair, computed in ONE aggregate pass (each pair is
+    a ``corr`` expression in the same agg, so Catalyst fuses all the
+    co-moment accumulators into a single map-side-partial hash-agg over
+    one scan) and unpivoted with ``stack``.  Values rounded to 6 dp;
+    null when a column is constant (zero variance)."""
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("numeric_corr needs at least two columns")
+    bad = [c for c in cols if not c.replace("_", "").isalnum()]
+    if bad:
+        raise ValueError(f"unsupported column names for stack unpivot: {bad}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    one = df.agg(
+        *[
+            F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"_c_{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    parts = ", ".join(f"'{a}', '{b}', _c_{a}__{b}" for a, b in pairs)
+    return one.select(
+        F.expr(f"stack({len(pairs)}, {parts}) as (col_x, col_y, corr)")
+    )
