@@ -2026,6 +2026,60 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sess_transition_matrix",
+    """
+    WITH t AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def sess_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user timelines —
+    one lead window + a |types|^2-keyed hash-agg."""
+    from hpaste_spark.operators.funnel import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events"), tiebreak_cols=["event_id"]
+    )
+
+
+@q(
+    "split_weighted_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN n_chars > 0 THEN
+               -ln((CAST(('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+                   / 4503599627370496.0) / n_chars
+             ELSE CAST('infinity' AS DOUBLE) END AS sk
+      FROM documents)
+    SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS sample_rank FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rn
+      FROM t) x
+    WHERE rn <= 20
+    """,
+)
+def split_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    20 docs per language, inclusion probability ∝ n_chars, md5-keyed
+    (rand()-free, engine/partitioning-stable)."""
+    from hpaste_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("doc_id", "lang", "n_chars"),
+        k=20,
+        weight_col="n_chars",
+        id_col="doc_id",
+        group_col="lang",
+    ).select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+@q(
     "q3_shipping_priority",
     """
     SELECT o_orderkey, ROUND(SUM(l_extendedprice::DECIMAL(12,2) * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE AS revenue,

@@ -148,3 +148,31 @@ def cohort_retention(
             ),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """(from_type, to_type, n_transitions) — the first-order Markov
+    transition counts of adjacent events within each user's timeline.
+    One user-keyed window (lead) and one tiny hash-agg keyed by the
+    |types|² pair space; a user's final event has no successor and
+    contributes nothing.  Pass a unique ``tiebreak_cols`` (e.g.
+    ``["event_id"]``) to make same-timestamp adjacency deterministic —
+    same contract as groups.sessionize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, *(tiebreak_cols or []))
+    nxt = F.lead(type_col).over(w)
+    return (
+        events.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("_next").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )

@@ -220,3 +220,54 @@ def group_reservoir(
         .filter(F.col("rn") <= k)
         .select(id_col, group_col, "rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    group_col: "str | None" = None,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws u in (0,1] from md5(seed||id)
+    and is ranked by the key ``-ln(u) / w`` ascending — taking the k
+    smallest keys is exactly weighted reservoir sampling, so inclusion
+    probability tracks the row's weight share.  With ``group_col``, k
+    rows per group (one exchange on the group key); without, a global
+    top-k that plans as TakeOrderedAndProject (never a global sort).
+
+    rand()-free: md5 makes the draw stable across runs, engines, and
+    partitionings (DuckDB twin: ('0x'||substr(md5(...),1,13))::BIGINT).
+    Zero/negative weights rank last (+inf key) and are only emitted if
+    a group has fewer than k positive-weight rows.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h52 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    u = (h52 + 1.0) / float(1 << 52)  # (0, 1]
+    key = F.when(
+        F.col(weight_col) > 0, -F.log(u) / F.col(weight_col)
+    ).otherwise(F.lit(float("inf")))
+    tagged = df.withColumn("_sk", key)
+    if group_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(F.col("_sk"), F.col(id_col))
+        return (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(*df.columns, F.col("_rn").cast("int").alias("sample_rank"))
+        )
+    ordered = tagged.orderBy(F.col("_sk"), F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_sk"), F.col(id_col))
+    return ordered.withColumn("sample_rank", F.row_number().over(w).cast("int")).select(
+        *df.columns, "sample_rank"
+    )

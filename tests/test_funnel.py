@@ -80,3 +80,47 @@ def test_cohort_retention_cells(spark):
     assert cells[(c0, 1)] == (1, 50.0)
     assert cells[(c0 + 1, 0)] == (1, 100.0)
     assert len(cells) == 3
+
+
+def test_event_transitions_counts(spark):
+    rows = [
+        _ev(1, 0, "view"), _ev(1, 1, "click"), _ev(1, 2, "view"),
+        _ev(2, 0, "view"), _ev(2, 1, "click"),
+        _ev(3, 5, "error"),  # single event: no transition
+    ]
+    from hpaste_spark.operators.funnel import event_transitions
+
+    out = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_weighted_sample_weight_bias_and_determinism(spark):
+    """Heavier rows must be picked more often; identical seeds give
+    identical samples; rank is contiguous 1..k."""
+    from hpaste_spark.operators.sampling import weighted_sample
+
+    import hashlib
+    import math
+
+    rows = [(i, "g", 1000.0 if i < 10 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    got = weighted_sample(df, k=10, weight_col="w", id_col="id", group_col="g").collect()
+    assert sorted(r.sample_rank for r in got) == list(range(1, 11))
+
+    # exact A-ES contract: reproduce the md5 keys in pure python
+    def key(i, w):
+        u = (int(hashlib.md5(f"ws1{i}".encode()).hexdigest()[:13], 16) + 1.0) / (1 << 52)
+        return -math.log(u) / w
+
+    expect = {r[0] for r in sorted(rows, key=lambda r: (key(r[0], r[2]), r[0]))[:10]}
+    assert {r.id for r in got} == expect
+    heavy = sum(1 for r in got if r.id < 10)
+    assert heavy >= 5, f"weighted pick must far exceed the uniform E=0.1, got {heavy}"
+    again = weighted_sample(df, k=10, weight_col="w", id_col="id", group_col="g").collect()
+    assert sorted(r.id for r in got) == sorted(r.id for r in again)
+    # global (no-group) path: top-k without a global sort
+    gl = weighted_sample(df, k=5, weight_col="w", id_col="id").collect()
+    assert sorted(r.sample_rank for r in gl) == [1, 2, 3, 4, 5]
