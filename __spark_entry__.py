@@ -2026,6 +2026,74 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "graph_pagerank_supplier_customer",
+    """
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS a, o_custkey + 100000 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b AS s, a AS t FROM e0),
+    deg AS (SELECT s AS v, COUNT(*) AS d FROM e GROUP BY s),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    r0 AS (SELECT v, d, 1.0 / n.nn AS r FROM deg, n),
+    c1 AS (SELECT e.t AS v, SUM(r0.r / r0.d) AS inn FROM e JOIN r0 ON e.s = r0.v GROUP BY e.t),
+    r1 AS (SELECT deg.v, deg.d, ROUND(0.15 / n.nn + 0.85 * COALESCE(c1.inn, 0.0), 12) AS r
+           FROM deg LEFT JOIN c1 ON deg.v = c1.v, n),
+    c2 AS (SELECT e.t AS v, SUM(r1.r / r1.d) AS inn FROM e JOIN r1 ON e.s = r1.v GROUP BY e.t),
+    r2 AS (SELECT deg.v, deg.d, ROUND(0.15 / n.nn + 0.85 * COALESCE(c2.inn, 0.0), 12) AS r
+           FROM deg LEFT JOIN c2 ON deg.v = c2.v, n),
+    c3 AS (SELECT e.t AS v, SUM(r2.r / r2.d) AS inn FROM e JOIN r2 ON e.s = r2.v GROUP BY e.t),
+    r3 AS (SELECT deg.v, ROUND(0.15 / n.nn + 0.85 * COALESCE(c3.inn, 0.0), 12) AS r
+           FROM deg LEFT JOIN c3 ON deg.v = c3.v, n)
+    SELECT v AS node, ROUND(r, 6) AS pr FROM r3
+    """,
+)
+def graph_pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the undirected supplier↔customer
+    supply graph (customers offset +100000 into a shared id space).
+    Per-iteration 12dp rounding keeps the unrolled DuckDB twin
+    bit-comparable at the final 6dp."""
+    from hpaste_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("a"),
+            (F.col("o_custkey") + 100000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, iterations=3).select(
+        "node", F.col("rank").alias("pr")
+    )
+
+
+@q(
+    "prof_equifreq_bins",
+    """
+    WITH b AS (SELECT quantile_cont(o_totalprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bl FROM orders),
+    t AS (SELECT o_totalprice AS v,
+                 CAST(len(list_filter(b.bl, x -> o_totalprice > x)) + 1 AS INT) AS bin
+          FROM orders, b)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(v), 2) AS min_val, ROUND(MAX(v), 2) AS max_val,
+           ROUND(AVG(v), 2) AS avg_val
+    FROM t GROUP BY bin
+    """,
+)
+def prof_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of order totals WITHOUT a global-sort NTILE:
+    boundaries from one percentile agg, bin = 1 + |bounds below|."""
+    from hpaste_spark.operators.profile import equifreq_bins
+
+    return equifreq_bins(_t(spark, sf_dir, "orders"), "o_totalprice", 10)
+
+
+@q(
     "sess_transition_matrix",
     """
     WITH t AS (

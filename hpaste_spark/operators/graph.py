@@ -162,3 +162,67 @@ def connected_components_star(
     members = e.select(F.col("s").alias("node"), F.col("d").alias("cluster_id"))
     roots = e.select(F.col("d").alias("node"), F.col("d").alias("cluster_id")).distinct()
     return members.unionByName(roots).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    round_iter: "int | None" = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list:
+
+        r(v) ← (1-d)/N + d · Σ_{u→v} r(u) / outdeg(u)
+
+    starting from the uniform 1/N vector.  Returns (node, rank).
+    Nodes are the distinct edge SOURCES; feed an undirected graph as
+    both directions (as the dedup pair graphs are) and every node both
+    sends and receives, so no dangling-mass correction is needed —
+    callers with genuinely directed graphs must add it themselves.
+
+    Each iteration is one equi-join of the rank vector onto the edges
+    (the rank side is |V| rows — broadcastable long after |E| isn't)
+    plus one dst-keyed hash-agg, with ``localCheckpoint`` cutting the
+    growing lineage per round (same posture as connected_components).
+    A fixed iteration count, not convergence detection: at 100 TB the
+    job graph must be known ahead of time, and 3-10 power iterations
+    are the standard diminishing-returns budget.
+
+    ``round_iter`` rounds the vector each iteration (default 12 dp) so
+    a DuckDB oracle unrolling the same iterations stays bit-comparable
+    — double summation-order drift (~1e-17/round) can never walk a
+    value across a later rounding boundary.  N rides as a broadcast
+    one-row aggregate, never a collect."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    deg = edges.groupBy(F.col(src).alias("v")).agg(F.count(F.lit(1)).alias("_d"))
+    n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    r = deg.crossJoin(F.broadcast(n1)).select(
+        "v", "_d", (F.lit(1.0) / F.col("_n")).alias("_r")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e["_s"] == r["v"])
+            .select(F.col("_t").alias("v"), (F.col("_r") / F.col("_d")).alias("_c"))
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        nxt = (
+            deg.join(contrib, "v", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "v",
+                "_d",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("_r"),
+            )
+        )
+        if round_iter is not None:
+            nxt = nxt.withColumn("_r", F.round(F.col("_r"), round_iter))
+        r = nxt.localCheckpoint(eager=False)
+    return r.select(F.col("v").alias("node"), F.round(F.col("_r"), 6).alias("rank"))

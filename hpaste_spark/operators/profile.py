@@ -92,3 +92,42 @@ def numeric_corr(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return one.select(
         F.expr(f"stack({len(pairs)}, {parts}) as (col_x, col_y, corr)")
     )
+
+
+def equifreq_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n, min_val, max_val, avg_val) — equal-frequency binning
+    without a global sort: interior quantile boundaries come from ONE
+    exact-percentile aggregate pass (mergeable, no NTILE-style
+    single-partition window — the unpartitioned-window anti-pattern an
+    all-rows NTILE would plan), broadcast to the scan, and each row's
+    bin is 1 + |boundaries strictly below it|.  Ties share a bin (all
+    rows with equal values land together), so bins are approximately —
+    not exactly — equal-count under heavy ties; that is the documented
+    trade for staying distributed."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs])).alias("_bl")
+    )
+    v = F.col(value_col)
+    binned = (
+        df.select(v)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            v,
+            (
+                F.size(F.filter(F.col("_bl"), lambda b: v > b)) + 1
+            ).cast("int").alias("bin"),
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min(value_col), 2).alias("min_val"),
+        F.round(F.max(value_col), 2).alias("max_val"),
+        F.round(F.avg(value_col), 2).alias("avg_val"),
+    )

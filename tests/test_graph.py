@@ -97,3 +97,40 @@ def test_star_variant_random_graphs_fuzz(spark):
         star = _clusters(connected_components_star(edges).collect())
         prop = _clusters(connected_components(edges, max_iter=80).collect())
         assert star == prop, f"trial {trial}: star != propagation"
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """3 iterations on a small undirected star+path graph vs an exact
+    python replica (including the per-iteration 12dp rounding)."""
+    from hpaste_spark.operators.graph import pagerank
+
+    und = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=3).collect()}
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    r = {v: 1.0 / n for v in deg}
+    for _ in range(3):
+        inn = {v: 0.0 for v in deg}
+        for s, t in edges:
+            inn[t] += r[s] / deg[s]
+        r = {v: round(0.15 / n + 0.85 * inn[v], 12) for v in deg}
+    exp = {v: round(x, 6) for v, x in r.items()}
+    assert got == exp
+    # rank mass ~1 and the degree-3 hubs outrank the leaf
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got[3] > got[4] and got[1] > got[4]
+
+
+def test_pagerank_requires_iterations(spark):
+    import pytest
+
+    from hpaste_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)

@@ -148,3 +148,26 @@ def test_skew_report_head_is_distributed_topk(spark, orders):
         orders, "o_custkey", top_n=10
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_equifreq_bins_counts_and_ranges(spark):
+    """1..100 into deciles: 10 bins of 10, contiguous ranges."""
+    from hpaste_spark.operators.profile import equifreq_bins
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    out = sorted(equifreq_bins(df, "x", 10).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in out] == list(range(1, 11))
+    assert all(r.n == 10 for r in out)
+    assert out[0].min_val == 1.0 and out[-1].max_val == 100.0
+    # ranges don't overlap
+    for a, b in zip(out, out[1:]):
+        assert a.max_val < b.min_val
+
+
+def test_equifreq_bins_ties_share_bin(spark):
+    from hpaste_spark.operators.profile import equifreq_bins
+
+    df = spark.createDataFrame([(1.0,)] * 50 + [(2.0,)] * 50, "x double")
+    out = equifreq_bins(df, "x", 4).collect()
+    # p25=1.0, p50=1.5, p75=2.0; 2.0 clears only the first two strictly
+    assert sorted((r.bin, r.n) for r in out) == [(1, 50), (3, 50)]
