@@ -2026,6 +2026,59 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "funnel_time_to_convert",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+    a AS (SELECT user_id, MIN(ts) AS ta FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts - a.ta) AS lat
+          FROM ev e JOIN a USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > a.ta GROUP BY e.user_id)
+    SELECT CAST(FLOOR(lat / (24 * 3600 * CAST(1000000 AS BIGINT))) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-subsequent-purchase latency histogram in
+    24-hour buckets (time-to-convert survival substrate)."""
+    from hpaste_spark.operators.funnel import time_to_conversion
+
+    return time_to_conversion(
+        _t(spark, sf_dir, "events"), "view", "purchase", bucket_hours=24
+    )
+
+
+@q(
+    "basket_brand_lift",
+    """
+    WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS nb FROM ob),
+    ic AS (SELECT b, COUNT(*) AS c FROM ob GROUP BY b),
+    pc AS (SELECT x.b AS item_a, y.b AS item_b, COUNT(*) AS np
+           FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b GROUP BY 1, 2)
+    SELECT pc.item_a, pc.item_b, CAST(pc.np AS BIGINT) AS n_pairs,
+           ROUND(pc.np / n.nb, 6) AS support,
+           ROUND(pc.np * n.nb / (ca.c * cb.c), 6) AS lift
+    FROM pc JOIN ic ca ON pc.item_a = ca.b JOIN ic cb ON pc.item_b = cb.b, n
+    WHERE pc.np >= 2
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket support/lift over brands-per-order: capped
+    bucket-grouped pair expansion (never a basket self-join),
+    broadcast marginals, broadcast basket-count scalar."""
+    from hpaste_spark.operators.basket import cooccurrence_lift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+    )
+    return cooccurrence_lift(ob, "o", "b", min_pairs=2)
+
+
+@q(
     "graph_pagerank_supplier_customer",
     """
     WITH e0 AS (SELECT DISTINCT l_suppkey AS a, o_custkey + 100000 AS b

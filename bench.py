@@ -73,6 +73,13 @@ HEADLINE = [
     "mix_temperature_sample",
     "prof_table_stats",
     "skew_key_report",
+    # round 4, third batch: retrieval, analytics, graph, sampling
+    "text_bm25_topk",
+    "funnel_ordered_steps",
+    "dedup_winnow_overlap",
+    "ts_rolling_range",
+    "graph_pagerank_supplier_customer",
+    "split_weighted_sample",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

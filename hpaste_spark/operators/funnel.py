@@ -176,3 +176,46 @@ def event_transitions(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
     )
+
+
+def time_to_conversion(
+    events: DataFrame,
+    from_step: str,
+    to_step: str,
+    bucket_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(bucket, n_users) — histogram of the latency from a user's first
+    ``from_step`` event to their first ``to_step`` event STRICTLY after
+    it (the time-to-convert / survival-curve substrate; bucket =
+    floor(latency / bucket_hours), so bucket 0 is "converted within the
+    first period").  Users who never convert are absent — a survival
+    analysis joins this against the funnel base count.  Two user-keyed
+    min-aggregates (the second filtered by the first's timestamp via an
+    equi-join on the user), then one tiny bucket hash-agg."""
+    if bucket_hours <= 0:
+        raise ValueError("bucket_hours must be positive")
+    us = int(bucket_hours) * 3_600 * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        epoch_us(F.col(ts_col)).alias("_ts"),
+        F.col(type_col).alias("_tp"),
+    )
+    first_a = (
+        ev.filter(F.col("_tp") == from_step)
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_ta"))
+    )
+    conv = (
+        ev.filter(F.col("_tp") == to_step)
+        .join(first_a, "_u")
+        .filter(F.col("_ts") > F.col("_ta"))
+        .groupBy("_u")
+        .agg(F.min(F.col("_ts") - F.col("_ta")).alias("_lat"))
+    )
+    return (
+        conv.groupBy(F.floor(F.col("_lat") / F.lit(us)).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

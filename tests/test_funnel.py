@@ -124,3 +124,60 @@ def test_weighted_sample_weight_bias_and_determinism(spark):
     # global (no-group) path: top-k without a global sort
     gl = weighted_sample(df, k=5, weight_col="w", id_col="id").collect()
     assert sorted(r.sample_rank for r in gl) == [1, 2, 3, 4, 5]
+
+
+def test_time_to_conversion_buckets(spark):
+    rows = [
+        # u1: view @0, purchase @2h -> bucket 0 (within first 24h)
+        _ev(1, 0, "view"), _ev(1, 120, "purchase"),
+        # u2: view @0, purchases @26h and @50h -> first wins, bucket 1
+        _ev(2, 0, "view"), _ev(2, 26 * 60, "purchase"), _ev(2, 50 * 60, "purchase"),
+        # u3: purchase BEFORE view only -> never converts
+        _ev(3, 0, "purchase"), _ev(3, 60, "view"),
+        # u4: view only
+        _ev(4, 0, "view"),
+    ]
+    from hpaste_spark.operators.funnel import time_to_conversion
+
+    out = {
+        r.bucket: r.n_users
+        for r in time_to_conversion(
+            spark.createDataFrame(rows), "view", "purchase", bucket_hours=24
+        ).collect()
+    }
+    assert out == {0: 1, 1: 1}
+
+
+def test_basket_lift_hand_computed(spark):
+    """4 baskets: {a,b} together twice of 4 baskets; a in 3, b in 2.
+    support(a,b)=0.5, lift = 0.5/(0.75*0.5) = 1.333333."""
+    from hpaste_spark.operators.basket import cooccurrence_lift
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"), (4, "c"),  # duplicate item rows collapse
+    ]
+    df = spark.createDataFrame(rows, "o long, i string")
+    out = {
+        (r.item_a, r.item_b): (r.n_pairs, r.support, r.lift)
+        for r in cooccurrence_lift(df, "o", "i", min_pairs=2).collect()
+    }
+    assert out == {("a", "b"): (2, 0.5, 1.333333)}
+    # min_pairs=1 surfaces the single {a,c} co-occurrence too
+    out1 = {
+        (r.item_a, r.item_b)
+        for r in cooccurrence_lift(df, "o", "i", min_pairs=1).collect()
+    }
+    assert out1 == {("a", "b"), ("a", "c")}
+
+
+def test_basket_max_basket_caps_quadratic(spark):
+    from hpaste_spark.operators.basket import cooccurrence_lift
+
+    rows = [(1, f"i{k}") for k in range(50)] + [(2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "o long, i string")
+    out = cooccurrence_lift(df, "o", "i", min_pairs=1, max_basket=10).collect()
+    assert {(r.item_a, r.item_b) for r in out} == {("x", "y")}, \
+        "the 50-item degenerate basket must be dropped before pair expansion"

@@ -306,3 +306,46 @@ def test_containment_has_no_join_at_all(spark, queries):
     self-join recomputed the shingle pipeline twice)."""
     plan = plan_of(queries["dedup_containment"](spark, SF_DIR))
     assert "Join" not in plan, plan
+
+
+def test_funnel_fold_is_join_free(spark, queries):
+    """Round-4 shape: the k-step funnel is one user-keyed fold — the
+    plan must contain NO join (the naive chain is k self-joins) and no
+    unpartitioned window."""
+    plan = plan_of(queries["funnel_ordered_steps"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bm25_topk_never_global_sorts(spark, queries):
+    plan = plan_of(queries["text_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_equifreq_bins_no_window_at_all(spark, queries):
+    """Equal-frequency binning must plan as percentile-agg + broadcast,
+    never an NTILE window (global sort on a single partition)."""
+    plan = plan_of(queries["prof_equifreq_bins"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_pagerank_no_cartesian(spark, queries):
+    """Every join in the 3-iteration plan is keyed (rank-onto-edges) or
+    a single-row scalar broadcast — never CartesianProduct."""
+    plan = plan_of(queries["graph_pagerank_supplier_customer"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample_global_topk(spark):
+    from hpaste_spark.operators.sampling import weighted_sample
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = weighted_sample(
+        df.select("doc_id", "n_chars"), k=5, weight_col="n_chars", id_col="doc_id"
+    )
+    assert "TakeOrderedAndProject" in plan_of(out)
+
+
+def test_resample_spine_join_is_keyed(spark, queries):
+    plan = plan_of(queries["ts_resample_gapfill"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
