@@ -2026,6 +2026,54 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "prof_drift_psi",
+    """
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    ),
+    b AS (SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bl
+          FROM tagged WHERE split = 'train'),
+    binned AS (
+      SELECT split, CAST(len(list_filter(b.bl, x -> n_chars > x)) + 1 AS INT) AS bin
+      FROM tagged, b
+    ),
+    r AS (SELECT bin, COUNT(*) AS n_ref FROM binned WHERE split = 'train' GROUP BY bin),
+    c AS (SELECT bin, COUNT(*) AS n_cur FROM binned WHERE split = 'holdout' GROUP BY bin),
+    j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+    tot AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr, CAST(SUM(n_cur) AS DOUBLE) AS tc FROM j)
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(n_ref / tot.tr, 6) AS p_ref,
+           ROUND(n_cur / tot.tc, 6) AS p_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0
+                THEN ROUND((n_ref / tot.tr - n_cur / tot.tc)
+                           * ln((n_ref / tot.tr) / (n_cur / tot.tc)), 6)
+                END AS psi_term
+    FROM j, tot
+    """,
+)
+def prof_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the doc-length distribution
+    between the md5 train split (reference) and the 20% holdout —
+    reference-decile boundaries, windowless, two scans."""
+    from hpaste_spark.operators.profile import drift_psi
+    from hpaste_spark.operators.sampling import hash_split
+
+    d = hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+        holdout_pct=20,
+    )
+    ref = d.filter(F.col("split") == "train")
+    cur = d.filter(F.col("split") == "holdout")
+    return drift_psi(ref, cur, "n_chars", n_bins=10)
+
+
+@q(
     "funnel_time_to_convert",
     """
     WITH ev AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),

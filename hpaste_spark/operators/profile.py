@@ -131,3 +131,78 @@ def equifreq_bins(
         F.round(F.max(value_col), 2).alias("max_val"),
         F.round(F.avg(value_col), 2).alias("avg_val"),
     )
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of the same numeric column — the standard "did the
+    distribution move?" monitor between pipeline runs / dataset
+    versions.  Bin boundaries are equal-frequency deciles of the
+    REFERENCE (one percentile agg, broadcast — same windowless shape
+    as equifreq_bins); both sides are binned against those fixed
+    boundaries, so drift shows up as mass leaving the uniform ~1/n
+    reference shares.
+
+    Returns one row per bin: (bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term) with psi_term = (p_ref − p_cur)·ln(p_ref/p_cur) rounded
+    to 6 dp, NULL when either share is zero (the standard
+    smoothing-free convention — a NULL term flags a bin that appeared
+    or vanished outright, stronger evidence than any finite term).
+    Σ psi_term is the PSI; > 0.2 is the conventional "investigate"
+    threshold.  Two scans total (one per side), no windows, no joins
+    wider than the n_bins-row bin table."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs])).alias("_bl")
+    )
+    v = F.col(value_col)
+
+    def _binned(df: DataFrame) -> DataFrame:
+        return (
+            df.select(v)
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                (F.size(F.filter(F.col("_bl"), lambda b: v > b)) + 1)
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    r = _binned(ref).select("bin", F.col("n").alias("n_ref"))
+    c = _binned(cur).select("bin", F.col("n").alias("n_cur"))
+    joined = (
+        r.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").cast("double").alias("_tr"),
+        F.sum("n_cur").cast("double").alias("_tc"),
+    )
+    p = F.col("n_ref") / F.col("_tr")
+    q = F.col("n_cur") / F.col("_tc")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round((p - q) * F.log(p / q), 6),
+            ).alias("psi_term"),
+        )
+    )

@@ -171,3 +171,26 @@ def test_equifreq_bins_ties_share_bin(spark):
     out = equifreq_bins(df, "x", 4).collect()
     # p25=1.0, p50=1.5, p75=2.0; 2.0 clears only the first two strictly
     assert sorted((r.bin, r.n) for r in out) == [(1, 50), (3, 50)]
+
+
+def test_drift_psi_identical_distributions_near_zero(spark):
+    from hpaste_spark.operators.profile import drift_psi
+
+    ref = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    out = drift_psi(ref, ref, "x", n_bins=5).collect()
+    assert len(out) == 5
+    assert all(abs(r.psi_term) < 1e-9 for r in out), "same dist -> PSI ~ 0"
+    assert all(r.p_ref == r.p_cur for r in out)
+
+
+def test_drift_psi_detects_shift_and_vanished_bin(spark):
+    from hpaste_spark.operators.profile import drift_psi
+
+    ref = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    # current sample lives entirely in the upper half
+    cur = spark.createDataFrame([(float(i),) for i in range(60, 160)], "x double")
+    out = {r.bin: r for r in drift_psi(ref, cur, "x", n_bins=4).collect()}
+    assert out[1].psi_term is None and out[1].n_cur == 0, \
+        "a bin with no current mass must flag NULL, not a smoothed number"
+    total = sum(r.psi_term for r in out.values() if r.psi_term is not None)
+    assert total > 0.2, f"a gross shift must clear the 0.2 alert bar, got {total}"
