@@ -2026,6 +2026,42 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "vec_pca_top_component",
+    """
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    mur AS (SELECT i, ROUND(AVG(e[i]), 9) AS m FROM v, range(1, 65) r(i) GROUP BY i),
+    mu AS (SELECT list(m ORDER BY i) AS mu FROM mur),
+    c AS (SELECT list_transform(range(1, 65), i -> e[i] - mu.mu[i]) AS x FROM v, mu),
+    v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vv),
+    w1r AS (SELECT i, SUM(x[i] * list_dot_product(x, v0.vv)) AS w
+            FROM c, v0, range(1, 65) r(i) GROUP BY i),
+    n1 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w1r),
+    v1 AS (SELECT list(ROUND(w / n1.nm, 7) ORDER BY i) AS vv FROM w1r, n1),
+    w2r AS (SELECT i, SUM(x[i] * list_dot_product(x, v1.vv)) AS w
+            FROM c, v1, range(1, 65) r(i) GROUP BY i),
+    n2 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w2r),
+    v2 AS (SELECT list(ROUND(w / n2.nm, 7) ORDER BY i) AS vv FROM w2r, n2),
+    w3r AS (SELECT i, SUM(x[i] * list_dot_product(x, v2.vv)) AS w
+            FROM c, v2, range(1, 65) r(i) GROUP BY i),
+    n3 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w3r),
+    v3 AS (SELECT list(ROUND(w / n3.nm, 6) ORDER BY i) AS vv FROM w3r, n3),
+    sg AS (SELECT CASE WHEN vv[1] < 0 THEN -1.0 ELSE 1.0 END AS s, vv FROM v3)
+    SELECT CAST(i - 1 AS INT) AS pos, vv[i] * s AS loading
+    FROM sg, range(1, 65) r(i)
+    """,
+)
+def vec_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embeddings by 3 power
+    iterations — posexplode/hash-agg updates, broadcast mean and
+    vector, 9dp/7dp intermediate rounding so the unrolled DuckDB twin
+    iterates on identical vectors."""
+    from hpaste_spark.operators.linalg import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"), iterations=3)
+
+
+@q(
     "prof_drift_psi",
     """
     WITH tagged AS (

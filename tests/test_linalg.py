@@ -1,0 +1,33 @@
+"""pca_top_component semantics: recovers a planted dominant direction,
+returns a unit vector, respects the sign convention."""
+
+import math
+
+import pytest
+
+from hpaste_spark.operators.linalg import pca_top_component
+
+
+def test_pca_recovers_planted_direction(spark):
+    """Points at t·u for u ∝ (3,4,0,0) plus tiny off-axis jitter: the
+    top component must align with u (|cos| > 0.99) and be unit-norm."""
+    u = [0.6, 0.8, 0.0, 0.0]
+    rows = []
+    for i in range(-20, 21):
+        t = float(i)
+        jitter = 0.01 * ((i % 3) - 1)
+        rows.append(([t * u[0], t * u[1], jitter, -jitter],))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = sorted(pca_top_component(df, iterations=3).collect(), key=lambda r: r.pos)
+    v = [r.loading for r in out]
+    assert len(v) == 4 and [r.pos for r in out] == [0, 1, 2, 3]
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-4
+    cos = sum(a * b for a, b in zip(v, u))
+    assert abs(cos) > 0.99, f"must recover the planted direction, got {v}"
+    assert v[0] >= 0, "sign convention: loading[0] non-negative"
+
+
+def test_pca_rejects_zero_iterations(spark):
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    with pytest.raises(ValueError):
+        pca_top_component(df, iterations=0)
