@@ -2026,6 +2026,38 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sess_top_paths",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM (SELECT user_id, ts, event_id, event_type,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events) t),
+    p AS (SELECT user_id, session_idx,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM s GROUP BY user_id, session_idx),
+    c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path)
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions
+    FROM c ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def sess_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event-type paths over 30-min gap
+    sessions — sessionize composed with a sorted-struct path agg and a
+    TakeOrdered head."""
+    from hpaste_spark.operators.funnel import session_paths
+
+    return session_paths(
+        _t(spark, sf_dir, "events"), gap_minutes=30, top=20,
+        tiebreak_cols=["event_id"],
+    )
+
+
+@q(
     "vec_pca_top_component",
     """
     WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2059,6 +2091,47 @@ def vec_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.linalg import pca_top_component
 
     return pca_top_component(_t(spark, sf_dir, "embeddings"), iterations=3)
+
+
+@q(
+    "vec_remove_top_component",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    mur AS (SELECT i, ROUND(AVG(e[i]), 9) AS m FROM v, range(1, 65) r(i) GROUP BY i),
+    mu AS (SELECT list(m ORDER BY i) AS mu FROM mur),
+    c AS (SELECT vec_id, list_transform(range(1, 65), i -> e[i] - mu.mu[i]) AS x
+          FROM v, mu),
+    v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vv),
+    w1r AS (SELECT i, SUM(x[i] * list_dot_product(x, v0.vv)) AS w
+            FROM c, v0, range(1, 65) r(i) GROUP BY i),
+    n1 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w1r),
+    v1 AS (SELECT list(ROUND(w / n1.nm, 7) ORDER BY i) AS vv FROM w1r, n1),
+    w2r AS (SELECT i, SUM(x[i] * list_dot_product(x, v1.vv)) AS w
+            FROM c, v1, range(1, 65) r(i) GROUP BY i),
+    n2 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w2r),
+    v2 AS (SELECT list(ROUND(w / n2.nm, 7) ORDER BY i) AS vv FROM w2r, n2),
+    w3r AS (SELECT i, SUM(x[i] * list_dot_product(x, v2.vv)) AS w
+            FROM c, v2, range(1, 65) r(i) GROUP BY i),
+    n3 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w3r),
+    v3 AS (SELECT list(ROUND(w / n3.nm, 6) ORDER BY i) AS vv FROM w3r, n3),
+    sg AS (SELECT CASE WHEN vv[1] < 0 THEN -1.0 ELSE 1.0 END AS s, vv FROM v3)
+    SELECT c.vec_id,
+           ROUND(SQRT(list_dot_product(c.x, c.x)), 6) AS centered_norm,
+           ROUND(list_dot_product(c.x, sg.vv) * sg.s, 6) AS proj,
+           ROUND(SQRT(GREATEST(list_dot_product(c.x, c.x)
+                 - (list_dot_product(c.x, sg.vv) * sg.s)
+                   * (list_dot_product(c.x, sg.vv) * sg.s), 0)), 6) AS resid_norm
+    FROM c, sg
+    """,
+)
+def vec_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABTT diagnostics: per-vector centered norm, projection onto the
+    corpus top component, residual norm via the dot identity (residual
+    vector never materialized)."""
+    from hpaste_spark.operators.linalg import remove_top_component
+
+    return remove_top_component(_t(spark, sf_dir, "embeddings"), iterations=3)
 
 
 @q(

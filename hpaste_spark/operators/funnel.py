@@ -219,3 +219,49 @@ def time_to_conversion(
         conv.groupBy(F.floor(F.col("_lat") / F.lit(us)).cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """(path, n_sessions) — the ``top`` most common within-session
+    event-type sequences ('view>click>purchase'), the "how do users
+    actually move" diagnostic over gap-based sessions.
+
+    Composes groups.sessionize (lag window + running sum) with ONE
+    (user, session) hash-agg whose ordering is made deterministic the
+    same way funnel_counts is: ``sort_array(collect_list(struct(ts,
+    tiebreaks..., type)))`` — collect_list order is
+    partition-arrival-dependent, the sorted struct array is not.  The
+    head is (count desc, path) TakeOrdered top-k, never a global
+    sort."""
+    from hpaste_spark.operators.groups import sessionize
+
+    tiebreaks = list(tiebreak_cols or [])
+    sess = sessionize(
+        events, user_col, ts_col, gap_minutes=gap_minutes, tiebreak_cols=tiebreaks
+    )
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(F.col(ts_col), *[F.col(c) for c in tiebreaks], F.col(type_col))
+        )
+    )
+    paths = (
+        sess.groupBy(user_col, "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s[type_col]), ">"
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(top)
+    )
+    return paths

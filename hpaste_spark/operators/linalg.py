@@ -108,3 +108,65 @@ def pca_top_component(
         vdf.select(F.posexplode(F.transform("_v", lambda t: t * sign)))
         .select(F.col("pos").cast("int").alias("pos"), F.col("col").alias("loading"))
     )
+
+
+def remove_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath 2018) diagnostics: for every
+    vector, its centered norm, its projection onto the corpus top
+    principal component, and the residual norm after removing that
+    direction — the "how much of each embedding is the dominant
+    direction" signal used to decide whether ABTT post-processing is
+    worth applying.  Returns (id, centered_norm, proj, resid_norm),
+    all rounded to 6 dp.
+
+    The residual norm is computed from the dot identities
+    ``‖c − (c·v)v‖² = c·c − (c·v)²`` (v is unit), so the residual
+    VECTOR is never materialized — per row this is two 64-element
+    folds, not an array subtraction.  The component comes from
+    :func:`pca_top_component` (its rounded, sign-fixed output — both
+    engines agree on it bit-for-bit) and rides in as a broadcast
+    one-row array next to the broadcast mean."""
+    from hpaste_spark.functions.vectors import dot
+
+    comp = pca_top_component(df, vec_col, iterations)
+    vrow = comp.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "loading"))),
+            lambda s: s["loading"],
+        ).alias("_v")
+    )
+    x = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    mu = (
+        x.select(F.posexplode("_x").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 9).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("_mu")
+        )
+    )
+    c = x.crossJoin(F.broadcast(mu)).select(
+        F.col(id_col), F.zip_with("_x", "_mu", lambda a, b: a - b).alias("_c")
+    )
+    cc = dot(F.col("_c"), F.col("_c"))
+    proj = dot(F.col("_c"), F.col("_v"))
+    return (
+        c.crossJoin(F.broadcast(vrow))
+        .select(
+            F.col(id_col),
+            F.round(F.sqrt(cc), 6).alias("centered_norm"),
+            F.round(proj, 6).alias("proj"),
+            F.round(
+                F.sqrt(F.greatest(cc - proj * proj, F.lit(0.0))), 6
+            ).alias("resid_norm"),
+        )
+    )

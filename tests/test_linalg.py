@@ -31,3 +31,24 @@ def test_pca_rejects_zero_iterations(spark):
     df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
     with pytest.raises(ValueError):
         pca_top_component(df, iterations=0)
+
+
+def test_remove_top_component_residual_drops(spark):
+    """On the planted-direction corpus, removing the top component must
+    leave only the jitter: resid_norm << centered_norm for the big-t
+    rows, and resid² + proj² ≈ centered² everywhere (Pythagoras)."""
+    from hpaste_spark.operators.linalg import remove_top_component
+
+    u = [0.6, 0.8, 0.0, 0.0]
+    rows = []
+    for i in range(-20, 21):
+        t = float(i)
+        jitter = 0.01 * ((i % 3) - 1)
+        rows.append((i, [t * u[0], t * u[1], jitter, -jitter]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in remove_top_component(df).collect()}
+    assert len(out) == 41
+    big = out[20]
+    assert big.resid_norm < 0.05 * big.centered_norm
+    for r in out.values():
+        assert abs(r.proj ** 2 + r.resid_norm ** 2 - r.centered_norm ** 2) < 1e-3
