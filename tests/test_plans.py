@@ -349,3 +349,28 @@ def test_weighted_sample_global_topk(spark):
 def test_resample_spine_join_is_keyed(spark, queries):
     plan = plan_of(queries["ts_resample_gapfill"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_session_paths_takeordered_head(spark, queries):
+    plan = plan_of(queries["sess_top_paths"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pca_no_cartesian(spark, queries):
+    """Power-iteration crossJoins are all single-row broadcast arrays
+    (mean / vector / norm) — never CartesianProduct."""
+    plan = plan_of(queries["vec_pca_top_component"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_drift_psi_window_free(spark, queries):
+    plan = plan_of(queries["prof_drift_psi"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_basket_lift_never_self_joins_baskets(spark, queries):
+    """Pair expansion must be the bucket-grouped array explode: the
+    only joins are the broadcast marginals, so the basket table's scan
+    appears exactly twice (item counts + baskets), not three times."""
+    plan = plan_of(queries["basket_brand_lift"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
