@@ -1935,6 +1935,42 @@ def prof_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "w_ntile_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS q
+      FROM orders)
+    SELECT o_orderpriority, CAST(q AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM t GROUP BY o_orderpriority, q
+    """,
+)
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value quartiles via PARTITIONED ntile (the
+    scale-safe form — the partition key bounds each sort; contrast
+    prof_equifreq_bins, which replaces the global-NTILE anti-pattern
+    with percentile boundaries).  Total order via the o_orderkey
+    tie-break makes tile assignment engine-stable."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@q(
     "sess_gap_sessionize",
     """
     -- CAST: DuckDB widens SUM(int) to HUGEINT, which the driver harness

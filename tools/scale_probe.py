@@ -33,7 +33,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scratch", "sf1_probe")
-PROBES = ["dedup_minhash_lsh", "sim_knn_join", "corpus_encode_tokens"]
+PROBES = [
+    "dedup_minhash_lsh",
+    "sim_knn_join",
+    "corpus_encode_tokens",
+    # round-4 third-batch heavyweights (documents/embeddings only —
+    # the probe fixture synthesizes just those two tables)
+    "dedup_semantic",
+    "dedup_winnow_overlap",
+    "text_bm25_topk",
+    "vec_pca_top_component",
+]
 # rotate lowercase AND digits per replica: tokens made of digits or
 # mixed case would otherwise shingle identically across replicas,
 # re-introducing the cross-replica near-dups the probe must avoid
