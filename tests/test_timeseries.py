@@ -69,3 +69,15 @@ def test_numeric_corr_exact_signs(spark):
     assert out[("y", "z")] == -1.0
     with pytest.raises(ValueError):
         numeric_corr(df, ["x"])
+
+
+def test_pivot_sum_variant(spark):
+    from hpaste_spark.operators.groups import pivot_counts
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0), (1, "b", 1.0), (2, "a", 7.0)],
+        "k long, v string, x double",
+    )
+    out = {r.k: (r.a, r.b) for r in pivot_counts(df, "k", "v", ["a", "b"], agg_col="x").collect()}
+    assert out[1] == (5.0, 1.0)
+    assert out[2] == (7.0, None), "sum of an absent cell is NULL, not 0"
