@@ -198,6 +198,22 @@ def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
     return F.transform(folded, lambda v: F.when(v < HASH_MOD, v))
 
 
+def winnow_select(h: Column, w: int = 4) -> Column:
+    """Window-min selection over an EXISTING k-gram hash array: the
+    minimum in each sliding window of ``w`` consecutive hashes,
+    deduplicated.  ``h`` appears ~2w times in the zip_with/least chain
+    ARGUMENTS — pass an attribute (a column materialized by a prior
+    select), not the raw shingle_hashes expression, or the whole
+    hashing pipeline is evaluated ~2w times per row (measured 6x on
+    the sf0.1 winnow bench; CollapseProject keeps a multiply-referenced
+    non-cheap projection un-inlined, so the two-step select is safe)."""
+    m = F.greatest(F.size(h) - (w - 1), F.lit(0))
+    acc = F.slice(h, 1, m)
+    for j in range(1, w):
+        acc = F.zip_with(acc, F.slice(h, 1 + j, m), lambda a, b: F.least(a, b))
+    return F.array_distinct(acc)
+
+
 def winnow_fingerprints(col: Column, n: int = 3, w: int = 4) -> Column:
     """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS local fingerprinting scheme): the minimum
@@ -205,16 +221,11 @@ def winnow_fingerprints(col: Column, n: int = 3, w: int = 4) -> Column:
     hashes, deduplicated.  Guarantees a match of length >= n+w-1
     shares a fingerprint while storing only ~2/(w+1) of the hashes.
 
-    Same zip_with-over-aligned-slices shape as shingle_hashes (the
-    window min is a w-way F.least fold), so the whole selection is one
-    narrow codegen stage — no shuffle, no UDF.  Documents with fewer
-    than w k-grams yield an empty array."""
-    h = shingle_hashes(col, n)
-    m = F.greatest(F.size(h) - (w - 1), F.lit(0))
-    acc = F.slice(h, 1, m)
-    for j in range(1, w):
-        acc = F.zip_with(acc, F.slice(h, 1 + j, m), lambda a, b: F.least(a, b))
-    return F.array_distinct(acc)
+    Convenience composition for single-expression use; operators
+    should materialize ``shingle_hashes`` in a select first and call
+    :func:`winnow_select` on the attribute (see its docstring for the
+    re-evaluation hazard)."""
+    return winnow_select(shingle_hashes(col, n), w)
 
 
 def normalize_text(col: Column) -> Column:

@@ -400,10 +400,13 @@ def winnow_fingerprint_sets(
     double-evaluation reason documented on shingle_sets."""
     from pyspark.sql import Window
 
-    from hpaste_spark.functions.text import winnow_fingerprints
+    from hpaste_spark.functions.text import shingle_hashes, winnow_select
 
-    ex = df.select(
-        F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), n, w)).alias("shingle")
+    # two-step select: the hash array becomes an attribute BEFORE the
+    # window-min chain references it ~2w times (see winnow_select)
+    base = df.select(F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_h"))
+    ex = base.select(
+        F.col(id_col), F.explode(winnow_select(F.col("_h"), w)).alias("shingle")
     )
     win = Window.partitionBy(id_col)
     return ex.withColumn("set_size", F.count(F.lit(1)).over(win)).select(

