@@ -2219,6 +2219,74 @@ def prof_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "prof_drift_psi_cat",
+    """
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    ),
+    r AS (SELECT lang AS category, COUNT(*) AS n_ref FROM tagged
+          WHERE split = 'train' GROUP BY 1),
+    c AS (SELECT lang AS category, COUNT(*) AS n_cur FROM tagged
+          WHERE split = 'holdout' GROUP BY 1),
+    j AS (SELECT COALESCE(r.category, c.category) AS category,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM r FULL OUTER JOIN c ON r.category = c.category),
+    tot AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+                   CAST(SUM(n_cur) AS DOUBLE) AS tc FROM j)
+    SELECT category, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(n_ref / tot.tr, 6) AS p_ref,
+           ROUND(n_cur / tot.tc, 6) AS p_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0
+                THEN ROUND((n_ref / tot.tr - n_cur / tot.tc)
+                           * ln((n_ref / tot.tr) / (n_cur / tot.tc)), 6)
+                END AS psi_term
+    FROM j, tot
+    """,
+)
+def prof_drift_psi_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI: language-mix drift between the md5 train split
+    and the 20% holdout."""
+    from hpaste_spark.operators.profile import drift_psi_categorical
+    from hpaste_spark.operators.sampling import hash_split
+
+    d = hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+        holdout_pct=20,
+    )
+    return drift_psi_categorical(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") == "holdout"),
+        "lang",
+    )
+
+
+@q(
+    "a_regr_trend",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, (epoch_us(ts) - 1704067200000000) / 3600000000.0), 6) AS slope,
+           ROUND(regr_intercept(value, (epoch_us(ts) - 1704067200000000) / 3600000000.0), 6) AS intercept,
+           ROUND(regr_r2(value, (epoch_us(ts) - 1704067200000000) / 3600000000.0), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def a_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over hours-since-2024-01-01
+    (offset x to the data epoch: regressing against raw epoch hours
+    puts a ~473k offset under the intercept's catastrophic
+    cancellation) — one regr_* hash-agg pass."""
+    from hpaste_spark.operators.profile import group_trend
+
+    ev = _t(spark, sf_dir, "events")
+    hours = (epoch_us(F.col("ts")) - F.lit(1704067200000000)) / 3.6e9
+    return group_trend(ev, "event_type", hours, "value")
+
+
+@q(
     "funnel_time_to_convert",
     """
     WITH ev AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),

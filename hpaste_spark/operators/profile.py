@@ -206,3 +206,73 @@ def drift_psi(
             ).alias("psi_term"),
         )
     )
+
+
+def drift_psi_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical-column PSI: one share-comparison row per category
+    value (the more common production drift monitor — language mix,
+    source mix, label mix).  Same output contract as :func:`drift_psi`
+    with the category replacing the bin: (category, n_ref, n_cur,
+    p_ref, p_cur, psi_term), NULL term for appeared/vanished
+    categories.  Two count aggregates + a category-keyed full-outer
+    join; the category table is the only thing wider than one row."""
+    r = ref.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+    c = cur.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cur")
+    )
+    joined = (
+        r.join(c, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").cast("double").alias("_tr"),
+        F.sum("n_cur").cast("double").alias("_tc"),
+    )
+    p = F.col("n_ref") / F.col("_tr")
+    q = F.col("n_cur") / F.col("_tc")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_ref",
+            "n_cur",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round((p - q) * F.log(p / q), 6),
+            ).alias("psi_term"),
+        )
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """(group, n, slope, intercept, r2) — closed-form per-group OLS of
+    y on x in ONE hash-agg pass (the regr_* aggregate family: all
+    co-moment accumulators are mergeable map-side partials — the
+    "is this metric trending and how fast" monitor).  Values rounded
+    to 6 dp; slope/r2 NULL when x is constant within a group.
+    ``x_col``/``y_col`` accept Column expressions (e.g. epoch hours)."""
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    return df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

@@ -194,3 +194,29 @@ def test_drift_psi_detects_shift_and_vanished_bin(spark):
         "a bin with no current mass must flag NULL, not a smoothed number"
     total = sum(r.psi_term for r in out.values() if r.psi_term is not None)
     assert total > 0.2, f"a gross shift must clear the 0.2 alert bar, got {total}"
+
+
+def test_drift_psi_categorical_vanished_category(spark):
+    from hpaste_spark.operators.profile import drift_psi_categorical
+
+    ref = spark.createDataFrame([("en",)] * 8 + [("fr",)] * 2, "lang string")
+    cur = spark.createDataFrame([("en",)] * 5 + [("de",)] * 5, "lang string")
+    out = {r.category: r for r in drift_psi_categorical(ref, cur, "lang").collect()}
+    assert out["fr"].psi_term is None and out["fr"].n_cur == 0
+    assert out["de"].psi_term is None and out["de"].n_ref == 0
+    assert out["en"].p_ref == 0.8 and out["en"].p_cur == 0.5
+    import math
+    assert out["en"].psi_term == round((0.8 - 0.5) * math.log(0.8 / 0.5), 6)
+
+
+def test_group_trend_exact_line(spark):
+    """y = 2x + 3 exactly: slope 2, intercept 3, r2 = 1; constant-x
+    group yields NULL slope."""
+    from hpaste_spark.operators.profile import group_trend
+
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+    rows += [("b", 5.0, float(v)) for v in range(4)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in group_trend(df, "g", "x", "y").collect()}
+    assert (out["a"].slope, out["a"].intercept, out["a"].r2) == (2.0, 3.0, 1.0)
+    assert out["b"].slope is None
