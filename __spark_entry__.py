@@ -1935,38 +1935,35 @@ def prof_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "w_ntile_quartiles",
+    "a_argmax_order_per_priority",
     """
-    WITH t AS (
-      SELECT o_orderpriority, o_totalprice,
-             NTILE(4) OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice, o_orderkey) AS q
-      FROM orders)
-    SELECT o_orderpriority, CAST(q AS INT) AS quartile,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(MIN(o_totalprice), 2) AS min_price,
-           ROUND(MAX(o_totalprice), 2) AS max_price
-    FROM t GROUP BY o_orderpriority, q
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               * 100000000 + o_orderkey) AS max_orderkey,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               * 100000000 + o_orderkey) AS min_orderkey,
+           ROUND(MIN(o_totalprice), 2) AS min_price
+    FROM orders GROUP BY o_orderpriority
     """,
 )
-def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-priority order-value quartiles via PARTITIONED ntile (the
-    scale-safe form — the partition key bounds each sort; contrast
-    prof_equifreq_bins, which replaces the global-NTILE anti-pattern
-    with percentile boundaries).  Total order via the o_orderkey
-    tie-break makes tile assignment engine-stable."""
-    from pyspark.sql import Window
-
+def a_argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin WITHOUT a window or self-join: Spark max_by /
+    min_by (DuckDB arg_max/arg_min) — single hash-agg.  The ordering
+    key is composite (price-cents, orderkey) packed into one BIGINT
+    (DuckDB arg_max keys are scalar-only): ties on price resolve to
+    the HIGHEST orderkey on the max side and the LOWEST on the min
+    side — deterministic on both engines."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("o_orderpriority", F.col("quartile").cast("int").alias("quartile"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        )
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 100000000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("max_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min_by("o_orderkey", key).alias("min_orderkey"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
     )
 
 
