@@ -2216,6 +2216,68 @@ def prof_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "repair_impute_value",
+    """
+    WITH t AS (
+      SELECT event_id, event_type,
+             CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+                  THEN NULL ELSE value END AS v
+      FROM events),
+    m AS (SELECT event_type, ROUND(AVG(v), 6) AS gm FROM t GROUP BY event_type)
+    SELECT t.event_id, t.event_type, COALESCE(t.v, m.gm) AS v,
+           (t.v IS NULL) AS v_imputed
+    FROM t JOIN m USING (event_type)
+    """,
+)
+def repair_impute_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean null imputation over deterministic simulated
+    missingness (~10% of values nulled by event-id md5 bucket — the
+    fixtures ship no nulls), means broadcast back in one join."""
+    from hpaste_spark.operators.repair import impute_group_mean
+    from hpaste_spark.operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(hash_bucket(F.col("event_id"), 100) < 10, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return impute_group_mean(ev, "v", "event_type").select(
+        "event_id", "event_type", "v", "v_imputed"
+    )
+
+
+@q(
+    "repair_iqr_outliers",
+    """
+    WITH q AS (SELECT o_orderpriority AS g,
+                      ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+                      ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+               FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority, o.o_totalprice AS value,
+           ROUND(q1 - 0.5 * (q3 - q1), 6) AS lo_fence,
+           ROUND(q3 + 0.5 * (q3 - q1), 6) AS hi_fence,
+           CASE WHEN o.o_totalprice < ROUND(q1 - 0.5 * (q3 - q1), 6)
+                THEN 'low' ELSE 'high' END AS side
+    FROM orders o JOIN q ON o.o_orderpriority = q.g
+    WHERE o.o_totalprice < ROUND(q1 - 0.5 * (q3 - q1), 6)
+       OR o.o_totalprice > ROUND(q3 + 0.5 * (q3 - q1), 6)
+    """,
+)
+def repair_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority IQR-fence outliers of order totals (k=0.5 — the
+    fixture's uniform totals clear the classic 1.5 fence, so the query
+    tightens it to exercise both tails) — one percentile agg broadcast
+    onto the scan, no windows."""
+    from hpaste_spark.operators.repair import iqr_outliers
+
+    return iqr_outliers(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority", k=0.5
+    )
+
+
+@q(
     "prof_drift_psi_cat",
     """
     WITH tagged AS (
