@@ -78,9 +78,14 @@ def funnel_counts(
         return F.array(*out)
 
     folded = per_user.select(F.aggregate("_evs", init, _merge).alias("_acc"))
+    # coalesce: SUM over an empty frame is NULL — a funnel nobody ever
+    # entered must report 0 users per step, not NULL (fuzz-caught)
     counts = folded.agg(
         *[
-            F.sum(F.when(F.col("_acc")[i] != _UNSET, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("_acc")[i] != _UNSET, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"_n{i}")
             for i in range(k)
