@@ -3470,6 +3470,18 @@ def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable DataSketches HLL rollup — per-group sketches + a total
+# from UNIONING them (one scan; the total never rescans the facts).
+# Sketch encodings are engine-specific → rows-only check, like
+# a5_approx_count_distinct; exactness asserted in test_sketches.
+@q("a5_hll_union_rollup")
+def a5_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.sketches import hll_rollup
+
+    o = _t(spark, sf_dir, "orders")
+    return hll_rollup(o, "o_orderpriority", "o_custkey")
+
+
 # BPE-ish subword token counting (north star: "token counting —
 # whitespace + a BPE-ish regex").  Whitespace count alongside for the
 # tokens-per-word granularity ratio LLM data budgeting uses.
