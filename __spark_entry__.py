@@ -2127,6 +2127,65 @@ def vec_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "vec_pca_two_components",
+    """
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    mur AS (SELECT i, ROUND(AVG(e[i]), 9) AS m FROM v, range(1, 65) r(i) GROUP BY i),
+    mu AS (SELECT list(m ORDER BY i) AS mu FROM mur),
+    c AS (SELECT list_transform(range(1, 65), i -> e[i] - mu.mu[i]) AS x FROM v, mu),
+    v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vv),
+    w1r AS (SELECT i, SUM(x[i] * list_dot_product(x, v0.vv)) AS w
+            FROM c, v0, range(1, 65) r(i) GROUP BY i),
+    n1 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w1r),
+    v1 AS (SELECT list(ROUND(w / n1.nm, 7) ORDER BY i) AS vv FROM w1r, n1),
+    w2r AS (SELECT i, SUM(x[i] * list_dot_product(x, v1.vv)) AS w
+            FROM c, v1, range(1, 65) r(i) GROUP BY i),
+    n2 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w2r),
+    v2 AS (SELECT list(ROUND(w / n2.nm, 7) ORDER BY i) AS vv FROM w2r, n2),
+    w3r AS (SELECT i, SUM(x[i] * list_dot_product(x, v2.vv)) AS w
+            FROM c, v2, range(1, 65) r(i) GROUP BY i),
+    n3 AS (SELECT SQRT(SUM(w * w)) AS nm FROM w3r),
+    v3 AS (SELECT list(ROUND(w / n3.nm, 6) ORDER BY i) AS vv FROM w3r, n3),
+    sg1 AS (SELECT CASE WHEN vv[1] < 0 THEN -1.0 ELSE 1.0 END AS s, vv FROM v3),
+    -- deflation: sign cancels in (x·v)·v_i, so the raw v3 vector works
+    d AS (SELECT list_transform(range(1, 65),
+              i -> x[i] - list_dot_product(x, v3.vv) * v3.vv[i]) AS x
+          FROM c, v3),
+    w1b AS (SELECT i, SUM(x[i] * list_dot_product(x, v0.vv)) AS w
+            FROM d, v0, range(1, 65) r(i) GROUP BY i),
+    n1b AS (SELECT SQRT(SUM(w * w)) AS nm FROM w1b),
+    v1b AS (SELECT list(ROUND(w / n1b.nm, 7) ORDER BY i) AS vv FROM w1b, n1b),
+    w2b AS (SELECT i, SUM(x[i] * list_dot_product(x, v1b.vv)) AS w
+            FROM d, v1b, range(1, 65) r(i) GROUP BY i),
+    n2b AS (SELECT SQRT(SUM(w * w)) AS nm FROM w2b),
+    v2b AS (SELECT list(ROUND(w / n2b.nm, 7) ORDER BY i) AS vv FROM w2b, n2b),
+    w3b AS (SELECT i, SUM(x[i] * list_dot_product(x, v2b.vv)) AS w
+            FROM d, v2b, range(1, 65) r(i) GROUP BY i),
+    n3b AS (SELECT SQRT(SUM(w * w)) AS nm FROM w3b),
+    v3b AS (SELECT list(ROUND(w / n3b.nm, 6) ORDER BY i) AS vv FROM w3b, n3b),
+    sg2 AS (SELECT CASE WHEN vv[1] < 0 THEN -1.0 ELSE 1.0 END AS s, vv FROM v3b)
+    SELECT CAST(1 AS INT) AS component, CAST(i - 1 AS INT) AS pos,
+           vv[i] * s AS loading
+    FROM sg1, range(1, 65) r(i)
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(i - 1 AS INT), vv[i] * s
+    FROM sg2, range(1, 65) r(i)
+    """,
+)
+def vec_pca_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components by power iteration with deflation:
+    v2 is extracted from the v1-orthogonal residual.  The deflation
+    projection materializes as an attribute before the elementwise
+    lambda (per-element re-evaluation hazard)."""
+    from hpaste_spark.operators.linalg import pca_top_components
+
+    return pca_top_components(
+        _t(spark, sf_dir, "embeddings"), n_components=2, iterations=3
+    )
+
+
+@q(
     "vec_remove_top_component",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -65,7 +65,17 @@ def pca_top_component(
     c = x.crossJoin(F.broadcast(mu)).select(
         F.zip_with("_x", "_mu", lambda a, b: a - b).alias("_c")
     )
-    # v0 = 1/sqrt(d), derived from the broadcast mean's length
+    vdf = _power_iterate(c, mu, iterations)
+    return vdf.select(F.posexplode("_v")).select(
+        F.col("pos").cast("int").alias("pos"), F.col("col").alias("loading")
+    )
+
+
+def _power_iterate(c, mu, iterations):
+    """Power-iterate over a centered-vector DataFrame ``c`` (column
+    ``_c``); returns a 1-row DataFrame with ``_v``: the unit component,
+    sign-fixed (element 0 >= 0) and rounded to 6 dp.  ``mu`` supplies
+    the dimension for the uniform 1/sqrt(d) start."""
     vdf = mu.select(
         F.transform(
             F.col("_mu"), lambda _m: F.lit(1.0) / F.sqrt(F.size(F.col("_mu")))
@@ -104,10 +114,85 @@ def pca_top_component(
     # sign flip is an exact double negation of already-rounded values —
     # no further rounding, so no second boundary to disagree on
     sign = F.when(F.col("_v")[0] < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    return (
-        vdf.select(F.posexplode(F.transform("_v", lambda t: t * sign)))
-        .select(F.col("pos").cast("int").alias("pos"), F.col("col").alias("loading"))
+    return vdf.select(F.transform("_v", lambda t: t * sign).alias("_v"))
+
+
+def pca_top_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    iterations: int = 3,
+) -> DataFrame:
+    """(component, pos, loading) — the top ``n_components`` principal
+    directions by power iteration WITH DEFLATION: after extracting
+    v_k, the data is projected onto its orthogonal complement
+    (``c ← c − (c·v_k)·v_k``) and the next component is power-iterated
+    on the residual.  Components are numbered from 1; each is
+    unit-norm, 6 dp, sign-fixed like :func:`pca_top_component`.
+
+    Deflation uses the FINAL rounded sign-fixed v_k, which both
+    engines agree on bit-for-bit — and ``(c·(v·s))·(v_i·s)`` equals
+    ``(c·v)·v_i`` exactly in IEEE arithmetic (two exact negations), so
+    an oracle may deflate with the unsigned vector.  The unrolled lazy
+    plan grows linearly in components × iterations; production callers
+    wanting many components should persist each deflated matrix."""
+    if n_components < 1:
+        raise ValueError("n_components must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    x = df.select(as_double(F.col(vec_col)).alias("_x")).filter(
+        F.col("_x").isNotNull()
     )
+    mu = (
+        x.select(F.posexplode("_x").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 9).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("_mu")
+        )
+    )
+    c = x.crossJoin(F.broadcast(mu)).select(
+        F.zip_with("_x", "_mu", lambda a, b: a - b).alias("_c")
+    )
+    outs = []
+    for k in range(1, n_components + 1):
+        vdf = _power_iterate(c, mu, iterations)
+        outs.append(
+            vdf.select(F.posexplode("_v")).select(
+                F.lit(k).cast("int").alias("component"),
+                F.col("pos").cast("int").alias("pos"),
+                F.col("col").alias("loading"),
+            )
+        )
+        if k < n_components:
+            from hpaste_spark.functions.vectors import dot
+
+            # _p materializes as an attribute BEFORE the deflation
+            # lambda references it: a lambda-captured dot expression
+            # re-evaluates once PER ELEMENT (the winnow_select hazard,
+            # 64x here).  The isNotNull guard makes _p doubly
+            # referenced so CollapseProject keeps the boundary; _p is
+            # never null, so semantics are unchanged.
+            cj = c.crossJoin(F.broadcast(vdf)).select(
+                "_c", "_v", dot(F.col("_c"), F.col("_v")).alias("_p")
+            )
+            c = cj.select(
+                F.when(
+                    F.col("_p").isNotNull(),
+                    F.zip_with(
+                        "_c", "_v", lambda a, vi: a - F.col("_p") * vi
+                    ),
+                )
+                .otherwise(F.col("_c"))
+                .alias("_c")
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
 
 
 def remove_top_component(

@@ -52,3 +52,30 @@ def test_remove_top_component_residual_drops(spark):
     assert big.resid_norm < 0.05 * big.centered_norm
     for r in out.values():
         assert abs(r.proj ** 2 + r.resid_norm ** 2 - r.centered_norm ** 2) < 1e-3
+
+
+def test_pca_two_components_orthogonal_and_planted(spark):
+    """Two planted directions with different variances: component 1
+    aligns with the stronger, component 2 with the weaker, and the two
+    are orthogonal (deflation worked)."""
+    from hpaste_spark.operators.linalg import pca_top_components
+
+    u = [0.6, 0.8, 0.0, 0.0]      # strong direction
+    w = [0.0, 0.0, 1.0, 0.0]      # weak direction
+    # independent grid: variance along u is 9x the variance along w
+    rows = []
+    for i in range(-5, 6):
+        for j in range(-5, 6):
+            rows.append(
+                ([3.0 * i * u[0], 3.0 * i * u[1], float(j), 0.0],)
+            )
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = pca_top_components(df, n_components=2, iterations=3).collect()
+    v1 = [r.loading for r in sorted((r for r in out if r.component == 1), key=lambda r: r.pos)]
+    v2 = [r.loading for r in sorted((r for r in out if r.component == 2), key=lambda r: r.pos)]
+    dot_uv1 = abs(sum(a * b for a, b in zip(v1, u)))
+    dot_wv2 = abs(sum(a * b for a, b in zip(v2, w)))
+    assert dot_uv1 > 0.99, v1
+    assert dot_wv2 > 0.99, v2
+    ortho = abs(sum(a * b for a, b in zip(v1, v2)))
+    assert ortho < 1e-3, f"components must be orthogonal, got {ortho}"
