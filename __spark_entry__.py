@@ -1297,6 +1297,82 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_lsh_eval",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d WHERE len(t) >= 3
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ),
+    m AS (SELECT (SELECT COUNT(*) FROM cand) AS nc,
+                 (SELECT COUNT(*) FROM truth) AS nt,
+                 (SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b)) AS nh)
+    SELECT CAST(nc AS BIGINT) AS n_candidates, CAST(nt AS BIGINT) AS n_truth,
+           CAST(nh AS BIGINT) AS n_hit,
+           ROUND(CASE WHEN nc > 0 THEN CAST(nh AS DOUBLE) / nc ELSE 0.0 END, 6) AS precision,
+           ROUND(CASE WHEN nt > 0 THEN CAST(nh AS DOUBLE) / nt ELSE 0.0 END, 6) AS recall,
+           ROUND(CASE WHEN (CASE WHEN nc > 0 THEN CAST(nh AS DOUBLE) / nc ELSE 0.0 END)
+                         + (CASE WHEN nt > 0 THEN CAST(nh AS DOUBLE) / nt ELSE 0.0 END) > 0
+                      THEN 2 * (CASE WHEN nc > 0 THEN CAST(nh AS DOUBLE) / nc ELSE 0.0 END)
+                             * (CASE WHEN nt > 0 THEN CAST(nh AS DOUBLE) / nt ELSE 0.0 END)
+                           / ((CASE WHEN nc > 0 THEN CAST(nh AS DOUBLE) / nc ELSE 0.0 END)
+                              + (CASE WHEN nt > 0 THEN CAST(nh AS DOUBLE) / nt ELSE 0.0 END))
+                      ELSE 0.0 END, 6) AS f1
+    FROM m
+    """,
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline QA: precision/recall/F1 of the banded MinHash-LSH
+    candidate set against exact shingle-Jaccard >= 0.5 ground truth —
+    one full-outer pair join + one global aggregate."""
+    from hpaste_spark.operators.dedup import (minhash_lsh_candidates,
+                                              ngram_jaccard_pairs, pair_eval)
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return pair_eval(cand, truth)
+
+
+@q(
     "dedup_simhash",
     """
     WITH d AS (
@@ -2523,6 +2599,29 @@ def prof_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.profile import equifreq_bins
 
     return equifreq_bins(_t(spark, sf_dir, "orders"), "o_totalprice", 10)
+
+
+@q(
+    "ts_decay_weighted_mean",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS e, value AS v FROM events),
+    snap AS (SELECT MAX(e) AS t FROM ev)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(POWER(2.0, -((snap.t - e) / 3600000000.0) / 24.0) * v)
+                 / SUM(POWER(2.0, -((snap.t - e) / 3600000000.0) / 24.0)), 6) AS decayed_mean,
+           ROUND(SUM(POWER(2.0, -((snap.t - e) / 3600000000.0) / 24.0)), 6) AS decayed_weight
+    FROM ev, snap GROUP BY user_id
+    """,
+)
+def ts_decay_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value mean (24h half-life)
+    as of the corpus max timestamp — closed-form EWMA, one hash-agg,
+    no window."""
+    from hpaste_spark.operators.timeseries import decay_weighted_mean
+
+    return decay_weighted_mean(
+        _t(spark, sf_dir, "events"), half_life_hours=24.0
+    )
 
 
 @q(

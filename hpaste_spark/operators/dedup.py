@@ -878,3 +878,43 @@ def cross_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("eval_id", "train_id", "containment")
     )
+
+
+def pair_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """One-row precision/recall/F1 of a candidate pair set against a
+    ground-truth pair set — the dedup-pipeline QA step: "what recall
+    does this LSH parameterization actually buy, and at what candidate
+    volume?".  Both inputs are (id_a, id_b) tables (id_a < id_b by the
+    pair-generator contract); dedup'd here defensively.
+
+    Shape: one full-outer equi-join on the pair key + one global
+    aggregate — never materializes anything wider than the union of
+    the two pair sets.  Metrics rounded to 6 dp; empty-side edge
+    cases report 0.0 (not NULL) so monitors can threshold them."""
+    c = candidates.select(id_a, id_b).distinct().withColumn("_c", F.lit(1))
+    t = truth.select(id_a, id_b).distinct().withColumn("_t", F.lit(1))
+    j = c.join(t, [id_a, id_b], "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_t")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    p = F.when(F.col("n_candidates") > 0, F.col("n_hit") / F.col("n_candidates")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_candidates",
+        "n_truth",
+        "n_hit",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+    )

@@ -101,3 +101,45 @@ def rolling_range_agg(
         F.count(F.lit(1)).over(w).cast("long").alias("rolling_n"),
         F.round(F.sum(value_col).over(w), 2).alias("rolling_sum"),
     )
+
+
+def decay_weighted_mean(
+    events: DataFrame,
+    half_life_hours: float = 24.0,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(group, n_events, decayed_mean, decayed_weight) — exponentially
+    time-decayed mean of ``value_col`` per group as of the CORPUS max
+    timestamp: weight = 2^(−Δt/half_life).  The recency-weighted user
+    score every ranking/personalization pipeline keeps.
+
+    The recursive EWMA is rewritten in its closed snapshot form
+    Σ w_i·v_i / Σ w_i, so it is ONE map-side-combined hash-agg over a
+    narrow projection — no window, no ordering, no per-group state.
+    The snapshot time rides in as a broadcast one-row max.  Rounded to
+    6 dp (weights are smooth exponentials; last-ulp pow() differences
+    sit ~8 orders below the rounding grain)."""
+    if half_life_hours <= 0:
+        raise ValueError("half_life_hours must be positive")
+    us_per_hour = 3_600 * 1_000_000
+    ev = events.select(
+        F.col(group_col),
+        epoch_us(F.col(ts_col)).alias("_e"),
+        F.col(value_col).alias("_v"),
+    )
+    snap = ev.agg(F.max("_e").alias("_t"))
+    w = F.pow(
+        F.lit(2.0),
+        -((F.col("_t") - F.col("_e")) / F.lit(us_per_hour)) / F.lit(half_life_hours),
+    )
+    return (
+        ev.crossJoin(F.broadcast(snap))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(w * F.col("_v")) / F.sum(w), 6).alias("decayed_mean"),
+            F.round(F.sum(w), 6).alias("decayed_weight"),
+        )
+    )

@@ -714,3 +714,19 @@ def test_winnow_short_doc_empty(spark):
     # 5 tokens -> 3 shingles < w=4 -> no complete window -> empty
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     assert df.select(F.size(winnow_fingerprints(F.col("text"))).alias("s")).first()["s"] == 0
+
+
+def test_pair_eval_metrics(spark):
+    from hpaste_spark.operators.dedup import pair_eval
+
+    cand = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2), (4, 5)], "id_a long, id_b long")
+    r = pair_eval(cand, truth).first()
+    assert (r.n_candidates, r.n_truth, r.n_hit) == (3, 2, 1)
+    p, rec = 1 / 3, 1 / 2
+    assert r.precision == round(p, 6) and r.recall == round(rec, 6)
+    assert r.f1 == round(2 * p * rec / (p + rec), 6)
+    # empty candidate set: 0.0 metrics, not NULL
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    z = pair_eval(empty, truth).first()
+    assert (z.n_candidates, z.precision, z.recall, z.f1) == (0, 0.0, 0.0, 0.0)

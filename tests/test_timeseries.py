@@ -81,3 +81,21 @@ def test_pivot_sum_variant(spark):
     out = {r.k: (r.a, r.b) for r in pivot_counts(df, "k", "v", ["a", "b"], agg_col="x").collect()}
     assert out[1] == (5.0, 1.0)
     assert out[2] == (7.0, None), "sum of an absent cell is NULL, not 0"
+
+
+def test_decay_weighted_mean_halflife(spark):
+    """Two events 24h apart with half-life 24h: the older carries half
+    the weight -> mean = (0.5*old + 1*new) / 1.5."""
+    import pytest
+
+    from hpaste_spark.operators.timeseries import decay_weighted_mean
+
+    df = spark.createDataFrame(
+        [_ev(0, 6.0), _ev(24 * 60, 12.0), _ev(24 * 60, 100.0, uid=2)]
+    )
+    out = {r.user_id: r for r in decay_weighted_mean(df, 24.0).collect()}
+    assert out[1].decayed_mean == round((0.5 * 6.0 + 1.0 * 12.0) / 1.5, 6)
+    assert out[1].decayed_weight == 1.5
+    assert out[2].decayed_mean == 100.0  # single event at the snapshot
+    with pytest.raises(ValueError):
+        decay_weighted_mean(df, 0)
