@@ -80,6 +80,10 @@ HEADLINE = [
     "ts_rolling_range",
     "graph_pagerank_supplier_customer",
     "split_weighted_sample",
+    # round 4, final batch: spectral, QA, and decay aggregates
+    "vec_pca_two_components",
+    "dedup_lsh_eval",
+    "ts_decay_weighted_mean",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

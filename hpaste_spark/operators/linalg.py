@@ -110,6 +110,12 @@ def _power_iterate(c, mu, iterations):
                     lambda s: s["vn"],
                 ).alias("_v")
             )
+            # cut the growing lineage per round (lazy — construction
+            # stays plan-only): without this, iteration k's plan embeds
+            # every earlier iteration AND the centered matrix again —
+            # ~2^k recompute; the 2-component query was 29 s at sf0.1,
+            # 3.5 s with the checkpoints (same fix as graph.pagerank)
+            .localCheckpoint(eager=False)
         )
     # sign flip is an exact double negation of already-rounded values —
     # no further rounding, so no second boundary to disagree on
@@ -156,7 +162,7 @@ def pca_top_components(
     )
     c = x.crossJoin(F.broadcast(mu)).select(
         F.zip_with("_x", "_mu", lambda a, b: a - b).alias("_c")
-    )
+    ).localCheckpoint(eager=False)
     outs = []
     for k in range(1, n_components + 1):
         vdf = _power_iterate(c, mu, iterations)
@@ -188,7 +194,7 @@ def pca_top_components(
                 )
                 .otherwise(F.col("_c"))
                 .alias("_c")
-            )
+            ).localCheckpoint(eager=False)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
