@@ -374,3 +374,18 @@ def test_basket_lift_never_self_joins_baskets(spark, queries):
     appears exactly twice (item counts + baskets), not three times."""
     plan = plan_of(queries["basket_brand_lift"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pca_two_components_no_cartesian(spark, queries):
+    plan = plan_of(queries["vec_pca_two_components"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decay_mean_window_free(spark, queries):
+    plan = plan_of(queries["ts_decay_weighted_mean"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_lsh_eval_no_cartesian(spark, queries):
+    plan = plan_of(queries["dedup_lsh_eval"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
