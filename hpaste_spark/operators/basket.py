@@ -61,9 +61,13 @@ def cooccurrence_lift(
     )
     ca = ic.select(F.col("_i").alias("item_a"), F.col("_c").alias("_ca"))
     cb = ic.select(F.col("_i").alias("item_b"), F.col("_c").alias("_cb"))
+    # marginals joins are NOT hint-forced to broadcast: the item
+    # dimension can be genuinely large (raw SKUs/doc ids), and a forced
+    # broadcast OOMs the driver there — AQE broadcasts when |items|
+    # is actually small (it is for the brand-level query)
     return (
-        pairs.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
         .crossJoin(F.broadcast(nb))
         .select(
             "item_a",
