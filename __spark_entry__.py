@@ -755,6 +755,45 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_bigram_pmi",
+    """
+    WITH d AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks AS (SELECT unnest(t) AS w FROM d),
+    uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY w),
+    tt AS (SELECT CAST(SUM(cu) AS DOUBLE) AS v FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+      FROM d
+    ),
+    tb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bi),
+    pairs AS (
+      SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             COUNT(*) AS n_pair
+      FROM bi GROUP BY bg
+      HAVING COUNT(*) >= 5
+    )
+    SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+           ROUND(ln((p.n_pair / tb.v)
+                    / ((u1.cu / tt.v) * (u2.cu / tt.v))), 6) AS pmi
+    FROM pairs p
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w, tb, tt
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word PMI collocation scores (pairs with >= 5
+    occurrences) — two hash-aggs, broadcast totals, unigram joins onto
+    the surviving pair table only."""
+    from hpaste_spark.operators.tfidf import bigram_pmi
+
+    return bigram_pmi(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+@q(
     "text_bigram_counts",
     """
     WITH d AS (

@@ -152,3 +152,57 @@ def bm25_topk(
     return scored.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — pointwise mutual information of adjacent
+    word pairs: ``ln( p(w1,w2) / (p(w1)·p(w2)) )`` — the collocation /
+    multi-word-expression detector ("new york" scores high, "of the"
+    near zero).  ``min_count`` drops unstable rare pairs (PMI's known
+    low-frequency bias).
+
+    Shape: one token explode → unigram hash-agg, one bigram explode →
+    pair hash-agg, totals as broadcast one-row aggregates, two
+    unigram-keyed joins onto the (much smaller) surviving pair table.
+    PMI rounded to 6 dp."""
+    from hpaste_spark.functions.text import tokens, word_shingles
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_cu"))
+    t_tok = uni.agg(F.sum("_cu").cast("double").alias("_tt"))
+    bi = df.select(F.explode(word_shingles(F.col(text_col), 2)).alias("bg"))
+    pairs = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    t_bi = bi.agg(F.count(F.lit(1)).cast("double").alias("_tb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("_cu").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("_cu").alias("_c2"))
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t_bi))
+        .crossJoin(F.broadcast(t_tok))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("_tb"))
+                    / ((F.col("_c1") / F.col("_tt")) * (F.col("_c2") / F.col("_tt")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -767,3 +767,21 @@ def test_prefix_jaccard_lossless_and_cheaper(spark):
         .count()
     )
     assert n_pref < 0.7 * n_full, (n_pref, n_full)
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    """'new york' always adjacent -> strongly positive PMI; a pair of
+    independent frequent words hovers near 0; min_count prunes."""
+    import math
+
+    from hpaste_spark.operators.tfidf import bigram_pmi
+
+    rows = [("new york",)] * 10 + [("a b",)] * 5 + [("b a",)] * 5 + [("a rare",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in bigram_pmi(df, min_count=5).collect()}
+    assert ("a", "rare") not in out, "min_count must prune rare pairs"
+    n, pmi = out[("new", "york")]
+    assert n == 10
+    # exact: p(new york)=10/21 bigrams; p(new)=p(york)=10/42 tokens
+    assert pmi == round(math.log((10 / 21) / ((10 / 42) * (10 / 42))), 6)
+    assert out[("new", "york")][1] > out[("a", "b")][1]
