@@ -2087,10 +2087,10 @@ def prof_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                               * 100000000 + o_orderkey) AS max_orderkey,
+                               * 10000000000 + o_orderkey) AS max_orderkey,
            ROUND(MAX(o_totalprice), 2) AS max_price,
            arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                               * 100000000 + o_orderkey) AS min_orderkey,
+                               * 10000000000 + o_orderkey) AS min_orderkey,
            ROUND(MIN(o_totalprice), 2) AS min_price
     FROM orders GROUP BY o_orderpriority
     """,
@@ -2101,10 +2101,13 @@ def a_argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is composite (price-cents, orderkey) packed into one BIGINT
     (DuckDB arg_max keys are scalar-only): ties on price resolve to
     the HIGHEST orderkey on the max side and the LOWEST on the min
-    side — deterministic on both engines."""
+    side — deterministic on both engines.  1e10 multiplier: TPC-H
+    o_orderkey tops out at 6e9 at sf1000 (< 1e10, never bleeds into
+    the cents field) and cents max ~6e7, so the packed key peaks at
+    ~6e17 — inside BIGINT at every published scale factor."""
     o = _t(spark, sf_dir, "orders")
     key = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 100000000
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10000000000
         + F.col("o_orderkey")
     )
     return o.groupBy("o_orderpriority").agg(

@@ -682,12 +682,14 @@ def embedding_neardup_pairs(
 
 def semantic_dedup(
     df: DataFrame,
-    k_centroids: int = 8,
+    k_centroids: "int | None" = None,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iterations: int = 1,
     max_cluster: "int | None" = None,
+    target_cluster_size: int = 512,
+    k_min: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then inside each cluster drop every vector that has an
@@ -703,11 +705,21 @@ def semantic_dedup(
     ``k_centroids`` MUST scale with corpus size (the paper uses k in
     the tens of thousands at 100M+ points; at 100 TB, build the
     clusters once via :func:`~hpaste_spark.operators.similarity.
-    build_ivf_index` and run per-cid).  ``max_cluster`` optionally caps
-    each cluster's pair expansion to its most-central members
-    (deterministic (cc desc, id) rank, same posture as the LSH
+    build_ivf_index` and run per-cid).  The DEFAULT
+    (``k_centroids=None``) therefore derives k from the corpus:
+    ``k = max(k_min, ceil(n / target_cluster_size))`` via one
+    metadata-cheap count — pair work stays ~n·target_cluster_size
+    (linear in n) no matter how large the input grows, which is the
+    fix for the measured α=1.25 super-linearity at a PINNED k
+    (SCALE.md round 4).  Pass an explicit ``k_centroids`` only when
+    the cluster count itself is the contract (e.g. a cross-engine
+    oracle that must reproduce the exact seeding).  ``max_cluster``
+    optionally caps each cluster's PAIR EXPANSION to its most-central
+    members (deterministic (cc desc, id) rank, same posture as the LSH
     ``max_bucket`` guards) so one degenerate mega-cluster cannot go
-    quadratic.
+    quadratic; rows ranked beyond the cap skip the neighbor test but
+    STAY in the output (they are never dropped — only ids that lose a
+    tested pair are).
 
     Keep rule determinism: a pair (a < b) above threshold drops the
     member with the LOWER centroid-cosine, ties drop the higher id —
@@ -718,6 +730,12 @@ def semantic_dedup(
     from hpaste_spark.functions.vectors import as_double, dot
     from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
 
+    if k_centroids is None:
+        # one count job (parquet footer metadata at scan level — no
+        # full read); keeps |cluster| ≈ target_cluster_size so the
+        # cid-local quadratic is linear-in-n overall
+        n = df.count()
+        k_centroids = max(k_min, -(-n // max(1, target_cluster_size)))
     cents = ivf_centroids(df, k_centroids, vec_col, id_col, iterations)
     assign = ivf_assign(df, cents, vec_col, id_col, with_score=True)
     m = (
@@ -730,16 +748,20 @@ def semantic_dedup(
         .withColumn("_n", F.sqrt(dot(F.col("_e"), F.col("_e"))))
         .join(assign, id_col)
     )
+    # the cap narrows only the pair-EXPANSION sides; the kept-set is
+    # anti-joined from the UNCAPPED assignment, so capped-out rows
+    # survive untested instead of vanishing from the output
+    mp = m
     if max_cluster is not None:
         w = Window.partitionBy("cid").orderBy(F.col("cc").desc(), F.col(id_col))
-        m = m.withColumn("_rk", F.row_number().over(w)).filter(
+        mp = m.withColumn("_rk", F.row_number().over(w)).filter(
             F.col("_rk") <= max_cluster
         ).drop("_rk")
-    a = m.select(
+    a = mp.select(
         F.col(id_col).alias("id_a"), "cid", F.col("cc").alias("ca"),
         F.col("_e").alias("ea"), F.col("_n").alias("_na"),
     )
-    b = m.select(
+    b = mp.select(
         F.col(id_col).alias("id_b"), "cid", F.col("cc").alias("cb"),
         F.col("_e").alias("eb"), F.col("_n").alias("_nb"),
     )
@@ -926,11 +948,19 @@ def prefix_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: "int | None" = MAX_SHINGLE_DF,
+    max_shingle_df: "int | None" = None,
 ) -> DataFrame:
     """LOSSLESS prefix-filtered exact-Jaccard pairs (the PPJoin family,
     Xiao et al. 2008): identical output to :func:`ngram_jaccard_pairs`
     at the same threshold, from far fewer candidates.
+
+    Losslessness holds at the default ``max_shingle_df=None``: unlike
+    the full-shingle LSH paths, a dropped prefix posting can be a
+    pair's ONLY candidate route, so capping here trades completeness
+    for a bound on degenerate buckets — opt in explicitly when a
+    corpus has pathological prefix skew and a recall dip is acceptable
+    (prefixes are the globally RAREST shingles, so in practice the
+    postings stay short without a cap).
 
     Shingles get a GLOBAL rarity order (document frequency, shingle);
     each doc indexes only its PREFIX — the first
@@ -945,8 +975,7 @@ def prefix_jaccard_pairs(
     Shuffles: one (id, shingle) df-join + per-id rank window
     (PARTITIONED by id — bounded sort), one bucket-grouped pair
     expansion over prefix postings, one id-keyed verify join against
-    the full shingle arrays.  ``max_shingle_df`` stays as a belt-and-
-    braces cap on degenerate prefix buckets."""
+    the full shingle arrays."""
     if not (0 < threshold <= 1):
         raise ValueError("threshold must be in (0, 1]")
     from pyspark.sql import Window
@@ -964,8 +993,16 @@ def prefix_jaccard_pairs(
     dfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = sets.join(dfreq, "shingle")
     w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    # ceil over a 9dp-rounded product, NOT the raw double: when t·|s|
+    # is an exact integer whose binary product overshoots (0.55×100 =
+    # 55.000000000000004), raw ceil lands one too high and the prefix
+    # one too SHORT — silently breaking the completeness pigeonhole.
+    # 9dp absorbs the ~1 ulp overshoot while never crossing a real
+    # fractional boundary for any threshold a caller can express.
     prefix_len = (
-        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+        F.col("set_size")
+        - F.ceil(F.round(F.lit(threshold) * F.col("set_size"), 9))
+        + 1
     )
     prefix = (
         ranked.withColumn("_rn", F.row_number().over(w))

@@ -91,9 +91,22 @@ def funnel_counts(
             for i in range(k)
         ]
     )
-    parts = ", ".join(f"{i + 1}, '{steps[i]}', _n{i}" for i in range(k))
+    # unpivot via inline() over TYPED literals, not a stack(...) SQL
+    # string — caller-supplied step names never touch a parser, so a
+    # quote (or anything else) in a step name can't break or inject
     rows = counts.select(
-        F.expr(f"stack({k}, {parts}) as (step, step_name, n_users)"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step"),
+                        F.lit(steps[i]).alias("step_name"),
+                        F.col(f"_n{i}").alias("n_users"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ),
         F.col("_n0").alias("_first"),
     )
     return rows.select(

@@ -638,8 +638,15 @@ def test_semantic_dedup_plan_is_cluster_local_equi_join(spark, emb):
     plan = semantic_dedup(emb, k_centroids=8, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    capped = semantic_dedup(emb, k_centroids=8, threshold=0.4, max_cluster=10)
-    assert capped.count() <= 80  # <= k_centroids * max_cluster rows survive
+    # the cap narrows only the PAIR EXPANSION: rows ranked beyond it
+    # skip the neighbor test but stay in the output, so the capped
+    # kept-set is a superset of the uncapped one (fewer tested pairs
+    # -> fewer losers), never an arbitrary truncation of the corpus
+    full_ids = {r["vec_id"] for r in semantic_dedup(
+        emb, k_centroids=8, threshold=0.4).collect()}
+    capped_ids = {r["vec_id"] for r in semantic_dedup(
+        emb, k_centroids=8, threshold=0.4, max_cluster=10).collect()}
+    assert capped_ids >= full_ids
 
 
 def test_bm25_hand_computed(spark):
@@ -785,3 +792,53 @@ def test_bigram_pmi_collocation_beats_chance(spark):
     # exact: p(new york)=10/21 bigrams; p(new)=p(york)=10/42 tokens
     assert pmi == round(math.log((10 / 21) / ((10 / 42) * (10 / 42))), 6)
     assert out[("new", "york")][1] > out[("a", "b")][1]
+
+
+def test_prefix_length_integer_safe_at_exact_products(spark):
+    """ADVICE r4 (medium): ceil of the RAW double t*|s| overshoots when
+    the product is an exact integer (0.55*20 = 11.000000000000002 ->
+    ceil 12), shortening the prefix by one and silently breaking the
+    completeness pigeonhole.  The operator must use the 9dp-rounded
+    guard; this pins both the guard and the failure mode it prevents."""
+    from pyspark.sql import functions as F
+
+    cases = spark.createDataFrame(
+        [(20,), (40,), (60,), (100,)], "set_size int"
+    )
+    t = 0.55
+    out = {
+        r.set_size: (r.guarded, r.raw)
+        for r in cases.select(
+            "set_size",
+            (F.col("set_size") - F.ceil(F.round(F.lit(t) * F.col("set_size"), 9)) + 1)
+            .alias("guarded"),
+            (F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1)
+            .alias("raw"),
+        ).collect()
+    }
+    # t·|s| is an exact integer in all four cases -> prefix must be
+    # |s| - t|s| + 1 exactly
+    for s in (20, 40, 60, 100):
+        assert out[s][0] == s - round(t * s) + 1, (s, out[s])
+    # the raw double product overshoots at |s|=100 (0.55*100 =
+    # 55.00000000000001 -> ceil 56 -> prefix one too SHORT); the guard
+    # is what keeps the completeness pigeonhole intact there
+    assert out[100][1] == 100 - 56 + 1
+    assert out[100][0] == 100 - 55 + 1
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark, emb):
+    """Default k_centroids=None derives k = max(k_min, ceil(n/target)):
+    a smaller target_cluster_size must yield MORE clusters, output
+    stays deterministic, and no input row vanishes except pair losers."""
+    from hpaste_spark.operators.dedup import semantic_dedup
+
+    coarse = semantic_dedup(emb, threshold=0.4, target_cluster_size=250)
+    fine = semantic_dedup(emb, threshold=0.4, target_cluster_size=50)
+    n_coarse = coarse.select("cid").distinct().count()
+    n_fine = fine.select("cid").distinct().count()
+    # 500 vectors: ceil(500/250)=2 -> k_min=8 floor; ceil(500/50)=10
+    assert n_coarse <= 8 and n_fine <= 10 and n_fine > n_coarse
+    again = {r["vec_id"] for r in semantic_dedup(
+        emb.repartition(7), threshold=0.4, target_cluster_size=50).collect()}
+    assert again == {r["vec_id"] for r in fine.collect()}
