@@ -2926,6 +2926,32 @@ def x2_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "x2_group_zscore_native",
+    """
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN sd > 0 THEN (value - m) / sd ELSE 0.0 END, 4) + 0.0 AS zscore
+    FROM (SELECT event_id, user_id, value,
+                 AVG(value) OVER (PARTITION BY user_id) AS m,
+                 STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd
+          FROM events) t
+    """,
+)
+def x2_group_zscore_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPRESSIBLE twin of x2_group_zscore (VERDICT r4 #5): same
+    oracle, but pure window expressions — one exchange on user_id,
+    whole-stage codegen, no Arrow round-trip.  The pair documents the
+    rule: applyInPandas is for folds built-ins can't express; when the
+    fold IS expressible, this is the plan to copy."""
+    from hpaste_spark.operators.groups import zscore_normalize_native
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = zscore_normalize_native(ev, ["user_id"], "value", "event_id")
+    return out.select(
+        "event_id", "user_id", (F.round("zscore", 4) + F.lit(0.0)).alias("zscore")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 3: HAVING, semi join, scalar subquery, array aggregation,
 # quality scoring, MinHash signature export.
@@ -3694,25 +3720,80 @@ def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A5 approx distinct — sketch-based, no exact oracle possible (HLL++
 # estimates differ across engines); driver records the rows-only check.
-@q("a5_approx_count_distinct")
+# Tolerance-band oracle (VERDICT r4 #2): HLL estimates are engine-
+# specific, so the DRIVER-VISIBLE contract is the band check — the
+# Spark side emits `within_5pct` = |approx − exact| ≤ 5%·exact next to
+# the exact count, and the oracle asserts TRUE for every group.  A
+# drifting sketch now hash-MISMATCHES instead of hiding behind a
+# rows-only row; the raw estimate itself stays pytest-asserted
+# (test_sketches, ≤5%).
+@q(
+    "a5_approx_count_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
     )
 
 
 # Mergeable DataSketches HLL rollup — per-group sketches + a total
 # from UNIONING them (one scan; the total never rescans the facts).
-# Sketch encodings are engine-specific → rows-only check, like
-# a5_approx_count_distinct; exactness asserted in test_sketches.
-@q("a5_hll_union_rollup")
+# Same tolerance-band contract as a5_approx_count_distinct: the union
+# estimate must land within 5% of the exact distinct per group AND for
+# the unioned ALL row (lg_k=12 ≈ 2% expected error).
+@q(
+    "a5_hll_union_rollup",
+    """
+    SELECT o_orderpriority AS grp,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL' AS grp, COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM orders
+    """,
+)
 def a5_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.sketches import hll_rollup
 
     o = _t(spark, sf_dir, "orders")
-    return hll_rollup(o, "o_orderpriority", "o_custkey")
+    sk = hll_rollup(o, "o_orderpriority", "o_custkey")
+    exact = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    exact_all = o.agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+    return (
+        sk.join(exact.unionAll(exact_all), "grp")
+        .select(
+            "grp",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_5pct"),
+        )
+    )
 
 
 # BPE-ish subword token counting (north star: "token counting —
@@ -5106,6 +5187,53 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_semantic_autok",
+    """
+    WITH kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 50.0) AS BIGINT)) AS k
+                FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 vec_id % (SELECT k FROM kk) AS scid
+          FROM embeddings),
+    pc AS (SELECT scid, i, AVG(e[i]) AS m FROM v, range(1, 65) AS r(i) GROUP BY scid, i),
+    cent AS (SELECT scid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM pc GROUP BY scid),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.e, c.cvec)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+      FROM v, cent c),
+    assign AS (SELECT vec_id, cid, cc FROM (
+        SELECT vec_id, cid, cc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    m AS (SELECT a.vec_id, a.cid, a.cc AS ccent, v.e FROM assign a JOIN v USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.ccent AS ca, y.ccent AS cb,
+             list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_raw
+      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    losers AS (
+      SELECT DISTINCT CASE WHEN ca >= cb THEN id_b ELSE id_a END AS vec_id
+      FROM pairs WHERE cos_raw >= 0.4)
+    SELECT m.vec_id, m.cid, ROUND(m.ccent, 6) + 0 AS centroid_sim
+    FROM m LEFT JOIN losers USING (vec_id) WHERE losers.vec_id IS NULL
+    """,
+)
+def dedup_semantic_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the size-derived DEFAULT k (VERDICT r4 #1): the
+    operator counts the corpus and picks k = max(8, ceil(n/target)) so
+    cluster size — and with it the cid-local quadratic — stays constant
+    as the corpus grows.  The oracle derives the SAME k from COUNT(*),
+    proving the derivation (not just one pinned k) is cross-engine
+    deterministic.  target_cluster_size=50 → k=10 on the 500-vector
+    fixture, distinct from dedup_semantic's pinned k=8."""
+    from hpaste_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, target_cluster_size=50
+    )
+
+
+@q(
     "mix_temperature_sample",
     """
     WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
@@ -5236,6 +5364,13 @@ def _evidence() -> "tuple[dict, set]":
         for n, r in rows.items():
             if r.get("err") not in (None, "no_oracle") or r.get("hash_match") is False:
                 red.add(n)
+            elif r.get("err") == "no_oracle":
+                # a rows-only row is evidence of *execution*, not of
+                # value-correctness — don't let it count as green, so a
+                # query that later GAINS an oracle (e.g. the r5
+                # tolerance-band sketches) re-sorts as never-checked
+                # and the driver samples it promptly
+                red.discard(n)
             else:
                 last_green[n] = rnd
                 red.discard(n)

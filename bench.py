@@ -136,6 +136,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # isolation guard: a co-running job inflates wall-clock 30-50%
+    # (measured round 3→4); record the 1-min load BEFORE the JVM spins
+    # up so a hot machine is visible in the artifact instead of
+    # masquerading as a regression.  Threshold: >25% of the cores this
+    # bench is about to use already busy.
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    load1 = round(os.getloadavg()[0], 2)
+    load_warning = load1 > 0.25 * ncpu
+
     import __spark_entry__ as entry_mod
     from hpaste_spark import get_spark
 
@@ -207,6 +216,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg_1m_at_start": load1,
+                "load_warning": load_warning,
             }
         )
     )

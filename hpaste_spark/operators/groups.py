@@ -44,7 +44,14 @@ def zscore_normalize(df: DataFrame, keys: list[str], value_col: str, id_col: str
     """Per-group z-score normalization through the applyInPandas path —
     the canonical 'opaque group fold' demonstration (population stddev;
     ddof=0 matches SQL STDDEV_POP).  Single-member groups and zero
-    variance normalize to 0."""
+    variance normalize to 0.
+
+    NOTE: z-score is fully EXPRESSIBLE — this Arrow round-trip exists
+    only to exercise the X2 opaque-fold extension point (the reference's
+    HReducer shape).  For production use :func:`zscore_normalize_native`:
+    same output, pure window expressions, whole-stage codegen, no
+    Python workers.  Copy THIS form only for folds built-in aggregates
+    genuinely cannot express."""
     dtypes = dict(df.dtypes)
     out_schema = (
         f"{id_col} {dtypes[id_col]}, "
@@ -64,6 +71,25 @@ def zscore_normalize(df: DataFrame, keys: list[str], value_col: str, id_col: str
         return out
 
     return df.groupBy(*keys).applyInPandas(norm, schema=out_schema)
+
+
+def zscore_normalize_native(
+    df: DataFrame, keys: list[str], value_col: str, id_col: str
+) -> DataFrame:
+    """The expressible twin of :func:`zscore_normalize`: one window
+    exchange on ``keys``, AVG/STDDEV_POP over the unbounded frame, and
+    a guarded division — all JVM-side, whole-stage-codegen'd, no Arrow
+    transfer and no Python workers.  Identical semantics (ddof=0;
+    single-member / zero-variance groups → 0.0); prefer this whenever
+    the fold is expressible — the applyInPandas form is the X2
+    extension-point demonstrator, not the fast path."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    m = F.avg(value_col).over(w)
+    sd = F.stddev_pop(value_col).over(w)
+    z = F.when(sd > 0, (F.col(value_col) - m) / sd).otherwise(F.lit(0.0))
+    return df.select(id_col, *keys, z.alias("zscore"))
 
 
 def sessionize(

@@ -648,9 +648,12 @@ class Query2Builder:
             key = "scan|" + self._cache_key()
             hit = self.table.cache.get_scan_result(key)
             if hit is not self.table.cache.MISS:
+                # instrument like the point-get tier (ResultCaching.scala:58)
+                self.table.cache.instrument_request(1, 1, 0, 0)
                 for r in hit:
                     handler(builder(self.table, r))
                 return
+            self.table.cache.instrument_request(1, 0, 0, 1)
             rows = self.to_df().collect()
             self.table.cache.put_scan_result(key, rows, local_ttl)
             for r in rows:

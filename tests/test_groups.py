@@ -79,3 +79,37 @@ def test_davg_cent_sum_past_long_intermediate_headroom(spark):
     )  # cent sum 6e14 > 4.6e14 old headroom
     rows = {r["k"]: r["avg_v"] for r in df.groupBy("k").agg(davg("v").alias("avg_v")).collect()}
     assert rows["a"] == 3.0e12
+
+
+def test_zscore_native_twin_matches_arrow_path_and_stays_jvm_side(spark):
+    """zscore_normalize_native must (1) produce the same rounded output
+    as the applyInPandas form and (2) contain NO Python-worker nodes in
+    its physical plan — it is the copy-this-for-expressible-folds twin."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.operators.groups import (zscore_normalize,
+                                               zscore_normalize_native)
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 4.0),
+         (4, "b", 5.0), (5, "c", 0.0), (6, "c", 0.0)],
+        "event_id long, user_id string, value double",
+    )
+    arrow = {
+        r["event_id"]: r["z"]
+        for r in zscore_normalize(df, ["user_id"], "value", "event_id")
+        .select("event_id", F.round("zscore", 9).alias("z")).collect()
+    }
+    native = {
+        r["event_id"]: r["z"]
+        for r in zscore_normalize_native(df, ["user_id"], "value", "event_id")
+        .select("event_id", F.round("zscore", 9).alias("z")).collect()
+    }
+    assert native == arrow
+    # singleton + zero-variance groups -> 0.0 in both
+    assert native[4] == 0.0 and native[5] == 0.0
+    plan = zscore_normalize_native(
+        df, ["user_id"], "value", "event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan

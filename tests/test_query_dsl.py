@@ -249,3 +249,60 @@ def test_cache_key_isolates_snapshot_versions(spark, base_dir):
     assert cur.column("views") == 99
     assert old.column("views") == 1, "time-travel read served the cached current snapshot"
     assert tbl.cache.misses == 2, "different snapshots must be different cache entries"
+
+
+def test_scan_cache_ttl_expiry_and_writeback_counts(spark, base_dir, monkeypatch):
+    """Scan-tier TTL semantics (Query2.scala:944 putScanResult/
+    getScanResult; TestCache TTL ResultCaching.scala:92-152): a cached
+    whole-scan result serves repeat scans without recompute until its
+    local TTL passes, then the next scan misses, recomputes, and writes
+    back — observable through the instrument_request hook
+    (ResultCaching.scala:58) and the cache's own hit/miss counters."""
+    from hpaste_spark.operators import TestCache
+    from hpaste_spark.operators import cache as cache_mod
+
+    class InstrumentedCache(TestCache):
+        def __init__(self):
+            super().__init__()
+            self.instrumented = []   # (requested, local, remote, miss)
+            self.scan_puts = 0
+
+        def instrument_request(self, requested, local_hits, remote_hits, misses):
+            self.instrumented.append((requested, local_hits, remote_hits, misses))
+
+        def put_scan_result(self, key, value, ttl_seconds):
+            self.scan_puts += 1
+            super().put_scan_result(key, value, ttl_seconds)
+
+    # controllable clock: TestCache expires on time.monotonic()
+    now = [1000.0]
+    monkeypatch.setattr(cache_mod.time, "monotonic", lambda: now[0])
+
+    _, tbl = example_schema(base_dir, spark)
+    tbl.cache = InstrumentedCache()
+    tbl.put("SC1").value("views", 7).execute(spark)
+
+    def run_scan():
+        seen = []
+        (tbl.query2(spark).with_all_columns()
+            .scan(lambda row: seen.append(row), use_local_cache=True, local_ttl=30))
+        return seen
+
+    assert len(run_scan()) >= 1            # cold: miss + writeback
+    assert tbl.cache.scan_puts == 1
+    assert tbl.cache.instrumented[-1] == (1, 0, 0, 1)
+
+    now[0] += 10                            # inside TTL: local hit, no recompute
+    assert len(run_scan()) >= 1
+    assert tbl.cache.scan_puts == 1
+    assert tbl.cache.instrumented[-1] == (1, 1, 0, 0)
+    assert tbl.cache.hits == 1
+
+    now[0] += 31                            # past TTL: expired -> miss + fresh writeback
+    assert len(run_scan()) >= 1
+    assert tbl.cache.scan_puts == 2
+    assert tbl.cache.instrumented[-1] == (1, 0, 0, 1)
+    assert tbl.cache.misses == 2
+    assert [i for i in tbl.cache.instrumented] == [
+        (1, 0, 0, 1), (1, 1, 0, 0), (1, 0, 0, 1)
+    ]
