@@ -5328,6 +5328,161 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=10)
 
 
+# ---------------------------------------------------------------------------
+# Round 5: Gopher quality gates, bigram Stupid-Backoff LM scoring,
+# product-quantization ANN.
+# ---------------------------------------------------------------------------
+@q(
+    "text_gopher_rules",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t) AS ml,
+             CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(t) AS ar,
+             CAST(len(list_filter(t, w -> list_contains(
+               ['the','a','an','of','and','or','to','in','is','it'], w))) AS BIGINT) AS n_stopwords
+      FROM d)
+    SELECT doc_id, n_words, ROUND(ml, 4) AS mean_word_len,
+           ROUND(ar, 4) AS alpha_ratio, n_stopwords,
+           (n_words >= 10 AND n_words <= 100000) AS gate_word_count,
+           (ml >= 3.0 AND ml <= 10.0) AS gate_mean_word_len,
+           (ar >= 0.8) AS gate_alpha_ratio,
+           (n_stopwords >= 2) AS gate_stopwords,
+           ((n_words >= 10 AND n_words <= 100000) AND (ml >= 3.0 AND ml <= 10.0)
+            AND ar >= 0.8 AND n_stopwords >= 2) AS passes
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-shape quality gates (Rae et al. 2021):
+    word-count bounds, mean-word-length bounds, alphabetic-word ratio,
+    and stopword evidence, each emitted as signal + gate so threshold
+    sweeps are a filter rather than a recompute.  Pure narrow JVM
+    projection — the cheap pre-filter in front of any model-based
+    scorer.  min_words=10 fits the ~30-word fixture docs; the
+    operator's default is the paper's 50."""
+    from hpaste_spark.operators.corpus import gopher_gates
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return gopher_gates(d, min_words=10)
+
+
+@q(
+    "text_bigram_backoff",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS prev, t[i+1] AS tok
+      FROM d, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2
+    ),
+    bc AS (SELECT prev, tok, COUNT(*) AS cbi FROM bg GROUP BY prev, tok),
+    bcp AS (SELECT * FROM bc WHERE cbi >= 2),
+    ctx AS (SELECT prev, CAST(SUM(cbi) AS BIGINT) AS cctx FROM bc GROUP BY prev),
+    tokc AS (SELECT unnest(t) AS token FROM d),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tokc GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 1000),
+    lp AS (
+      SELECT g.doc_id,
+             CASE WHEN p.cbi IS NOT NULL THEN ln(CAST(p.cbi AS DOUBLE) / c.cctx)
+                  ELSE ln(0.4 * CAST(COALESCE(v.cnt, 1) AS DOUBLE) / tot.total) END AS lp
+      FROM bg g
+      LEFT JOIN bcp p ON g.prev = p.prev AND g.tok = p.tok
+      JOIN ctx c ON g.prev = c.prev
+      LEFT JOIN vocab v ON g.tok = v.token, tot)
+    SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(-AVG(lp), 4) AS logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff LM quality score (Brants et al. 2007):
+    order-sensitive perplexity proxy one rung above
+    text_unigram_logprob — pruned-bigram hits score cnt(prev,w)/
+    cnt(prev·), singletons back off to α·p_unigram exactly as unseen
+    bigrams would in a deployed count-pruned KenLM."""
+    from hpaste_spark.operators.corpus import bigram_backoff_logprob
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return bigram_backoff_logprob(d, vocab_size=1000, min_bigram_count=2)
+
+
+_PQ_CB_SQL = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dims AS (SELECT vec_id, (i-1) // 16 AS sub, (i-1) % 16 AS wpos, e[i] AS x
+             FROM v, range(1, 65) AS r(i)),
+    cb AS (SELECT d.sub, d.vec_id % 16 AS code, d.wpos, ROUND(AVG(d.x), 6) AS c
+           FROM dims d GROUP BY d.sub, d.vec_id % 16, d.wpos),
+    d2 AS (SELECT d.vec_id, d.sub, cb.code,
+                  SUM((d.x - cb.c)*(d.x - cb.c)) AS d2
+           FROM dims d JOIN cb ON d.sub = cb.sub AND d.wpos = cb.wpos
+           GROUP BY d.vec_id, d.sub, cb.code),
+    best AS (SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        FROM d2) WHERE rn = 1)
+"""
+
+
+@q(
+    "vec_pq_encode",
+    f"""
+    WITH {_PQ_CB_SQL}
+    SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY sub) AS codes
+    FROM best GROUP BY vec_id
+    """,
+)
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 64 float64
+    dims → 4 codes from per-subspace 16-codeword codebooks (id%k-seeded
+    one-iteration k-means, the ivf_centroids contract) — the 128×
+    storage compression leg of a billion-vector ANN index.  Ties in the
+    per-subspace argmin break to the lowest code on both engines."""
+    from hpaste_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=4, k=16)
+    return pq_encode(emb, cb, m=4)
+
+
+@q(
+    "sim_pq_topk",
+    f"""
+    WITH {_PQ_CB_SQL},
+    q AS (SELECT (i-1) // 16 AS sub, (i-1) % 16 AS wpos, e[i] AS x
+          FROM v, range(1, 65) AS r(i) WHERE vec_id = 0),
+    qt AS (SELECT q.sub, cb.code, SUM((q.x - cb.c)*(q.x - cb.c)) AS qd2
+           FROM q JOIN cb ON q.sub = cb.sub AND q.wpos = cb.wpos
+           GROUP BY q.sub, cb.code),
+    sc AS (SELECT b.vec_id, ROUND(SUM(qt.qd2), 6) + 0.0 AS approx_dist
+           FROM best b JOIN qt ON b.sub = qt.sub AND b.code = qt.code
+           GROUP BY b.vec_id)
+    SELECT vec_id, approx_dist, CAST(rk AS INT) AS rank FROM (
+      SELECT vec_id, approx_dist,
+             row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM sc) WHERE rk <= 10
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 under the PQ model: the query's exact distance to
+    every codeword forms a broadcast m×k table; each corpus vector
+    scores as the SUM of m table lookups over its stored codes —
+    the scan touches 4 ints per vector, never the 64 doubles, and the
+    result is a distributed top-k (TakeOrderedAndProject)."""
+    from hpaste_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return pq_topk(emb, qv, m=4, k=16, topk=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

@@ -446,3 +446,133 @@ def redact_pii(
         F.length(redacted).cast("long").alias("redacted_len"),
         redacted.alias("redacted_text"),
     )
+
+
+def gopher_gates(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition-free quality gates (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 quality filtering):
+    the document-shape rules every large-corpus pipeline applies before
+    any model-based scoring — word-count bounds, mean-word-length
+    bounds, minimum fraction of words containing an alphabetic
+    character, and a minimum stopword count (natural-language
+    evidence).  Returns one row per doc with each measured signal, a
+    per-gate boolean, and the conjunction ``passes`` — keep the signals
+    rather than just the verdict so threshold sweeps are a filter, not
+    a recompute.
+
+    Every signal is a pure JVM expression over the whitespace token
+    array (no UDF, no shuffle — a narrow projection at any scale);
+    defaults are the paper's, tighten/loosen per corpus.
+    """
+    from hpaste_spark.functions.text import STOPWORDS, tokens
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    total_len = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    mean_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    g_words = (n >= min_words) & (n <= max_words)
+    g_len = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    g_alpha = alpha_ratio >= min_alpha_ratio
+    g_stop = n_stop >= min_stopwords
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        g_words.alias("gate_word_count"),
+        g_len.alias("gate_mean_word_len"),
+        g_alpha.alias("gate_alpha_ratio"),
+        g_stop.alias("gate_stopwords"),
+        (g_words & g_len & g_alpha & g_stop).alias("passes"),
+    )
+
+
+def bigram_backoff_logprob(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    min_bigram_count: int = 2,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram Stupid-Backoff LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): per-document mean negative
+    log score of each token given its predecessor — (doc_id, n_bigrams,
+    logprob) — the next step up from :func:`unigram_logprob` on the
+    CCNet/KenLM quality-filter ladder, sensitive to word ORDER where
+    the unigram model only sees the bag.
+
+    Model, trained on the scored corpus itself: S(w|prev) =
+    cnt(prev,w)/cnt(prev·) when the bigram survives pruning
+    (``min_bigram_count``, the standard count-pruning a deployed KenLM
+    applies), else ``alpha``·p_uni(w) with the same top-``vocab_size``
+    + 1/N-floor unigram as :func:`unigram_logprob`.  Pruning is what
+    makes backoff REAL here: singleton bigrams fall through to the
+    unigram path exactly like unseen test bigrams would.
+
+    Shape: doc bigrams are a narrow array expression (token array
+    materialized once per row, two-arg transform lambda over the
+    slice); the model joins are equi-joins on the bigram/context keys
+    (shuffle — the bigram table of a 100 TB corpus is far beyond
+    broadcast) plus one broadcast of the bounded unigram head.  No
+    windows, no UDFs."""
+    counts, total = _token_stats(df, text_col)
+    vocab = _vocab_head(counts, vocab_size)
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    bg = (
+        base.filter(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("prev"), F.get(F.col("_t"), i + 1).alias("tok")
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .select(id_col, F.col("_bg.prev").alias("prev"), F.col("_bg.tok").alias("tok"))
+    )
+    bc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("_cbi"))
+    ctx = bc.groupBy("prev").agg(F.sum("_cbi").alias("_cctx"))
+    pruned = bc.filter(F.col("_cbi") >= min_bigram_count)
+    scored = (
+        bg.join(pruned, ["prev", "tok"], "left")
+        .join(ctx, "prev")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "tok")), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(
+                F.col("_cbi").isNotNull(),
+                F.log(F.col("_cbi") / F.col("_cctx")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(alpha)
+                    * F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
+                    / F.col("_total")
+                )
+            )
+            .alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("_lp"), 4).alias("logprob"),
+    )

@@ -893,3 +893,100 @@ def test_multimodal_codec_seam_contract(spark):
     # the fake paths honor the pinned schemas end-to-end
     assert decode_media(media).schema == DECODED_SCHEMA
     assert extract_features(media).schema == FEATURES_SCHEMA
+
+
+def test_pq_adc_exact_when_vectors_are_codewords(spark):
+    """Degenerate PQ check: with n==k every vector seeds its own
+    codeword (the codebook IS the data), so encoding is the identity
+    and ADC distance equals the exact L2² — pins the distance-table
+    arithmetic end to end."""
+    from hpaste_spark.operators.similarity import (pq_codebooks, pq_encode,
+                                                   pq_topk)
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(df, m=2, k=4)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb, m=2).collect()}
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in codes.values())
+    # every sub-slice is itself a codeword (n==k), so quantization is
+    # LOSSLESS: the chosen codeword's values equal the slice exactly.
+    # Several identical slices ([0,0] appears in 3 codewords per
+    # subspace) tie and break to the LOWEST code — so assert
+    # reconstruction, not a specific code identity.
+    cbmap = {(r["sub"], r["code"]): r["cvec"] for r in cb.collect()}
+    for i, vec in rows:
+        for sub in (0, 1):
+            assert cbmap[(sub, codes[i][sub])] == vec[2 * sub: 2 * sub + 2]
+    qv = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = {r["vec_id"]: r["approx_dist"] for r in pq_topk(df, qv, m=2, k=4, topk=4).collect()}
+    # exact L2²(e0, e_i) = 0 for i=0, 2 otherwise
+    assert out[0] == 0.0 and out[1] == 2.0 and out[2] == 2.0 and out[3] == 2.0
+
+
+def test_pq_encode_deterministic_and_compact(spark, emb):
+    from hpaste_spark.operators.similarity import pq_codebooks, pq_encode
+
+    cb = pq_codebooks(emb, m=4, k=16)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb, m=4).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(emb.repartition(9), cb, m=4).collect()}
+    assert a == b and len(a) == 500
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_topk_plan_is_broadcast_lookup_topk(spark, emb):
+    """ADC search must be broadcast-join + hash-agg + distributed
+    top-k: no cartesian pair expansion, no global sort of the corpus."""
+    from hpaste_spark.operators.similarity import pq_topk
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    plan = pq_topk(emb, qv, m=4, k=16, topk=10)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gopher_gates_hand_cases(spark):
+    from hpaste_spark.operators.corpus import gopher_gates
+
+    rows = [
+        (1, "the cat sat of the mat and it is in good order today fine"),  # passes (14 words)
+        (2, "word " * 4),                        # too few words
+        (3, "zz qq ww ee rr tt yy uu ii oo pp"),  # no stopwords
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12"),       # alpha ratio 0
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_gates(df, min_words=10).collect()}
+    assert out[1]["passes"] and out[1]["gate_stopwords"]
+    assert not out[2]["gate_word_count"] and not out[2]["passes"]
+    assert not out[3]["gate_stopwords"] and not out[3]["passes"]
+    assert out[4]["alpha_ratio"] == 0.0 and not out[4]["gate_alpha_ratio"]
+    assert out[1]["n_words"] == 14
+
+
+def test_bigram_backoff_hand_computed(spark):
+    """Repeated bigram scores cnt(prev,w)/cnt(prev·); a singleton
+    bigram is PRUNED from the model and backs off to α·p_unigram —
+    verified against by-hand arithmetic."""
+    import math
+
+    from hpaste_spark.operators.corpus import bigram_backoff_logprob
+
+    # corpus: "a b a b" (bigrams ab, ba, ab) and "c d" (singleton cd)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_backoff_logprob(
+        df, vocab_size=10, min_bigram_count=2).collect()}
+    # doc1: ab survives (cnt 2): S = 2/2=1 twice; ba singleton -> backoff
+    # unigram: tokens a,b,a,b,c,d (N=6); cnt(a)=2 -> S(ba)=0.4*2/6
+    lp1 = -(math.log(1.0) + math.log(0.4 * 2 / 6) + math.log(1.0)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["logprob"] == round(lp1, 4)
+    # doc2: cd singleton -> backoff to 0.4 * cnt(d)/6 = 0.4/6
+    lp2 = -math.log(0.4 * 1 / 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["logprob"] == round(lp2, 4)
