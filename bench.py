@@ -84,6 +84,13 @@ HEADLINE = [
     "vec_pca_two_components",
     "dedup_lsh_eval",
     "ts_decay_weighted_mean",
+    # round 5: auto-k semantic dedup, PQ compression + ADC search,
+    # bigram-backoff LM scoring, Gopher gates
+    "dedup_semantic_autok",
+    "vec_pq_encode",
+    "sim_pq_topk",
+    "text_bigram_backoff",
+    "text_gopher_rules",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -52,7 +52,17 @@ DIGITS = "0123456789"
 FROM_CHARS = ALPHA + DIGITS
 
 
-def synthesize(spark) -> None:
+def synthesize(spark, factor: int = 10, out_dir: str = SF1) -> None:
+    """Replicate the sf0.1 documents/embeddings ``factor``× with
+    per-replica decorrelation.  Text: alphabet rotation r%26 composed
+    with digit rotation r%10 — the combined map repeats with period
+    lcm(26,10)=130, so every replica r < 130 gets a DISTINCT map (no
+    cross-replica shingle collisions up to 100×).  Embeddings: position
+    rotation r%64 composed with a per-replica ±1 sign pattern
+    ((pos·r) % 7 < 4; identity at r=0) — each replica transform is
+    orthogonal (within-replica cosines preserved exactly) and the
+    combination repeats only every lcm(64,7)=448 replicas, where bare
+    rotation would let replicas r and r+64 coincide past 64×."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
@@ -60,15 +70,21 @@ def synthesize(spark) -> None:
     n_docs = docs.count()
     n_vecs = emb.count()
 
-    reps = spark.range(10).select(F.col("id").cast("int").alias("r"))
+    reps = spark.range(factor).select(F.col("id").cast("int").alias("r"))
     rot_map = F.create_map(
         *[
             c
-            for r in range(10)
-            for c in (F.lit(r), F.lit(ALPHA[r:] + ALPHA[:r] + DIGITS[r:] + DIGITS[:r]))
+            for r in range(factor)
+            for c in (
+                F.lit(r),
+                F.lit(
+                    ALPHA[r % 26:] + ALPHA[:r % 26]
+                    + DIGITS[r % 10:] + DIGITS[:r % 10]
+                ),
+            )
         ]
     )
-    d10 = (
+    dN = (
         docs.crossJoin(reps)
         .withColumn("_rot", rot_map[F.col("r")])
         .select(
@@ -79,24 +95,107 @@ def synthesize(spark) -> None:
             "n_chars",
         )
     )
-    d10.repartition(8).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+    dN.repartition(max(8, factor)).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
 
-    e10 = (
+    rot = F.col("r") % 64
+    rotated = F.when(rot == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), rot + 1, F.size("embedding")),
+            F.slice(F.col("embedding"), F.lit(1), rot),
+        )
+    )
+    eN = (
         emb.crossJoin(reps)
         .select(
             (F.col("vec_id") + F.col("r").cast("long") * n_vecs).alias("vec_id"),
-            F.when(F.col("r") == 0, F.col("embedding"))
-            .otherwise(
-                F.concat(
-                    F.slice(F.col("embedding"), F.col("r") + 1, F.size("embedding")),
-                    F.slice(F.col("embedding"), F.lit(1), F.col("r")),
-                )
-            )
-            .alias("embedding"),
+            F.col("r"),
+            rotated.alias("_rot"),
+            "label",
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("_rot"),
+                # (j·r)%7: identity for replica 0 (the original data
+                # stays a subset); combined with the %64 rotation the
+                # transform repeats only at lcm(64,7)=448 replicas
+                lambda x, j: F.when((j * F.col("r")) % 7 < 4, x).otherwise(-x),
+            ).alias("embedding"),
             "label",
         )
     )
-    e10.repartition(8).write.mode("overwrite").parquet(f"{SF1}/embeddings.parquet")
+    eN.repartition(max(8, factor)).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+#: the heaviest r4 paths, re-probed at 30× (VERDICT r4 #4) to confirm
+#: alpha holds past local[32]'s idle-capacity regime; dedup_semantic
+#: runs through the AUTO-K default (the r5 fix) — the pinned-k form is
+#: the documented super-linear shape the 10× table already shows
+BIG_PROBES = ["sim_knn_join", "dedup_winnow_overlap", "dedup_semantic_autok"]
+BIG_MARK = "<!-- big-probe -->"
+
+
+def big_probe(spark, qs, factor: int) -> None:
+    """Run BIG_PROBES at sf0.1 vs a factor× synthetic fixture and
+    replace the marked section of SCALE.md with the results."""
+    big_dir = os.path.join(REPO, ".scratch", f"sf{factor}x_probe")
+    if "--regen" in sys.argv or not os.path.isdir(f"{big_dir}/embeddings.parquet"):
+        synthesize(spark, factor, big_dir)
+        print("synthesized", big_dir, flush=True)
+
+    def run(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for name in BIG_PROBES:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    lines = [
+        BIG_MARK,
+        "",
+        f"## {factor}× probe — heaviest paths past the idle-capacity regime",
+        "",
+        f"Same synthesis, factor {factor} (alphabet-rotation maps stay",
+        "distinct to 130×; embedding transforms to 448×).  At this factor",
+        "the 32 local cores are saturated, so alpha ≈ 1 is the honest",
+        "linear signal (the 10× table's alpha≪1 reflects idle slots).",
+        "dedup_semantic_autok is the size-derived-k default: k grows with",
+        "the corpus, holding cluster size — and per-row pair work — fixed.",
+        "",
+        f"| query | sf0.1 (s) | {factor}× (s) | alpha | rows sf0.1 | rows {factor}× |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in BIG_PROBES:
+        t_small = run(name, SF01)
+        t_big = run(name, big_dir)
+        n_small = qs[name](spark, SF01).count()
+        n_big = qs[name](spark, big_dir).count()
+        alpha = math.log(t_big / t_small) / math.log(factor)
+        lines.append(
+            f"| {name} | {t_small:.2f} | {t_big:.2f} | {alpha:.2f} | {n_small} | {n_big} |"
+        )
+        print(
+            f"{name:28s} sf0.1={t_small:6.2f}s {factor}x={t_big:7.2f}s alpha={alpha:.2f} "
+            f"rows {n_small}->{n_big}",
+            flush=True,
+        )
+    lines.append("")
+
+    path = os.path.join(REPO, "SCALE.md")
+    text = open(path).read() if os.path.exists(path) else "# SCALE\n"
+    if BIG_MARK in text:
+        text = text[: text.index(BIG_MARK)].rstrip() + "\n\n"
+    with open(path, "w") as fh:
+        fh.write(text + "\n".join(lines))
+    print("appended big-probe section to SCALE.md")
 
 
 def main() -> None:
@@ -105,6 +204,13 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     qs = entry_mod.queries()
+
+    if "--big" in sys.argv:
+        i = sys.argv.index("--big")
+        factor = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 30
+        big_probe(spark, qs, factor)
+        spark.stop()
+        return
 
     if "--regen" in sys.argv or not os.path.isdir(f"{SF1}/embeddings.parquet"):
         synthesize(spark)
