@@ -5435,7 +5435,10 @@ _PQ_CB_SQL = """
     "vec_pq_encode",
     f"""
     WITH {_PQ_CB_SQL}
-    SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY sub) AS codes
+    SELECT vec_id,
+           CAST(SUM(code * CASE sub WHEN 0 THEN 4096 WHEN 1 THEN 256
+                                    WHEN 2 THEN 16 ELSE 1 END) AS BIGINT)
+             AS codes_packed
     FROM best GROUP BY vec_id
     """,
 )
@@ -5444,12 +5447,21 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims → 4 codes from per-subspace 16-codeword codebooks (id%k-seeded
     one-iteration k-means, the ivf_centroids contract) — the 128×
     storage compression leg of a billion-vector ANN index.  Ties in the
-    per-subspace argmin break to the lowest code on both engines."""
+    per-subspace argmin break to the lowest code on both engines.
+    The driver row exports the codes PACKED into one BIGINT (4 nibbles
+    — literally PQ's stored byte form; also the driver harness cannot
+    hash list cells, test_oracle_hygiene)."""
     from hpaste_spark.operators.similarity import pq_codebooks, pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = pq_codebooks(emb, m=4, k=16)
-    return pq_encode(emb, cb, m=4)
+    codes = pq_encode(emb, cb, m=4)
+    return codes.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc * 16 + c
+        ).alias("codes_packed"),
+    )
 
 
 @q(
@@ -5481,6 +5493,141 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return pq_topk(emb, qv, m=4, k=16, topk=10)
+
+
+@q(
+    "sim_ivf_pq_topk",
+    f"""
+    WITH {_PQ_CB_SQL},
+    fdims AS (SELECT vec_id, i-1 AS pos, e[i] AS x FROM v, range(1, 65) AS r(i)),
+    cent AS (SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
+             FROM fdims f GROUP BY f.vec_id % 8, f.pos),
+    ad AS (SELECT f.vec_id, c.cid, SUM((f.x - c.c)*(f.x - c.c)) AS ad2
+           FROM fdims f JOIN cent c ON f.pos = c.pos GROUP BY f.vec_id, c.cid),
+    asg AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ROUND(ad2, 6), cid) AS rn
+        FROM ad) WHERE rn = 1),
+    qad AS (SELECT c.cid, SUM((f.x - c.c)*(f.x - c.c)) AS qad2
+            FROM fdims f JOIN cent c ON f.pos = c.pos
+            WHERE f.vec_id = 0 GROUP BY c.cid),
+    probed AS (SELECT cid FROM qad ORDER BY ROUND(qad2, 6), cid LIMIT 2),
+    qs AS (SELECT (i-1) // 16 AS sub, (i-1) % 16 AS wpos, e[i] AS x
+           FROM v, range(1, 65) AS r(i) WHERE vec_id = 0),
+    qt AS (SELECT qs.sub, cb.code, SUM((qs.x - cb.c)*(qs.x - cb.c)) AS qd2
+           FROM qs JOIN cb ON qs.sub = cb.sub AND qs.wpos = cb.wpos
+           GROUP BY qs.sub, cb.code),
+    sc AS (SELECT b.vec_id, ROUND(SUM(qt.qd2), 6) + 0.0 AS approx_dist
+           FROM best b
+           JOIN asg a ON b.vec_id = a.vec_id
+           JOIN probed p ON a.cid = p.cid
+           JOIN qt ON b.sub = qt.sub AND b.code = qt.code
+           GROUP BY b.vec_id)
+    SELECT vec_id, approx_dist, CAST(rk AS INT) AS rank FROM (
+      SELECT vec_id, approx_dist,
+             row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM sc) WHERE rk <= 10
+    """,
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-scale ANN stack (IVFADC, Jégou et al. 2011
+    §V): IVF centroids prune the scan to nprobe=2 of 8 cells, PQ codes
+    compress what's scored inside them to 4 ints/vector — centroids,
+    codebooks, and the query distance table all broadcast, the corpus
+    touched once, finished by a distributed top-k."""
+    from hpaste_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_pq_topk(emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10)
+
+
+@q(
+    "dedup_semantic_2level",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pc1 AS (SELECT vec_id % 4 AS scid1, i, AVG(e[i]) AS m
+            FROM v, range(1, 65) AS r(i) GROUP BY vec_id % 4, i),
+    cent1 AS (SELECT scid1 AS cid1, list(round(m, 6) ORDER BY i) AS cvec FROM pc1 GROUP BY scid1),
+    s1 AS (SELECT v.vec_id, c.cid1,
+                  list_dot_product(v.e, c.cvec)
+                    / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM v, cent1 c),
+    a1 AS (SELECT vec_id, cid1 FROM (
+        SELECT vec_id, cid1, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid1) AS rn
+        FROM s1) WHERE rn = 1),
+    m2 AS (SELECT v.vec_id, a.cid1, v.e FROM v JOIN a1 a USING (vec_id)),
+    pc2 AS (SELECT cid1, vec_id % 3 AS scid, i, AVG(e[i]) AS m
+            FROM m2, range(1, 65) AS r(i) GROUP BY cid1, vec_id % 3, i),
+    cent2 AS (SELECT cid1, scid, list(round(m, 6) ORDER BY i) AS cvec FROM pc2 GROUP BY cid1, scid),
+    s2 AS (SELECT m2.vec_id, m2.cid1, c.scid,
+                  list_dot_product(m2.e, c.cvec)
+                    / (sqrt(list_dot_product(m2.e, m2.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM m2 JOIN cent2 c ON m2.cid1 = c.cid1),
+    a2 AS (SELECT vec_id, cid1, scid, cc FROM (
+        SELECT vec_id, cid1, scid, cc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, scid) AS rn
+        FROM s2) WHERE rn = 1),
+    m AS (SELECT a.vec_id, a.cid1 * 3 + a.scid AS cid, a.cc AS ccent, v.e
+          FROM a2 a JOIN v USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.ccent AS ca, y.ccent AS cb,
+             list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_raw
+      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    losers AS (
+      SELECT DISTINCT CASE WHEN ca >= cb THEN id_b ELSE id_a END AS vec_id
+      FROM pairs WHERE cos_raw >= 0.4)
+    SELECT m.vec_id, m.cid, ROUND(m.ccent, 6) + 0 AS centroid_sim
+    FROM m LEFT JOIN losers USING (vec_id) WHERE losers.vec_id IS NULL
+    """,
+)
+def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through HIERARCHICAL assignment (the SCALE.md follow-up
+    to the 30× probe's alpha=1.07): 4 coarse cells, 3 sub-centroids
+    each — assignment work n·(k1+k2)·d instead of flat n·k·d, the term
+    that stays super-linear when k must grow with the corpus.  Keep
+    rule and determinism identical to dedup_semantic; the oracle
+    replays both assignment levels."""
+    from hpaste_spark.operators.dedup import semantic_dedup_two_level
+
+    return semantic_dedup_two_level(
+        _t(spark, sf_dir, "embeddings"), k1=4, k2=3, threshold=0.4
+    )
+
+
+# Rank-band contract for the quantile sketch, same posture as the HLL
+# band oracles: percentile_approx(accuracy=10000) guarantees rank
+# error ≤ ~1e-4, so the estimate must land within the EXACT [q−0.01,
+# q+0.01] quantile values — the driver-visible check is that interval
+# test, with the sketch value itself never crossing engines.
+@q(
+    "a5_approx_percentile_band",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           TRUE AS p50_in_band, TRUE AS p90_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def a5_approx_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+            F.percentile_approx("value", 0.9, 10000).alias("_a90"),
+            F.expr(
+                "percentile(value, array(0.49D, 0.51D, 0.89D, 0.91D))"
+            ).alias("_b"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            ((F.col("_a50") >= F.col("_b")[0]) & (F.col("_a50") <= F.col("_b")[1])).alias("p50_in_band"),
+            ((F.col("_a90") >= F.col("_b")[2]) & (F.col("_a90") <= F.col("_b")[3])).alias("p90_in_band"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -91,6 +91,9 @@ HEADLINE = [
     "sim_pq_topk",
     "text_bigram_backoff",
     "text_gopher_rules",
+    # round 5, second batch: composed IVFADC + hierarchical SemDeDup
+    "sim_ivf_pq_topk",
+    "dedup_semantic_2level",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -748,6 +748,25 @@ def semantic_dedup(
         .withColumn("_n", F.sqrt(dot(F.col("_e"), F.col("_e"))))
         .join(assign, id_col)
     )
+    return _semantic_prune(m, threshold, id_col, max_cluster)
+
+
+def _semantic_prune(
+    m: DataFrame,
+    threshold: float,
+    id_col: str,
+    max_cluster: "int | None",
+) -> DataFrame:
+    """The SemDeDup keep rule over an assignment table ``m`` with
+    columns (id, _e vector, _n norm, cid, cc): expand within-cid pairs,
+    drop the less-central member of every above-threshold pair, return
+    the kept rows as (id, cid, centroid_sim).  Shared by the flat and
+    two-level clusterings — the keep rule is identical; only how
+    ``cid``/``cc`` were produced differs."""
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.vectors import dot
+
     # the cap narrows only the pair-EXPANSION sides; the kept-set is
     # anti-joined from the UNCAPPED assignment, so capped-out rows
     # survive untested instead of vanishing from the output
@@ -1034,3 +1053,55 @@ def prefix_jaccard_pairs(
             "jaccard",
         )
     )
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    k1: "int | None" = None,
+    k2: "int | None" = None,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: "int | None" = None,
+    target_cluster_size: int = 512,
+    k_min: int = 8,
+) -> DataFrame:
+    """SemDeDup with HIERARCHICAL assignment (the SCALE.md 30×-probe
+    follow-up): same keep rule as :func:`semantic_dedup`, but vectors
+    reach their cell through :func:`~hpaste_spark.operators.similarity.
+    two_level_assign` — k1 coarse cells, k2 sub-centroids within each —
+    so assignment work is n·(k1+k2)·d ≈ n·2√k·d instead of flat n·k·d.
+    With k ∝ n (the contract), the flat term is ~n²/target; two levels
+    cut it to ~n^1.5, the piece alpha=1.07 at 30× was measuring.
+
+    Defaults derive k_total = max(k_min, ceil(n/target_cluster_size)),
+    k1 = ceil(√k_total), k2 = ceil(k_total/k1) — cells stay
+    ~target-sized, and the effective cid is (cid1·k2 + scid).  The
+    clustering differs from flat k-means (coarse boundaries are hard),
+    which is fine for dedup: near-identical vectors land in the same
+    coarse cell with overwhelming probability, and the pair step within
+    each (cid1, scid) cell is unchanged.  Fully deterministic — both
+    levels use the id%k seeding + (cc desc, id) argmax tie-breaks — so
+    the DuckDB oracle reproduces the kept set exactly."""
+    from hpaste_spark.functions.vectors import as_double, dot
+    from hpaste_spark.operators.similarity import two_level_assign
+
+    if k1 is None or k2 is None:
+        n = df.count()
+        k_total = max(k_min, -(-n // max(1, target_cluster_size)))
+        k1 = k1 or max(2, int(k_total ** 0.5 + 0.999999))
+        k2 = k2 or -(-k_total // k1)
+    assign = two_level_assign(df, k1, k2, vec_col, id_col)
+    m = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_e"))
+        .withColumn("_n", F.sqrt(dot(F.col("_e"), F.col("_e"))))
+        .join(assign, id_col)
+        .select(
+            id_col,
+            "_e",
+            "_n",
+            (F.col("cid1") * k2 + F.col("scid")).alias("cid"),
+            "cc",
+        )
+    )
+    return _semantic_prune(m, threshold, id_col, max_cluster)

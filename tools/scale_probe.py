@@ -135,7 +135,13 @@ def synthesize(spark, factor: int = 10, out_dir: str = SF1) -> None:
 #: alpha holds past local[32]'s idle-capacity regime; dedup_semantic
 #: runs through the AUTO-K default (the r5 fix) — the pinned-k form is
 #: the documented super-linear shape the 10× table already shows
-BIG_PROBES = ["sim_knn_join", "dedup_winnow_overlap", "dedup_semantic_autok"]
+BIG_PROBES = [
+    "sim_knn_join",
+    "dedup_winnow_overlap",
+    "dedup_semantic_autok",
+    # hierarchical assignment: the fix for autok's residual n·k·d term
+    "dedup_semantic_2level",
+]
 BIG_MARK = "<!-- big-probe -->"
 
 
@@ -187,7 +193,19 @@ def big_probe(spark, qs, factor: int) -> None:
             f"rows {n_small}->{n_big}",
             flush=True,
         )
-    lines.append("")
+    lines += [
+        "",
+        "Reading the semantic-dedup rows: auto-k makes the cluster-local",
+        "pair step LINEAR by construction (k = n/512 holds |cluster|",
+        "fixed — at pinned k=8 this factor would be ~" + str(factor * factor) + "× the pair",
+        "work); its residual over-1.0 alpha is the nearest-centroid",
+        "ASSIGNMENT term, n·k·d with k ∝ n.  `dedup_semantic_2level`",
+        "(`similarity.two_level_assign`) is the hierarchical fix — k1",
+        "coarse cells then k2 sub-centroids within each, n·(k1+k2)·d ≈",
+        "n·2√k·d — same keep rule, oracle-checked; its row measures the",
+        "assignment saving directly on the same fixture.",
+        "",
+    ]
 
     path = os.path.join(REPO, "SCALE.md")
     text = open(path).read() if os.path.exists(path) else "# SCALE\n"
