@@ -5596,6 +5596,67 @@ def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_semantic_2level_auto",
+    """
+    WITH kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 30.0) AS BIGINT)) AS kt
+                FROM embeddings),
+    ks AS (SELECT kt, CAST(CEIL(SQRT(kt)) AS BIGINT) AS k1,
+                  CAST(CEIL(kt / CEIL(SQRT(kt))) AS BIGINT) AS k2 FROM kk),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pc1 AS (SELECT vec_id % (SELECT k1 FROM ks) AS scid1, i, AVG(e[i]) AS m
+            FROM v, range(1, 65) AS r(i) GROUP BY vec_id % (SELECT k1 FROM ks), i),
+    cent1 AS (SELECT scid1 AS cid1, list(round(m, 6) ORDER BY i) AS cvec FROM pc1 GROUP BY scid1),
+    s1 AS (SELECT v.vec_id, c.cid1,
+                  list_dot_product(v.e, c.cvec)
+                    / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM v, cent1 c),
+    a1 AS (SELECT vec_id, cid1 FROM (
+        SELECT vec_id, cid1, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid1) AS rn
+        FROM s1) WHERE rn = 1),
+    m2 AS (SELECT v.vec_id, a.cid1, v.e FROM v JOIN a1 a USING (vec_id)),
+    pc2 AS (SELECT cid1, vec_id % (SELECT k2 FROM ks) AS scid, i, AVG(e[i]) AS m
+            FROM m2, range(1, 65) AS r(i)
+            GROUP BY cid1, vec_id % (SELECT k2 FROM ks), i),
+    cent2 AS (SELECT cid1, scid, list(round(m, 6) ORDER BY i) AS cvec FROM pc2 GROUP BY cid1, scid),
+    s2 AS (SELECT m2.vec_id, m2.cid1, c.scid,
+                  list_dot_product(m2.e, c.cvec)
+                    / (sqrt(list_dot_product(m2.e, m2.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM m2 JOIN cent2 c ON m2.cid1 = c.cid1),
+    a2 AS (SELECT vec_id, cid1, scid, cc FROM (
+        SELECT vec_id, cid1, scid, cc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, scid) AS rn
+        FROM s2) WHERE rn = 1),
+    m AS (SELECT a.vec_id, a.cid1 * (SELECT k2 FROM ks) + a.scid AS cid, a.cc AS ccent, v.e
+          FROM a2 a JOIN v USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.ccent AS ca, y.ccent AS cb,
+             list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_raw
+      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    losers AS (
+      SELECT DISTINCT CASE WHEN ca >= cb THEN id_b ELSE id_a END AS vec_id
+      FROM pairs WHERE cos_raw >= 0.4)
+    SELECT m.vec_id, m.cid, ROUND(m.ccent, 6) + 0 AS centroid_sim
+    FROM m LEFT JOIN losers USING (vec_id) WHERE losers.vec_id IS NULL
+    """,
+)
+def dedup_semantic_2level_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical SemDeDup at the size-DERIVED split: k_total =
+    max(8, ceil(n/target)), k1 = ceil(√k_total), k2 = ceil(k_total/k1)
+    — both derived by the oracle from COUNT(*) too, proving the whole
+    derivation chain is cross-engine deterministic.  This is the form
+    the 30× scale probe runs (pinned small k at a big corpus is the
+    documented fixed-k pathology; the pinned twin exists for the exact
+    k1=4/k2=3 oracle).  target=30 → k_total=17, k1=5, k2=4 on the
+    500-vector fixture — distinct from every pinned variant."""
+    from hpaste_spark.operators.dedup import semantic_dedup_two_level
+
+    return semantic_dedup_two_level(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, target_cluster_size=30
+    )
+
+
 # Rank-band contract for the quantile sketch, same posture as the HLL
 # band oracles: percentile_approx(accuracy=10000) guarantees rank
 # error ≤ ~1e-4, so the estimate must land within the EXACT [q−0.01,

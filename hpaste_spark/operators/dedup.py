@@ -1087,9 +1087,12 @@ def semantic_dedup_two_level(
     from hpaste_spark.operators.similarity import two_level_assign
 
     if k1 is None or k2 is None:
+        import math
+
         n = df.count()
         k_total = max(k_min, -(-n // max(1, target_cluster_size)))
-        k1 = k1 or max(2, int(k_total ** 0.5 + 0.999999))
+        # exact integer ceil(sqrt) — the oracle mirrors CEIL(SQRT(kt))
+        k1 = k1 or max(2, math.ceil(math.sqrt(k_total)))
         k2 = k2 or -(-k_total // k1)
     assign = two_level_assign(df, k1, k2, vec_col, id_col)
     m = (

@@ -140,7 +140,9 @@ BIG_PROBES = [
     "dedup_winnow_overlap",
     "dedup_semantic_autok",
     # hierarchical assignment: the fix for autok's residual n·k·d term
-    "dedup_semantic_2level",
+    # (the AUTO form — the pinned-k1/k2 twin would reintroduce the
+    # fixed-k pathology at 30× that autok vs dedup_semantic documents)
+    "dedup_semantic_2level_auto",
 ]
 BIG_MARK = "<!-- big-probe -->"
 
