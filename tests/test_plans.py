@@ -389,3 +389,19 @@ def test_decay_mean_window_free(spark, queries):
 def test_lsh_eval_no_cartesian(spark, queries):
     plan = plan_of(queries["dedup_lsh_eval"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_no_registry_query_plans_a_cartesian_product(spark, queries):
+    """Blanket by-construction guard over the WHOLE registry: no query
+    may plan a CartesianProduct, ever.  The targeted tests above pin
+    specific operators' shapes; this one makes the property hold for
+    every FUTURE query too — a new entry that pairs rows without a key
+    fails here before any driver round sees it.  (Single-row-broadcast
+    BroadcastNestedLoopJoin constant-attach plans remain allowed; a
+    true cartesian never is.)  Plan-only: nothing executes."""
+    offenders = {}
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian plans: {sorted(offenders)}"
