@@ -5464,9 +5464,9 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "sim_pq_topk",
-    f"""
+# shared by sim_pq_topk (in-plan train+encode+search) and
+# sim_pq_topk_stored (prebuilt index): identical ADC result
+_PQ_TOPK_ORACLE = f"""
     WITH {_PQ_CB_SQL},
     q AS (SELECT (i-1) // 16 AS sub, (i-1) % 16 AS wpos, e[i] AS x
           FROM v, range(1, 65) AS r(i) WHERE vec_id = 0),
@@ -5480,8 +5480,10 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, approx_dist,
              row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
       FROM sc) WHERE rk <= 10
-    """,
-)
+    """
+
+
+@q("sim_pq_topk", _PQ_TOPK_ORACLE)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-10 under the PQ model: the query's exact distance to
     every codeword forms a broadcast m×k table; each corpus vector
@@ -5493,6 +5495,42 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return pq_topk(emb, qv, m=4, k=16, topk=10)
+
+
+_PQ_INDEX_VERSION = 1
+
+
+def _pq_index_dir(sf_dir: str) -> str:
+    """Same fixture-identity keying as _ivf_index_dir, separate tree."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_PQ_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_PQ_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "pq_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+@q("sim_pq_topk_stored", _PQ_TOPK_ORACLE)
+def sim_pq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over a STORED PQ index (similarity.build_pq_index):
+    codebooks + the encoded corpus written once (first call per
+    fixture, gitignored scratch), then the query reads m ints per
+    vector — the compressed corpus IS the index, ~128× smaller than
+    the raw embeddings — and never re-trains or re-encodes.  Same
+    (m, k) as sim_pq_topk, hence the same oracle."""
+    from hpaste_spark.operators.similarity import build_pq_index, pq_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _pq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        build_pq_index(emb, idx, m=4, k=16)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return pq_topk_indexed(spark, idx, qv, topk=10)
 
 
 @q(

@@ -92,13 +92,15 @@ HEADLINE = [
     "text_bigram_backoff",
     "text_gopher_rules",
     # round 5, second batch: composed IVFADC + hierarchical SemDeDup
+    # + stored PQ index
     "sim_ivf_pq_topk",
     "dedup_semantic_2level",
+    "sim_pq_topk_stored",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
 #: timed run (the index is the point; the build is a one-time job)
-PREBUILD = ["sim_ivf_topk_stored", "sim_ivf_knn_join_stored"]
+PREBUILD = ["sim_ivf_topk_stored", "sim_ivf_knn_join_stored", "sim_pq_topk_stored"]
 
 
 def _bench_stream_stream_asof(spark, sf_dir: str) -> None:

@@ -1036,3 +1036,24 @@ def test_semantic_dedup_two_level_matches_keep_rule_and_scales_assignment(spark,
     kept = {r["vec_id"] for r in semantic_dedup_two_level(
         aug, k1=4, k2=3, threshold=0.99).collect()}
     assert len(kept & {0, 10001}) == 1
+
+
+def test_stored_pq_index_matches_inplan_and_reads_codes(spark, emb, tmp_path):
+    """build_pq_index + pq_topk_indexed must reproduce pq_topk exactly
+    (same codebook contract), and the indexed query's corpus-side scan
+    must read the CODES table (m ints/vector), not the raw embeddings
+    — the scan of the stored embeddings appears only for the 1-row
+    query-vector lookup done by the caller."""
+    from hpaste_spark.operators.similarity import (build_pq_index, pq_topk,
+                                                   pq_topk_indexed)
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(emb, idx, m=4, k=16)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    inplan = [(r["vec_id"], r["approx_dist"], r["rank"])
+              for r in pq_topk(emb, qv, m=4, k=16, topk=10).collect()]
+    stored = [(r["vec_id"], r["approx_dist"], r["rank"])
+              for r in pq_topk_indexed(spark, idx, qv, topk=10).collect()]
+    assert stored == inplan
+    plan = pq_topk_indexed(spark, idx, qv, topk=10)._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan and "TakeOrderedAndProject" in plan
