@@ -5695,6 +5695,64 @@ def dedup_semantic_2level_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sim_ivfadc_residual_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    fd AS (SELECT vec_id, i-1 AS pos, e[i] AS x FROM v, range(1, 65) AS r(i)),
+    cd AS (SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
+           FROM fd f GROUP BY f.vec_id % 8, f.pos),
+    ad AS (SELECT f.vec_id, c.cid, SUM((f.x - c.c)*(f.x - c.c)) AS d2
+           FROM fd f JOIN cd c ON f.pos = c.pos GROUP BY f.vec_id, c.cid),
+    asg AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ROUND(d2, 6), cid) AS rn
+        FROM ad) WHERE rn = 1),
+    rd AS (SELECT f.vec_id, a.cid, f.pos // 16 AS sub, f.pos % 16 AS wpos, f.x - c.c AS rx
+           FROM fd f JOIN asg a USING (vec_id) JOIN cd c ON a.cid = c.cid AND f.pos = c.pos),
+    rcb AS (SELECT sub, vec_id % 16 AS code, wpos, ROUND(AVG(rx), 6) AS c
+            FROM rd GROUP BY sub, vec_id % 16, wpos),
+    rd2 AS (SELECT r.vec_id, r.sub, b.code, SUM((r.rx - b.c)*(r.rx - b.c)) AS d2
+            FROM rd r JOIN rcb b ON r.sub = b.sub AND r.wpos = b.wpos
+            GROUP BY r.vec_id, r.sub, b.code),
+    codes AS (SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        FROM rd2) WHERE rn = 1),
+    qad AS (SELECT c.cid, SUM((f.x - c.c)*(f.x - c.c)) AS qd2
+            FROM fd f JOIN cd c ON f.pos = c.pos WHERE f.vec_id = 0 GROUP BY c.cid),
+    probed AS (SELECT cid FROM qad ORDER BY ROUND(qd2, 6), cid LIMIT 2),
+    qres AS (SELECT c.cid, f.pos // 16 AS sub, f.pos % 16 AS wpos, f.x - c.c AS rx
+             FROM fd f JOIN cd c ON f.pos = c.pos JOIN probed p ON c.cid = p.cid
+             WHERE f.vec_id = 0),
+    qtab AS (SELECT q.cid, q.sub, b.code, SUM((q.rx - b.c)*(q.rx - b.c)) AS qd2
+             FROM qres q JOIN rcb b ON q.sub = b.sub AND q.wpos = b.wpos
+             GROUP BY q.cid, q.sub, b.code),
+    sc AS (SELECT cds.vec_id, ROUND(SUM(qt.qd2), 6) + 0.0 AS approx_dist
+           FROM codes cds JOIN asg a USING (vec_id)
+           JOIN qtab qt ON a.cid = qt.cid AND cds.sub = qt.sub AND cds.code = qt.code
+           GROUP BY cds.vec_id HAVING COUNT(*) = 4)
+    SELECT vec_id, approx_dist, CAST(rk AS INT) AS rank FROM (
+      SELECT vec_id, approx_dist,
+             row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM sc) WHERE rk <= 10
+    """,
+)
+def sim_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full residual-encoded IVFADC (Jégou et al. 2011 §V eq. 17 —
+    closes sim_ivf_pq_topk's documented simplification): vectors are
+    PQ-encoded as (v − centroid(v)) and the query carries a SEPARATE
+    distance table per probed cell built from (q − centroid(cell)).
+    Residuals are small, so the same m·k code budget quantizes far
+    more finely — the production-ANN default.  The oracle replays
+    assignment, residual codebooks, encoding, and per-cell tables."""
+    from hpaste_spark.operators.similarity import ivfadc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivfadc_topk(emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10)
+
+
 # Rank-band contract for the quantile sketch, same posture as the HLL
 # band oracles: percentile_approx(accuracy=10000) guarantees rank
 # error ≤ ~1e-4, so the estimate must land within the EXACT [q−0.01,

@@ -96,6 +96,7 @@ HEADLINE = [
     "sim_ivf_pq_topk",
     "dedup_semantic_2level",
     "sim_pq_topk_stored",
+    "sim_ivfadc_residual_topk",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1057,3 +1057,21 @@ def test_stored_pq_index_matches_inplan_and_reads_codes(spark, emb, tmp_path):
     assert stored == inplan
     plan = pq_topk_indexed(spark, idx, qv, topk=10)._jdf.queryExecution().executedPlan().toString()
     assert "codes" in plan and "TakeOrderedAndProject" in plan
+
+
+def test_ivfadc_residual_deterministic_and_self_nearest(spark, emb):
+    """Residual IVFADC: stable across partitionings; the query's own
+    vector (vec 0 lives in a probed cell by construction — its own
+    cell is the L2-nearest) surfaces with the SMALLEST approx distance
+    (its own residual quantization error); ranks are contiguous."""
+    from hpaste_spark.operators.similarity import ivfadc_topk
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = [(r["vec_id"], r["approx_dist"], r["rank"])
+           for r in ivfadc_topk(emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10).collect()]
+    again = [(r["vec_id"], r["approx_dist"], r["rank"])
+             for r in ivfadc_topk(emb.repartition(13), qv, k_centroids=8,
+                                  nprobe=2, m=4, k=16, topk=10).collect()]
+    assert out == again and len(out) == 10
+    assert [r[2] for r in out] == list(range(1, 11))
+    assert out[0][0] == 0, "query's own vector must be ADC-nearest"
