@@ -63,3 +63,22 @@ def test_no_spark_query_returns_array_columns(spark):
         if arrs:
             bad[name] = arrs
     assert not bad, f"array/map output columns are unhashable in the driver: {bad}"
+
+
+def test_oracle_and_spark_column_names_match(spark, duck):
+    """The driver sorts columns BY NAME before hashing values, so a
+    Spark result aliased `sum_qty` against an oracle emitting
+    `sum(l_quantity)` hash-mismatches even on identical values.  Pin
+    name parity for every oracle-bearing query at plan time — alias
+    drift fails here, not in a driver round.  (Plan-only on the Spark
+    side; DESCRIBE-only on the DuckDB side.)"""
+    bad = {}
+    oracles = entry.oracle_sql()
+    queries = entry.queries()
+    for name, sql in oracles.items():
+        duck_cols = {c for c, *_ in duck.execute(f"DESCRIBE {sql}").fetchall()}
+        spark_cols = {f.name for f in queries[name](spark, SF_DIR).schema.fields}
+        if duck_cols != spark_cols:
+            bad[name] = {"oracle_only": sorted(duck_cols - spark_cols),
+                         "spark_only": sorted(spark_cols - duck_cols)}
+    assert not bad, f"column-name drift between Spark and oracle: {bad}"
