@@ -5695,9 +5695,9 @@ def dedup_semantic_2level_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "sim_ivfadc_residual_topk",
-    """
+# shared by sim_ivfadc_residual_topk (in-plan model) and
+# sim_ivfadc_topk_stored (prebuilt index): identical residual-ADC result
+_IVFADC_ORACLE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     fd AS (SELECT vec_id, i-1 AS pos, e[i] AS x FROM v, range(1, 65) AS r(i)),
     cd AS (SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
@@ -5736,8 +5736,10 @@ def dedup_semantic_2level_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, approx_dist,
              row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
       FROM sc) WHERE rk <= 10
-    """,
-)
+    """
+
+
+@q("sim_ivfadc_residual_topk", _IVFADC_ORACLE)
 def sim_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full residual-encoded IVFADC (Jégou et al. 2011 §V eq. 17 —
     closes sim_ivf_pq_topk's documented simplification): vectors are
@@ -5751,6 +5753,43 @@ def sim_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivfadc_topk(emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10)
+
+
+_IVFADC_INDEX_VERSION = 1
+
+
+def _ivfadc_index_dir(sf_dir: str) -> str:
+    """Same fixture-identity keying as _ivf_index_dir, separate tree."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVFADC_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVFADC_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivfadc_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+@q("sim_ivfadc_topk_stored", _IVFADC_ORACLE)
+def sim_ivfadc_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC over the STORED index (build_ivfadc_index):
+    centroids + residual codebooks + the codes table PARTITIONED BY
+    cid, written once — queries partition-prune the codes scan to the
+    probed cells AND read m ints per vector, combining both stored-
+    index legs in one artifact.  Same model as
+    sim_ivfadc_residual_topk (shared _ivfadc_model), same oracle."""
+    from hpaste_spark.operators.similarity import (build_ivfadc_index,
+                                                   ivfadc_topk_indexed)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivfadc_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+        build_ivfadc_index(emb, idx, k_centroids=8, m=4, k=16)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivfadc_topk_indexed(spark, idx, qv, nprobe=2, m=4, topk=10)
 
 
 # Rank-band contract for the quantile sketch, same posture as the HLL

@@ -97,11 +97,12 @@ HEADLINE = [
     "dedup_semantic_2level",
     "sim_pq_topk_stored",
     "sim_ivfadc_residual_topk",
+    "sim_ivfadc_topk_stored",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
 #: timed run (the index is the point; the build is a one-time job)
-PREBUILD = ["sim_ivf_topk_stored", "sim_ivf_knn_join_stored", "sim_pq_topk_stored"]
+PREBUILD = ["sim_ivf_topk_stored", "sim_ivf_knn_join_stored", "sim_pq_topk_stored", "sim_ivfadc_topk_stored"]
 
 
 def _bench_stream_stream_asof(spark, sf_dir: str) -> None:

@@ -1075,3 +1075,26 @@ def test_ivfadc_residual_deterministic_and_self_nearest(spark, emb):
     assert out == again and len(out) == 10
     assert [r[2] for r in out] == list(range(1, 11))
     assert out[0][0] == 0, "query's own vector must be ADC-nearest"
+
+
+def test_stored_ivfadc_index_matches_inplan_and_prunes_partitions(spark, emb, tmp_path):
+    """build_ivfadc_index + ivfadc_topk_indexed must reproduce
+    ivfadc_topk exactly (shared _ivfadc_model), and the stored query's
+    codes scan must carry a dynamic-partition-pruning filter on cid —
+    the probe restriction prunes FILES, combining the compressed-scan
+    and pruned-scan legs in one artifact."""
+    from hpaste_spark.operators.similarity import (build_ivfadc_index,
+                                                   ivfadc_topk,
+                                                   ivfadc_topk_indexed)
+
+    idx = str(tmp_path / "ivfadc")
+    build_ivfadc_index(emb, idx, k_centroids=8, m=4, k=16)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    inplan = [(r["vec_id"], r["approx_dist"], r["rank"])
+              for r in ivfadc_topk(emb, qv, k_centroids=8, nprobe=2, m=4,
+                                   k=16, topk=10).collect()]
+    stored_df = ivfadc_topk_indexed(spark, idx, qv, nprobe=2, m=4, topk=10)
+    stored = [(r["vec_id"], r["approx_dist"], r["rank"]) for r in stored_df.collect()]
+    assert stored == inplan
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
