@@ -98,11 +98,20 @@ HEADLINE = [
     "sim_pq_topk_stored",
     "sim_ivfadc_residual_topk",
     "sim_ivfadc_topk_stored",
+    # round 6: stored hierarchical SemDeDup + the ANN recall grader
+    "dedup_semantic_2level_stored",
+    "sim_pq_recall",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
 #: timed run (the index is the point; the build is a one-time job)
-PREBUILD = ["sim_ivf_topk_stored", "sim_ivf_knn_join_stored", "sim_pq_topk_stored", "sim_ivfadc_topk_stored"]
+PREBUILD = [
+    "sim_ivf_topk_stored",
+    "sim_ivf_knn_join_stored",
+    "sim_pq_topk_stored",
+    "sim_ivfadc_topk_stored",
+    "dedup_semantic_2level_stored",
+]
 
 
 def _bench_stream_stream_asof(spark, sf_dir: str) -> None:
@@ -152,12 +161,15 @@ def main() -> None:
 
     # isolation guard: a co-running job inflates wall-clock 30-50%
     # (measured round 3→4); record the 1-min load BEFORE the JVM spins
-    # up so a hot machine is visible in the artifact instead of
-    # masquerading as a regression.  Threshold: >25% of the cores this
-    # bench is about to use already busy.
+    # up AND track the MAX across the whole timed run — round 5's
+    # start-only sample (2.96, no warning) missed mid-run load that
+    # inflated four queries 2-3×.  Threshold: >25% of the cores this
+    # bench is about to use already busy.  Policy: re-run on an idle
+    # machine whenever load_warning is true (see README).
     ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    own_load = ncpu * 1.25  # this bench's own contribution once running
     load1 = round(os.getloadavg()[0], 2)
-    load_warning = load1 > 0.25 * ncpu
+    load_max = load1
 
     import __spark_entry__ as entry_mod
     from hpaste_spark import get_spark
@@ -215,26 +227,58 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        load_max = max(load_max, os.getloadavg()[0])
 
     for name, runner in STREAMING.items():
         t0 = time.perf_counter()
         runner(spark, sf_dir)
         timings[name] = round(time.perf_counter() - t0, 3)
+        load_max = max(load_max, os.getloadavg()[0])
+
+    # warn on EITHER a busy machine at start or foreign load mid-run
+    # (mid-run 1-min load legitimately approaches ncpu from this bench
+    # itself, so the mid-run bar is own-load + 25%)
+    load_max = round(load_max, 2)
+    load_warning = (load1 > 0.25 * ncpu) or (load_max > own_load)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock (noop sink)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "load_avg_1m_at_start": load1,
-                "load_warning": load_warning,
-            }
-        )
-    )
+    timings = {n: round(t, 2) for n, t in timings.items()}
+    payload = {
+        "metric": "headline wall-clock (noop sink)",
+        "value": total,
+        "unit": "sec",
+        # a COPY: the fit-to-tail loop below deletes from this dict and
+        # must not mutate `timings` (the omitted-count's baseline)
+        "queries": dict(timings),
+        "sf": sf,
+        "load_avg_1m_at_start": load1,
+        "load_avg_1m_max": load_max,
+        "load_warning": load_warning,
+    }
+    # full per-query detail always lands in a committed side artifact —
+    # the stdout line is capped below and may omit the fastest entries
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    # ONE minified line, flushed onto a fresh line, kept under the
+    # driver's 2000-byte tail-capture window: round 5's artifact was
+    # machine-unreadable (parsed: null) purely because the line outgrew
+    # that window.  If the full dict won't fit, drop the FASTEST
+    # queries from the inline dict (sub-0.2 s entries carry the least
+    # regression signal; BENCH_DETAIL.json keeps everything).
+    by_cost = sorted(timings, key=lambda n: (-timings[n], n))
+    while True:
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1900 or not by_cost:
+            break
+        dropped = by_cost.pop()
+        del payload["queries"][dropped]
+        payload["queries_omitted"] = len(timings) - len(payload["queries"])
+    sys.stdout.write("\n")
+    sys.stdout.flush()
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -728,7 +728,8 @@ def semantic_dedup(
     from pyspark.sql import Window
 
     from hpaste_spark.functions.vectors import as_double, dot
-    from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
+    from hpaste_spark.operators.similarity import (_vec_dim, ivf_assign,
+                                                   ivf_centroids)
 
     if k_centroids is None:
         # one count job (parquet footer metadata at scan level — no
@@ -737,7 +738,13 @@ def semantic_dedup(
         n = df.count()
         k_centroids = max(k_min, -(-n // max(1, target_cluster_size)))
     cents = ivf_centroids(df, k_centroids, vec_col, id_col, iterations)
-    assign = ivf_assign(df, cents, vec_col, id_col, with_score=True)
+    # k·d gates the centroid-dim broadcast: under auto-k that table is
+    # ~n·d/512 rows (linear in the corpus) — above the ceiling the
+    # assignment join degrades to a shuffle instead of a broadcast OOM
+    assign = ivf_assign(
+        df, cents, vec_col, id_col, with_score=True,
+        n_dim_rows=k_centroids * _vec_dim(df, vec_col),
+    )
     m = (
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_e"))
         # norm hoisted per ROW: the pair step below would otherwise fold
@@ -1106,5 +1113,48 @@ def semantic_dedup_two_level(
             (F.col("cid1") * k2 + F.col("scid")).alias("cid"),
             "cc",
         )
+    )
+    return _semantic_prune(m, threshold, id_col, max_cluster)
+
+
+def semantic_dedup_two_level_stored(
+    spark,
+    path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: "int | None" = None,
+    cells: "DataFrame | None" = None,
+) -> DataFrame:
+    """SemDeDup keep rule off a PREBUILT :func:`~hpaste_spark.operators.
+    similarity.build_two_level_index` layout — same kept set as
+    :func:`semantic_dedup_two_level` with the same (k1, k2): both
+    assignment levels and the centroid-cosine are READS; the only
+    corpus-sized work left is the cid-local pair step.
+
+    This is the 100 TB shape the in-plan form can't reach: the vectors
+    table is parquet-PARTITIONED BY cid1, so each coarse cell's pair
+    expansion reads exactly its own partition (the effective cid
+    (cid1·k2 + scid) never crosses cid1, so the equi-join's shuffle
+    keys are partition-local), and ``cells`` — an optional 1-column
+    (cid1) DataFrame — restricts a run to chosen coarse cells via a
+    broadcast join on the PARTITION column, planned as
+    dynamicpruningexpression partition pruning (plan-tested).  Dedup a
+    trillion-vector corpus cell-range by cell-range off one write-once
+    clustering instead of re-assigning per run."""
+    from hpaste_spark.functions.vectors import as_double, dot
+
+    k2 = spark.read.parquet(f"{path}/meta").first()["k2"]
+    v = spark.read.parquet(f"{path}/vectors")
+    if cells is not None:
+        v = v.join(F.broadcast(cells), "cid1")
+    m = (
+        v.select(
+            F.col(id_col),
+            as_double(F.col(vec_col)).alias("_e"),
+            (F.col("cid1") * k2 + F.col("scid")).alias("cid"),
+            "cc",
+        )
+        .withColumn("_n", F.sqrt(dot(F.col("_e"), F.col("_e"))))
     )
     return _semantic_prune(m, threshold, id_col, max_cluster)

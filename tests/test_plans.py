@@ -398,10 +398,102 @@ def test_no_registry_query_plans_a_cartesian_product(spark, queries):
     every FUTURE query too — a new entry that pairs rows without a key
     fails here before any driver round sees it.  (Single-row-broadcast
     BroadcastNestedLoopJoin constant-attach plans remain allowed; a
-    true cartesian never is.)  Plan-only: nothing executes."""
+    true cartesian never is.)  No query RESULT executes, but building
+    registry DataFrames does run a few small eager jobs (df.count()
+    for auto-k derivation, 1-row .first() probes for dim inference,
+    the single-query guards) and one-time stored-index builds under
+    .scratch — cheap, not free."""
     offenders = {}
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_DIR))
         if "CartesianProduct" in plan:
             offenders[name] = True
     assert not offenders, f"cartesian plans: {sorted(offenders)}"
+
+
+def test_centroid_dim_broadcast_gated_on_k_times_d(spark):
+    """Round-5 verdict fix: under the auto-k contract the centroid-dim
+    table is ~n·d/512 rows — linear in the corpus — so a FORCED
+    F.broadcast in ivf_assign/two_level_assign is a guaranteed OOM at
+    design scale.  Prove both directions of the k·d gate with
+    autoBroadcastJoinThreshold disabled (so only an explicit hint can
+    produce a broadcast): below the ceiling the hint stays (broadcast
+    join), above it the plan degrades to a shuffle join on the dim key
+    — same rows either way."""
+    from pyspark.sql import functions as F
+
+    import hpaste_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cents = sim.ivf_centroids(emb, 8)
+        dim = sim._vec_dim(emb, "embedding")
+        hinted = sim.ivf_assign(emb, cents, n_dim_rows=8 * dim)
+        assert "BroadcastHashJoin" in plan_of(hinted), "small k*d must keep the hint"
+        # forced-large-k configuration: k*d above the (monkeypatched)
+        # ceiling — the hint must drop and the join must shuffle
+        sim.BROADCAST_DIM_ROWS, saved = 8 * dim - 1, sim.BROADCAST_DIM_ROWS
+        try:
+            gated = sim.ivf_assign(emb, cents, n_dim_rows=8 * dim)
+            gplan = plan_of(gated)
+            assert "BroadcastHashJoin" not in gplan, gplan
+            assert "SortMergeJoin" in gplan or "ShuffledHashJoin" in gplan, gplan
+            # and the degraded plan still computes the same assignment
+            a = {r["vec_id"]: r["cid"] for r in hinted.collect()}
+            b = {r["vec_id"]: r["cid"] for r in gated.collect()}
+            assert a == b
+            # two_level_assign under a gate BOTH levels cross (k1·d and
+            # k1·k2·d above it): every centroid-dim hint must drop —
+            # sub-level joins shuffle on (cid1, pos) — and it still runs
+            sim.BROADCAST_DIM_ROWS = 100
+            tl = sim.two_level_assign(emb, 3, 3)
+            tplan = plan_of(tl)
+            assert "BroadcastHashJoin" not in tplan, tplan
+            assert tl.count() == emb.count()
+        finally:
+            sim.BROADCAST_DIM_ROWS = saved
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stored_two_level_cells_restriction_prunes_cid1_partitions(spark):
+    """A cells-restricted run of the stored hierarchical SemDeDup must
+    plan the restriction as PARTITION pruning on the index's cid1
+    layout (dynamicpruningexpression from the broadcast cells side) —
+    the 100 TB contract: dedup one coarse cell reads one partition,
+    never the full stored corpus."""
+    import __spark_entry__ as em
+    from hpaste_spark.operators.dedup import semantic_dedup_two_level_stored
+    from hpaste_spark.operators.similarity import build_two_level_index
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = em._two_level_index_dir(SF_DIR)
+    if not os.path.exists(os.path.join(idx, "vectors", "_SUCCESS")):
+        build_two_level_index(emb, idx, k1=4, k2=3)
+    # realistic cells selection: coarse cells picked by a predicate on
+    # the stored centroids table (a selective build side, which is what
+    # lets the DPP rule fire; a bare literal list would be a static
+    # PartitionFilter instead)
+    from pyspark.sql import functions as F
+
+    cells = (
+        spark.read.parquet(os.path.join(idx, "centroids"))
+        .filter(F.col("cid1").isin(0, 2))
+        .select("cid1")
+    )
+    restricted = semantic_dedup_two_level_stored(
+        spark, idx, threshold=0.4, cells=cells
+    )
+    plan = plan_of(restricted)
+    assert "dynamicpruningexpression" in plan, plan
+    assert "CartesianProduct" not in plan
+    # and the restricted kept-set equals the full run filtered to the
+    # same coarse cells (k2=3 -> cells 0,2 are cids {0,1,2,6,7,8})
+    full = semantic_dedup_two_level_stored(spark, idx, threshold=0.4)
+    want = sorted(
+        r["vec_id"] for r in full.collect() if r["cid"] // 3 in (0, 2)
+    )
+    got = sorted(r["vec_id"] for r in restricted.collect())
+    assert got == want
