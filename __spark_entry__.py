@@ -5372,10 +5372,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_gates(d, min_words=10)
 
 
-@q(
-    "text_bigram_backoff",
-    r"""
-    WITH d AS (
+# shared by text_bigram_backoff (per-doc NLL) and text_perplexity_bucket
+# (corpus bucketing over the same scores): the full Stupid-Backoff model
+_BACKOFF_CHAIN = r"""
+    d AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       FROM documents WHERE length(trim(text)) > 0
     ),
@@ -5398,6 +5398,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN bcp p ON g.prev = p.prev AND g.tok = p.tok
       JOIN ctx c ON g.prev = c.prev
       LEFT JOIN vocab v ON g.tok = v.token, tot)
+"""
+
+
+@q(
+    "text_bigram_backoff",
+    f"""
+    WITH {_BACKOFF_CHAIN}
     SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(-AVG(lp), 4) AS logprob
     FROM lp GROUP BY doc_id
     """,
@@ -5803,8 +5810,8 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared by sim_ivfadc_residual_topk (in-plan model) and
 # sim_ivfadc_topk_stored (prebuilt index): identical residual-ADC result
-_IVFADC_ORACLE = """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+_IVFADC_CHAIN = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     fd AS (SELECT vec_id, i-1 AS pos, e[i] AS x FROM v, range(1, 65) AS r(i)),
     cd AS (SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
            FROM fd f GROUP BY f.vec_id % 8, f.pos),
@@ -5838,6 +5845,10 @@ _IVFADC_ORACLE = """
            FROM codes cds JOIN asg a USING (vec_id)
            JOIN qtab qt ON a.cid = qt.cid AND cds.sub = qt.sub AND cds.code = qt.code
            GROUP BY cds.vec_id HAVING COUNT(*) = 4)
+    """
+
+_IVFADC_ORACLE = f"""
+    WITH {_IVFADC_CHAIN}
     SELECT vec_id, approx_dist, CAST(rk AS INT) AS rank FROM (
       SELECT vec_id, approx_dist,
              row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
@@ -5896,6 +5907,511 @@ def sim_ivfadc_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivfadc_index(emb, idx, k_centroids=8, m=4, k=16)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivfadc_topk_indexed(spark, idx, qv, nprobe=2, m=4, topk=10)
+
+
+@q(
+    "sim_ivfadc_recall",
+    f"""
+    WITH {_IVFADC_CHAIN},
+    adc AS (SELECT vec_id FROM (
+      SELECT vec_id, row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM sc) WHERE rk <= 10),
+    ed AS (SELECT f.vec_id, SUM((f.x - g.x)*(f.x - g.x)) AS ed2
+           FROM fd f JOIN fd g ON f.pos = g.pos AND g.vec_id = 0
+           GROUP BY f.vec_id),
+    exact AS (SELECT vec_id FROM (
+      SELECT vec_id, row_number() OVER (ORDER BY ROUND(ed2, 6), vec_id) AS rk
+      FROM ed) WHERE rk <= 10)
+    SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(COUNT(*) / 10.0, 2) AS recall_at_k
+    FROM adc JOIN exact USING (vec_id)
+    """,
+)
+def sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@R for the full residual-IVFADC leg (completes the ANN
+    grading ladder next to sim_pq_recall): the nprobe=2/8, m=4, k=16
+    residual-ADC top-10 intersected with the exact L2² top-10 over the
+    WHOLE corpus — so the number also prices the probe's coverage loss
+    (cells never probed can hide true neighbors), which is exactly the
+    trade the nprobe knob buys.  Oracle composes the full residual
+    model + exact truth end-to-end."""
+    from hpaste_spark.functions.vectors import as_double
+    from hpaste_spark.operators.similarity import ivfadc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    adc = ivfadc_topk(
+        emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10
+    ).select("vec_id")
+
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    exact = (
+        e.crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("e"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("ed2"),
+        )
+        .orderBy(F.round("ed2", 6), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return adc.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hit"),
+        (F.round(F.count(F.lit(1)) / 10.0, 2)).alias("recall_at_k"),
+    )
+
+
+@q(
+    "decontaminate_ngram",
+    """
+    WITH d AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tokh AS (
+      SELECT doc_id, source, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, source, list_transform(range(1, greatest(len(th)-4, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+4]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 5
+    ),
+    cg AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM h WHERE source <> 'src0'),
+    bg AS (SELECT doc_id AS bench_id, unnest(list_distinct(hs)) AS g FROM h WHERE source = 'src0')
+    SELECT cg.doc_id,
+           COUNT(DISTINCT cg.g) AS n_hits,
+           COUNT(DISTINCT bg.bench_id) AS n_benchmark_docs
+    FROM cg JOIN bg USING (g)
+    GROUP BY cg.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 Appendix C / PaLM): corpus docs
+    (source != src0) sharing any 5-gram with the held-out eval set
+    (source == src0) — the cross-set, asymmetric dedup every training
+    pipeline needs before reporting eval numbers.  The eval side's
+    distinct-gram table broadcasts (eval suites are KBs against a
+    100 TB corpus); the corpus side streams through one gram-hash
+    equi-join, shuffling only the hits."""
+    from hpaste_spark.operators.dedup import decontaminate_ngram as _dc
+
+    d = _t(spark, sf_dir, "documents")
+    return _dc(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@q(
+    "text_zipf_slope",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t ORDER BY c DESC, t LIMIT 50),
+    rk AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS r FROM tc),
+    l AS (SELECT list(struct_pack(r := r, c := c) ORDER BY r) AS a FROM rk),
+    s AS (SELECT len(a) AS n,
+      list_reduce(list_prepend(0.0, list_transform(a, e -> ln(CAST(e.r AS DOUBLE)))), (x,y) -> x+y) AS sx,
+      list_reduce(list_prepend(0.0, list_transform(a, e -> ln(CAST(e.c AS DOUBLE)))), (x,y) -> x+y) AS sy,
+      list_reduce(list_prepend(0.0, list_transform(a, e -> ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.c AS DOUBLE)))), (x,y) -> x+y) AS sxy,
+      list_reduce(list_prepend(0.0, list_transform(a, e -> ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.r AS DOUBLE)))), (x,y) -> x+y) AS sxx
+      FROM l)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law fit: least-squares slope of ln(freq) over
+    ln(rank) across the top-50 terms — the standard corpus-health
+    diagnostic (natural text ≈ −1; template/boilerplate corpora skew
+    shallower, spammy repetition steeper).
+
+    Determinism: the top-50 selection is a distributed top-k
+    (TakeOrderedAndProject, count-desc/term tie-break) and ranking
+    happens AFTER the limit; the four ln-sums then fold SEQUENTIALLY
+    over the rank-sorted array on both engines (F.aggregate /
+    list_reduce in identical order), so no shuffle-order float
+    nondeterminism reaches the 4 dp output.  At 100 TB the only
+    corpus-sized work is one map-side-combined term count."""
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    tc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tc.orderBy(F.col("c").desc(), "t").limit(50)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "t"))
+    )
+    agg = ranked.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("r"), F.col("c")))).alias("a")
+    )
+    a = F.col("a")
+    lr = lambda e: F.log(e["r"].cast("double"))  # noqa: E731
+    lc = lambda e: F.log(e["c"].cast("double"))  # noqa: E731
+    s = agg.select(
+        F.size(a).cast("double").alias("n"),
+        F.aggregate(a, F.lit(0.0), lambda acc, e: acc + lr(e)).alias("sx"),
+        F.aggregate(a, F.lit(0.0), lambda acc, e: acc + lc(e)).alias("sy"),
+        F.aggregate(a, F.lit(0.0), lambda acc, e: acc + lr(e) * lc(e)).alias("sxy"),
+        F.aggregate(a, F.lit(0.0), lambda acc, e: acc + lr(e) * lr(e)).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("zipf_slope"),
+    )
+
+
+@q(
+    "prof_embedding_stats",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    d AS (SELECT CAST(i-1 AS INT) AS pos, e[i] AS x FROM v, range(1, 65) AS r(i))
+    SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(x), 6) + 0.0 AS mean,
+           ROUND(STDDEV_POP(x), 6) + 0.0 AS std,
+           ROUND(MIN(x), 6) + 0.0 AS min_x,
+           ROUND(MAX(x), 6) + 0.0 AS max_x
+    FROM d GROUP BY pos
+    """,
+)
+def prof_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding profile (mean/std/min/max over the
+    corpus) — the drift/health recon for embedding pipelines the way
+    prof_table_stats is for relational columns: a collapsed dim, a
+    shifted mean, or a blown-out std flags a bad encoder batch before
+    it poisons an ANN index.  One posexplode → map-side-combined
+    hash-agg keyed by dim — 64 groups regardless of corpus size, so
+    the reduce side is constant-width at 100 TB."""
+    from hpaste_spark.functions.vectors import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mean"),
+            (F.round(F.stddev_pop("x"), 6) + F.lit(0.0)).alias("std"),
+            (F.round(F.min("x"), 6) + F.lit(0.0)).alias("min_x"),
+            (F.round(F.max("x"), 6) + F.lit(0.0)).alias("max_x"),
+        )
+    )
+
+
+@q(
+    "sim_matryoshka_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    qv AS (SELECT e AS qe, e[1:32] AS qpe FROM v WHERE vec_id = 0),
+    pt AS (SELECT vec_id FROM (
+      SELECT p.vec_id, row_number() OVER (ORDER BY
+          CASE WHEN sqrt(list_dot_product(p.pe, p.pe)) * sqrt(list_dot_product(q.qpe, q.qpe)) = 0
+               THEN 0.0
+               ELSE list_dot_product(p.pe, q.qpe)
+                 / (sqrt(list_dot_product(p.pe, p.pe)) * sqrt(list_dot_product(q.qpe, q.qpe)))
+          END DESC, p.vec_id) AS rk
+      FROM (SELECT vec_id, e[1:32] AS pe FROM v) p, qv q) WHERE rk <= 10),
+    ft AS (SELECT vec_id FROM (
+      SELECT v.vec_id, row_number() OVER (ORDER BY
+          CASE WHEN sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)) = 0
+               THEN 0.0
+               ELSE list_dot_product(v.e, q.qe)
+                 / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+          END DESC, v.vec_id) AS rk
+      FROM v, qv q) WHERE rk <= 10)
+    SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(COUNT(*) / 10.0, 2) AS recall_at_k
+    FROM pt JOIN ft USING (vec_id)
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style PREFIX retrieval graded against full-dim truth:
+    exact cosine top-10 using only the first 32 of 64 dims vs the
+    full-vector top-10 — recall@10 prices the MRL trade (half the scan
+    bytes and FLOPs per candidate, a first-pass ranker whose survivors
+    re-rank at full width).  Same grading posture as sim_pq_recall /
+    sim_ivfadc_recall; both top-ks are distributed, the query vector
+    broadcasts, and the prefix slice is a pure projection (at 100 TB,
+    store the prefix as its own column family and the first pass never
+    reads the tail bytes at all)."""
+    from hpaste_spark.functions.vectors import as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.slice(F.col("e"), 1, 32).alias("qpe")
+    )
+
+    def topk(df, vec, qcol):
+        return (
+            df.crossJoin(F.broadcast(qv))
+            .withColumn("cs", cosine(vec, F.col(qcol)))
+            .orderBy(F.col("cs").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    prefix_top = topk(
+        e.select("vec_id", F.slice(F.col("e"), 1, 32).alias("pe")),
+        F.col("pe"), "qpe",
+    )
+    full_top = topk(e, F.col("e"), "qe")
+    return prefix_top.join(full_top, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hit"),
+        (F.round(F.count(F.lit(1)) / 10.0, 2)).alias("recall_at_k"),
+    )
+
+
+@q(
+    "sim_sq8_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 ROUND(list_max(list_transform(e, x -> abs(x))) / 127.0, 9) AS scale
+          FROM v),
+    qv AS (SELECT vec_id,
+                  CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+                       ELSE list_transform(e, x -> CAST(ROUND(x / scale) AS DOUBLE))
+                  END AS q8
+           FROM s),
+    qq AS (SELECT q8 AS qq8 FROM qv WHERE vec_id = 0),
+    qt AS (SELECT vec_id FROM (
+      SELECT p.vec_id, row_number() OVER (ORDER BY ROUND(
+          CASE WHEN sqrt(list_dot_product(p.q8, p.q8))
+                    * sqrt(list_dot_product(q.qq8, q.qq8)) = 0 THEN 0.0
+               ELSE list_dot_product(p.q8, q.qq8)
+                 / (sqrt(list_dot_product(p.q8, p.q8))
+                    * sqrt(list_dot_product(q.qq8, q.qq8)))
+          END, 6) DESC, p.vec_id) AS rk
+      FROM qv p, qq q) WHERE rk <= 10),
+    ft AS (SELECT vec_id FROM (
+      SELECT v.vec_id, row_number() OVER (ORDER BY
+          CASE WHEN sqrt(list_dot_product(v.e, v.e))
+                    * sqrt(list_dot_product(q2.qe, q2.qe)) = 0 THEN 0.0
+               ELSE list_dot_product(v.e, q2.qe)
+                 / (sqrt(list_dot_product(v.e, v.e))
+                    * sqrt(list_dot_product(q2.qe, q2.qe)))
+          END DESC, v.vec_id) AS rk
+      FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q2) WHERE rk <= 10)
+    SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(COUNT(*) / 10.0, 2) AS recall_at_k
+    FROM qt JOIN ft USING (vec_id)
+    """,
+)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) retrieval graded against full-
+    precision truth: cosine top-10 over symmetrically quantized codes
+    (functions.vectors.quantize_int8, the vec_quantize_int8 storage
+    leg) vs the exact float top-10 — recall@10 prices the 4×
+    byte-shrink the way sim_pq_recall prices PQ's 128×.  Per-vector
+    scale cancels out of cosine, so the quantized scores use the raw
+    int codes directly (integer dots are EXACT in doubles at 64 dims —
+    no fold-order noise on either engine).  Completes the compression-
+    grading ladder: SQ8 / MRL-prefix / PQ / residual-IVFADC."""
+    from hpaste_spark.functions.vectors import as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = V.quantize_int8(F.col("embedding"))
+    q8 = emb.select("vec_id", qz["q"].alias("q8"))
+    qq = q8.filter(F.col("vec_id") == 0).select(F.col("q8").alias("qq8"))
+    sq_top = (
+        q8.crossJoin(F.broadcast(qq))
+        .withColumn("cs", F.round(cosine(F.col("q8"), F.col("qq8")), 6))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    full_top = (
+        e.crossJoin(F.broadcast(qe))
+        .withColumn("cs", cosine(F.col("e"), F.col("qe")))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return sq_top.join(full_top, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hit"),
+        (F.round(F.count(F.lit(1)) / 10.0, 2)).alias("recall_at_k"),
+    )
+
+
+@q(
+    "vec_kmeans_lloyd",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p0 AS (SELECT vec_id % 8 AS cid, i, AVG(e[i]) AS m
+           FROM v, range(1, 65) AS r(i) GROUP BY vec_id % 8, i),
+    c0 AS (SELECT cid, list(ROUND(m, 6) ORDER BY i) AS cvec FROM p0 GROUP BY cid),
+    s1 AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.e, c.cvec)
+                    / (sqrt(list_dot_product(v.e, v.e))
+                       * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM v, c0 c),
+    a1 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM s1) WHERE rn = 1),
+    p1 AS (SELECT a.cid, i, AVG(v.e[i]) AS m
+           FROM v JOIN a1 a USING (vec_id), range(1, 65) AS r(i)
+           GROUP BY a.cid, i),
+    c1 AS (SELECT cid, list(ROUND(m, 6) ORDER BY i) AS cvec FROM p1 GROUP BY cid),
+    s2 AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.e, c.cvec)
+                    / (sqrt(list_dot_product(v.e, v.e))
+                       * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM v, c1 c),
+    a2 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM s2) WHERE rn = 1),
+    cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM a2 GROUP BY cid)
+    SELECT c0.cid, COALESCE(cnt.n_members, 0) AS n_members,
+           ROUND(list_sum(list_transform(range(1, 65),
+               i -> (c1.cvec[i] - c0.cvec[i]) * (c1.cvec[i] - c0.cvec[i]))), 6)
+             + 0.0 AS shift
+    FROM c0 JOIN c1 USING (cid) LEFT JOIN cnt USING (cid)
+    """,
+)
+def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine Lloyd refinement, hash-gated end-to-end (the
+    ivf_centroids docstring's `iterations` path was previously covered
+    only by an invariant test): seed centroids from the id%k partition
+    means, re-assign every vector (cosine argmax, the ivf_assign
+    contract), re-average to c1, then report per-cluster membership
+    under c1 plus the squared centroid shift ‖c1−c0‖² — the
+    convergence telemetry a real k-means driver loops on.  Shape per
+    iteration: posexplode → (cid,pos) map-side-combined hash-agg →
+    re-assemble; the centroid-dim broadcast is k·d-gated so the same
+    code survives auto-k corpus scale."""
+    from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c0 = ivf_centroids(emb, 8, iterations=1).select(
+        "cid", F.col("cvec").alias("_c0")
+    )
+    c1 = ivf_centroids(emb, 8, iterations=2).select(
+        "cid", F.col("cvec").alias("_c1")
+    )
+    counts = (
+        ivf_assign(emb, c1.select("cid", F.col("_c1").alias("cvec")), n_dim_rows=8 * 64)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    diff = F.zip_with(F.col("_c1"), F.col("_c0"), lambda a, b: (a - b) * (a - b))
+    return (
+        c0.join(c1, "cid")
+        .join(counts, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+            (
+                F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
+                + F.lit(0.0)
+            ).alias("shift"),
+        )
+    )
+
+
+@q(
+    "text_perplexity_bucket",
+    f"""
+    WITH {_BACKOFF_CHAIN},
+    dl AS (SELECT doc_id, ROUND(-AVG(lp), 4) AS logprob FROM lp GROUP BY doc_id),
+    st AS (SELECT ROUND(AVG(logprob), 6) AS mu,
+                  ROUND(STDDEV_POP(logprob), 6) AS sd FROM dl),
+    bk AS (SELECT CASE WHEN logprob <= mu - 0.5 * sd THEN 'head'
+                       WHEN logprob > mu + 0.5 * sd THEN 'tail'
+                       ELSE 'middle' END AS bucket, logprob
+           FROM dl, st)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(logprob), 4) + 0.0 AS avg_nll
+    FROM bk GROUP BY bucket
+    """,
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020) over the Stupid-Backoff doc scores: corpus μ/σ thresholds
+    (broadcast scalars — deliberately NOT a global NTILE, which would
+    single-partition the window at corpus scale) split the pool into
+    the quality bands a curriculum sampler mixes from.  Oracle
+    composes the shared _BACKOFF_CHAIN, so the LM underneath is
+    byte-identical to text_bigram_backoff's."""
+    from hpaste_spark.operators.corpus import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return perplexity_buckets(d, vocab_size=1000, min_bigram_count=2, band=0.5)
+
+
+@q(
+    "dsir_importance_weights",
+    r"""
+    WITH d AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+               FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(tk), 1, 13)) AS BIGINT) % 1024 AS b
+            FROM (SELECT doc_id, source, unnest(t) AS tk FROM d)),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+            WHERE source = 'src0' GROUP BY b),
+    rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok
+             WHERE source <> 'src0' GROUP BY b),
+    tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t FROM tgt),
+    tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS r FROM rawc),
+    feat AS (SELECT COALESCE(tgt.b, rawc.b) AS b,
+                    ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt.t + 1024))
+                  - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / (tr.r + 1024)) AS lw
+             FROM tgt FULL JOIN rawc ON tgt.b = rawc.b, tt, tr)
+    SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lw), 4) + 0.0 AS log_weight
+    FROM tok JOIN feat USING (b) WHERE tok.source <> 'src0'
+    GROUP BY tok.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    weights for every raw-pool doc (source != src0) against the src0
+    target domain — ln p̂_target/p̂_raw summed over the doc's token
+    buckets, add-one smoothed over 1024 hashed features.  The two
+    bag-of-buckets models collapse to ≤1024 rows each, so the
+    log-ratio table broadcasts and the corpus streams through a single
+    bucket equi-join — the raw side never shuffles before the per-doc
+    rollup.  Resample ∝ exp(log_weight) downstream (weighted_sample)
+    to tilt a web crawl toward the target domain."""
+    from hpaste_spark.operators.sampling import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n_buckets=1024,
+    )
 
 
 # Rank-band contract for the quantile sketch, same posture as the HLL

@@ -98,9 +98,15 @@ HEADLINE = [
     "sim_pq_topk_stored",
     "sim_ivfadc_residual_topk",
     "sim_ivfadc_topk_stored",
-    # round 6: stored hierarchical SemDeDup + the ANN recall grader
+    # round 6: stored hierarchical SemDeDup + the ANN recall graders,
+    # benchmark decontamination, corpus/embedding diagnostics
     "dedup_semantic_2level_stored",
     "sim_pq_recall",
+    "sim_ivfadc_recall",
+    "sim_matryoshka_recall",
+    "decontaminate_ngram",
+    "text_zipf_slope",
+    "prof_embedding_stats",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

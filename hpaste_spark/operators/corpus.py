@@ -576,3 +576,47 @@ def bigram_backoff_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.avg("_lp"), 4).alias("logprob"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    min_bigram_count: int = 2,
+    band: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the :func:`bigram_backoff_logprob` LM, then
+    split the corpus into head / middle / tail quality bands around the
+    corpus mean NLL — head = NLL ≤ μ − band·σ (most fluent), tail =
+    NLL > μ + band·σ, middle between.  Returns one row per bucket:
+    (bucket, n_docs, avg_nll) — the mixture-weight input for a
+    quality-curriculum sampler (CCNet trains mostly on head+middle).
+
+    Determinism: μ and σ round to 6 dp before the thresholds are
+    formed, and the per-doc NLL is already rounded to 4 dp, so the
+    band comparisons see bit-identical doubles on both engines (IEEE
+    subtract/multiply of identical operands).  Thresholding against
+    broadcast scalars replaces the global NTILE a naive tercile split
+    would need — no single-partition window, so the bucketing holds at
+    any corpus size (the doc-score table never globally sorts)."""
+    lp = bigram_backoff_logprob(
+        df, vocab_size, min_bigram_count, text_col=text_col, id_col=id_col
+    )
+    stats = lp.agg(
+        F.round(F.avg("logprob"), 6).alias("_mu"),
+        F.round(F.stddev_pop("logprob"), 6).alias("_sd"),
+    )
+    banded = lp.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.when(
+            F.col("logprob") <= F.col("_mu") - F.lit(band) * F.col("_sd"), F.lit("head")
+        )
+        .when(F.col("logprob") > F.col("_mu") + F.lit(band) * F.col("_sd"), F.lit("tail"))
+        .otherwise(F.lit("middle")),
+    )
+    return banded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("logprob"), 4) + F.lit(0.0)).alias("avg_nll"),
+    )

@@ -1158,3 +1158,49 @@ def semantic_dedup_two_level_stored(
         .withColumn("_n", F.sqrt(dot(F.col("_e"), F.col("_e"))))
     )
     return _semantic_prune(m, threshold, id_col, max_cluster)
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 Appendix-C / PaLM recipe):
+    flag every corpus document sharing at least one n-gram with any
+    benchmark/eval document — (doc_id, n_hits, n_benchmark_docs),
+    where n_hits counts the document's DISTINCT contaminated n-grams
+    and n_benchmark_docs the distinct eval docs it collides with.
+    Downstream, anti-join the corpus against this list (the
+    dedup_near_keep posture) before training.
+
+    Differs from the dedup ops above in being CROSS-SET and
+    asymmetric: the benchmark is tiny (eval suites are KBs-MBs) while
+    the corpus is the 100 TB side — so the benchmark's distinct-gram
+    table broadcasts and the corpus side streams through one
+    equi-join on the gram hash with NO shuffle of corpus rows and no
+    pair expansion; per-doc aggregation shuffles only the matching
+    (doc, gram) hits.  Gram hashes are the shared two-level md5 +
+    polynomial fold (functions.text.shingle_hashes), mirrored
+    verbatim in the DuckDB oracle."""
+    from hpaste_spark.functions.text import shingle_hashes
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(
+                    F.array_distinct(shingle_hashes(F.col(text_col), n))
+                ).alias("g"),
+            )
+        )
+
+    hits = grams(corpus, id_col).join(
+        F.broadcast(grams(benchmark, "bench_id")), "g"
+    )
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("g").alias("n_hits"),
+        F.countDistinct("bench_id").alias("n_benchmark_docs"),
+    )

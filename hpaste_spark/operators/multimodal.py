@@ -82,12 +82,26 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if use_real_codec:
-                # PIL/ffmpeg are not installed in this container; this is
-                # the marked integration point for the real decoder.
-                raise NotImplementedError(
-                    "real media codecs unavailable; install pillow/ffmpeg and decode here"
-                )
-            decoded = pdf["media"].map(lambda b: fake_decode(bytes(b)))
+                # OPTIONAL-DEPENDENCY real decode: used when pillow is
+                # installed, NotImplementedError at this marked seam
+                # when it isn't (this container ships no PIL/ffmpeg) —
+                # the contract test passes either way.
+                try:
+                    from PIL import Image  # noqa: PLC0415
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real media codecs unavailable; install pillow "
+                        "(images) / ffmpeg (video) to enable this path"
+                    ) from exc
+                import io
+
+                def real_decode(b) -> tuple:
+                    with Image.open(io.BytesIO(bytes(b))) as im:
+                        return im.size[0], im.size[1], getattr(im, "n_frames", 1)
+
+                decoded = pdf["media"].map(real_decode)
+            else:
+                decoded = pdf["media"].map(lambda b: fake_decode(bytes(b)))
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

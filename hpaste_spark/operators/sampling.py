@@ -271,3 +271,67 @@ def weighted_sample(
     return ordered.withColumn("sample_rank", F.row_number().over(w).cast("int")).select(
         *df.columns, "sample_rank"
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool
+    document by how target-like its hashed unigram features look —
+    ``log_weight(doc) = Σ_tokens ln p̂_target(b(tok)) − ln p̂_raw(b(tok))``
+    over ``n_buckets`` hashed feature buckets with add-one smoothing.
+    Returns (id, n_tokens, log_weight); downstream, resample the raw
+    pool ∝ exp(log_weight) (:func:`weighted_sample`) to shift a
+    web-scale corpus toward the target domain.
+
+    Scale shape: both bag-of-hashed-unigrams models collapse to
+    ``n_buckets`` rows, so the log-ratio table broadcasts; the 100 TB
+    raw side streams through one bucket equi-join with no corpus-wide
+    shuffle before the final per-doc aggregation.  Buckets reuse the
+    md5 ``token_hash`` (mirrored verbatim in the DuckDB oracle:
+    ``CAST(('0x'||substr(md5(tok),1,13)) AS BIGINT) % n_buckets``)."""
+    from hpaste_spark.functions.text import token_hash, tokens
+
+    def toks(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+            .select(id_col, (token_hash(F.col("_tok")) % n_buckets).alias("b"))
+        )
+
+    rt = toks(raw)
+    tgt = toks(target).groupBy("b").agg(F.count(F.lit(1)).alias("_ct"))
+    rawc = rt.groupBy("b").agg(F.count(F.lit(1)).alias("_cr"))
+    tt = tgt.agg(F.sum("_ct").alias("_tt"))
+    tr = rawc.agg(F.sum("_cr").alias("_tr"))
+    feat = (
+        tgt.join(rawc, "b", "full")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_tt") + n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_tr") + n_buckets)
+                )
+            ).alias("_lw"),
+        )
+    )
+    return (
+        rt.join(F.broadcast(feat), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.sum("_lw"), 4) + F.lit(0.0)).alias("log_weight"),
+        )
+    )
