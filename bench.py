@@ -107,6 +107,10 @@ HEADLINE = [
     "decontaminate_ngram",
     "text_zipf_slope",
     "prof_embedding_stats",
+    "sim_sq8_recall",
+    "vec_kmeans_lloyd",
+    "text_perplexity_bucket",
+    "dsir_importance_weights",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1196,3 +1196,80 @@ def test_embedding_stats_shapes_and_bounds(spark, emb):
         assert r["n"] == n
         assert r["min_x"] <= r["mean"] <= r["max_x"]
         assert r["std"] >= 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A raw doc written in the target's vocabulary must out-weigh a
+    raw doc with disjoint vocabulary, and the feature join must be a
+    broadcast (the raw pool streams — no corpus-side shuffle before
+    the per-doc rollup)."""
+    from hpaste_spark.operators.sampling import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100, "finance market stock bond yield equity " * 5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "finance market stock bond yield equity asset"),
+         (2, "recipe butter flour sugar oven bake whisk")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_tokens"] == 7 and out[2]["n_tokens"] == 7
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+
+    plan = dsir_weights(raw, target)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_partition_corpus_in_quality_order(spark, docs):
+    """Buckets partition the scored docs and their mean NLLs are
+    ordered head < middle < tail (head = most fluent by construction)."""
+    from hpaste_spark.operators.corpus import (bigram_backoff_logprob,
+                                               perplexity_buckets)
+
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    out = {r["bucket"]: r for r in perplexity_buckets(d).collect()}
+    scored = bigram_backoff_logprob(d).count()
+    assert sum(r["n_docs"] for r in out.values()) == scored
+    present = [b for b in ("head", "middle", "tail") if b in out]
+    nlls = [out[b]["avg_nll"] for b in present]
+    assert nlls == sorted(nlls)
+
+
+def test_kmeans_lloyd_partitions_corpus_and_shifts_nonneg(spark, emb):
+    import __spark_entry__ as em
+
+    rows = em.vec_kmeans_lloyd(spark, SF).collect()
+    assert len(rows) == 8
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    assert all(r["shift"] >= 0 for r in rows)
+    # the seed partition is arbitrary, so at least one centroid must move
+    assert any(r["shift"] > 0 for r in rows)
+
+
+def test_sq8_recall_perfect_when_quantization_is_lossless(spark):
+    """Vectors whose components are already integers in [-127, 127]
+    with max |x| = 127 quantize losslessly (scale = 1.0, codes =
+    values) — the SQ8 top-k IS the exact top-k, recall@10 = 1.0."""
+    import os as _os
+    import shutil, tempfile
+
+    import __spark_entry__ as em
+
+    d = tempfile.mkdtemp(prefix="sq8_")
+    try:
+        rows = [
+            (i, [float(((i * 13 + j * 5) % 255) - 127) for j in range(63)] + [127.0], 0)
+            for i in range(40)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(_os.path.join(d, "embeddings.parquet"))
+        r = em.sim_sq8_recall(spark, d).collect()[0]
+        assert (r["n_hit"], r["recall_at_k"]) == (10, 1.0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
