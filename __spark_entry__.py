@@ -1952,6 +1952,38 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("features", F.to_json(F.col("features")))
 
 
+@q(
+    "mm_shared_frames",
+    """
+    -- DuckDB substr only takes VARCHAR; the fixture is pure ASCII
+    -- (oracle-asserted: octet_length == length for every doc), so the
+    -- char slice IS the byte slice Spark takes on the binary column
+    WITH f AS (SELECT doc_id, text AS m, octet_length(CAST(text AS BLOB)) AS n
+               FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+    fr AS (SELECT DISTINCT doc_id,
+                  md5(substr(m, CAST(i * 64 + 1 AS BIGINT), 64)) AS fh
+           FROM f, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS u(i)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+    FROM p GROUP BY doc_a, doc_b
+    """,
+)
+def mm_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level copy detection over the binary media column: every
+    payload chunked into 64-byte frames (sample_frames, every frame),
+    each frame md5-hashed, pairs reported per shared identical frame —
+    the video/audio segment-dedup primitive (re-posted clips, copied
+    intros) next to the text dedup stack.  Pairs expand only through
+    the frame-hash equi-join; at corpus scale a max_frame_df cap
+    bounds the fan-out of ubiquitous frames the way the shingle-df
+    caps do."""
+    from hpaste_spark.operators.multimodal import attach_media, shared_frame_pairs
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return shared_frame_pairs(media, frame_bytes=64)
+
+
 # ---------------------------------------------------------------------------
 # Analytics extensions round 2: percentiles, sessionization, TPC-H Q3
 # shape, conditional/date aggregation, string projections, composite-key

@@ -192,3 +192,41 @@ def extract_features(df: DataFrame, dim: int = 16, use_real_model: bool = False)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.select("doc_id", "media").mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def shared_frame_pairs(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    max_frame_df: int | None = None,
+) -> DataFrame:
+    """Exact frame-level copy detection across media payloads — the
+    video/audio analog of content-hash dedup: chunk every payload into
+    ``frame_bytes`` frames (:func:`sample_frames` with every frame),
+    md5 each frame, and report (doc_a, doc_b, n_shared_frames) for
+    every pair sharing at least one identical frame — copied segments,
+    re-posted clips, shared intros.  Pairs expand ONLY through the
+    frame-hash equi-join (never all-pairs), exactly the banded-LSH
+    posture of the text dedup stack; ``max_frame_df`` optionally drops
+    ubiquitous frames (black frames, silence) the way the shingle-df
+    caps do, trading those pairs for a bounded join fan-out at corpus
+    scale.  Zero-length payloads emit no frames (an empty frame is not
+    shared content)."""
+    fr = (
+        sample_frames(df, frame_bytes=frame_bytes, every_k=1)
+        .filter(F.col("frame_bytes") > 0)
+        .select("doc_id", F.md5(F.col("frame")).alias("fh"))
+        .distinct()
+    )
+    if max_frame_df is not None:
+        ok = fr.groupBy("fh").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_frame_df
+        )
+        fr = fr.join(ok.select("fh"), "fh")
+    a = fr.alias("a")
+    b = fr.alias("b")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+    )

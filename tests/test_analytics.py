@@ -1273,3 +1273,29 @@ def test_sq8_recall_perfect_when_quantization_is_lossless(spark):
         assert (r["n_hit"], r["recall_at_k"]) == (10, 1.0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_shared_frame_pairs_finds_copied_segments(spark):
+    """Docs sharing an aligned 64-byte frame pair up with the right
+    count; disjoint payloads don't; empty payloads emit no frames; the
+    ubiquitous-frame cap drops over-shared frames."""
+    from hpaste_spark.operators.multimodal import attach_media, shared_frame_pairs
+
+    seg = "A" * 64
+    rows = [
+        (1, seg + "B" * 64),      # shares frame 0 with 2, frames differ after
+        (2, seg + "C" * 64),
+        (3, "D" * 64),            # disjoint
+        (4, ""),                  # empty — no frames
+        (5, seg),                 # shares frame 0 with 1 and 2
+    ]
+    media = attach_media(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared_frames"]
+           for r in shared_frame_pairs(media, frame_bytes=64).collect()}
+    assert out == {(1, 2): 1, (1, 5): 1, (2, 5): 1}
+
+    # the 'A'*64 frame appears in 3 docs; capping df at 2 kills those pairs
+    capped = shared_frame_pairs(media, frame_bytes=64, max_frame_df=2).collect()
+    assert capped == []
