@@ -669,6 +669,40 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.lang_guess(F.col("text")).alias("lang_guess"))
 
 
+@q(
+    "text_langid_eval",
+    """
+    WITH g AS (
+      SELECT lang,
+        CASE
+          WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('el','la','de','que'))) > 0 THEN 'es'
+          WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('der','die','das','und'))) > 0 THEN 'de'
+          WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('le','les','des','est'))) > 0 THEN 'fr'
+          WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ('the','and','is','of'))) > 0 THEN 'en'
+          ELSE 'unknown'
+        END AS lang_guess
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY lang, lang_guess
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram-heuristic lang_guess
+    graded cell-by-cell against the fixture's ground-truth lang column
+    — the classifier-quality telemetry a multilingual pipeline reads
+    before trusting per-language routing (same grade-the-approximation
+    posture as the ANN recall rows and dedup_lsh_eval).  One
+    map-side-combined hash-agg over a narrow projection; the matrix is
+    |langs|² rows regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return (
+        d.select("lang", X.lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # Document fingerprinting: polynomial rolling hash (north star)
 @q(
     "text_fingerprint",
@@ -1567,10 +1601,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ANN similarity search via deterministic hyperplane LSH (north star)
 # ---------------------------------------------------------------------------
-@q(
-    "sim_ann_lsh_topk",
-    """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# shared by sim_ann_lsh_topk and its recall grader sim_lsh_recall
+_LSH_CHAIN = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     b AS (
       SELECT vec_id, v,
         CAST(list_sum(list_transform(range(0, 8), j ->
@@ -1580,6 +1613,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ),
     q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+"""
+
+
+@q(
+    "sim_ann_lsh_topk",
+    f"""
+    WITH {_LSH_CHAIN}
     SELECT vec_id, ROUND(cos_raw, 6) AS cos_sim FROM (
       SELECT b.vec_id,
         list_dot_product(b.v, q.qv)
@@ -1596,10 +1636,10 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8)
 
 
-# shared by sim_ivf_topk (in-plan clustering) and sim_ivf_topk_stored
-# (prebuilt index): both compute the identical IVF result
-_IVF_TOPK_ORACLE = """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS scid
+# shared by sim_ivf_topk (in-plan clustering), sim_ivf_topk_stored
+# (prebuilt index), and the recall grader sim_ivf_recall
+_IVF_CHAIN = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS scid
                FROM embeddings),
     pc AS (SELECT scid, i, AVG(e[i]) AS m
            FROM v, range(1, 65) AS r(i) GROUP BY scid, i),
@@ -1620,6 +1660,10 @@ _IVF_TOPK_ORACLE = """
               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cvec, c.cvec)))
             DESC, c.cid) AS rn
         FROM cent c, q) WHERE rn <= 2)
+    """
+
+_IVF_TOPK_ORACLE = f"""
+    WITH {_IVF_CHAIN}
     SELECT vec_id, ROUND(cos_raw, 6) AS cos_sim FROM (
       SELECT v.vec_id,
              list_dot_product(v.e, q.qv)
@@ -1680,6 +1724,113 @@ def sim_ivf_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index(emb, idx, k_centroids=8)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivf_topk_indexed(spark, idx, qv, k=10, nprobe=2)
+
+
+@q(
+    "sim_ivf_recall",
+    f"""
+    WITH {_IVF_CHAIN},
+    ivf AS (SELECT vec_id FROM (
+      SELECT v.vec_id, row_number() OVER (ORDER BY
+             list_dot_product(v.e, q.qv)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv)))
+             DESC, v.vec_id) AS rk
+      FROM v JOIN assign a USING (vec_id) JOIN probes p ON a.cid = p.cid, q)
+      WHERE rk <= 10),
+    ex AS (SELECT vec_id FROM (
+      SELECT v.vec_id, row_number() OVER (ORDER BY
+             list_dot_product(v.e, q.qv)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv)))
+             DESC, v.vec_id) AS rk
+      FROM v, q) WHERE rk <= 10)
+    SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(COUNT(*) / 10.0, 2) AS recall_at_k
+    FROM ivf JOIN ex USING (vec_id)
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 for IVF-Flat at nprobe=2/8 vs the exact cosine top-10
+    over the whole corpus — prices the probe's coverage loss for the
+    PRUNING leg the way sim_pq_recall/sim_ivfadc_recall price the
+    compression legs.  With the LSH grader below, every approximate
+    retrieval path in the engine now carries a recall row."""
+    from hpaste_spark.functions.vectors import as_double, cosine
+    from hpaste_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    ivf = ivf_topk(emb, qv, k=10, k_centroids=8, nprobe=2).select("vec_id")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    exact = (
+        e.crossJoin(F.broadcast(qe))
+        .withColumn("cs", cosine(F.col("e"), F.col("qe")))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return ivf.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hit"),
+        (F.round(F.count(F.lit(1)) / 10.0, 2)).alias("recall_at_k"),
+    )
+
+
+@q(
+    "sim_lsh_recall",
+    f"""
+    WITH {_LSH_CHAIN},
+    lsh AS (SELECT vec_id FROM (
+      SELECT b.vec_id, row_number() OVER (ORDER BY
+        list_dot_product(b.v, q.qv)
+          / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+        DESC, b.vec_id) AS rk
+      FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id != 0) WHERE rk <= 10),
+    ex AS (SELECT vec_id FROM (
+      SELECT e.vec_id, row_number() OVER (ORDER BY
+        list_dot_product(e.v, q.qv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+        DESC, e.vec_id) AS rk
+      FROM e, q WHERE e.vec_id != 0) WHERE rk <= 10)
+    SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(COUNT(*) / 10.0, 2) AS recall_at_k
+    FROM lsh JOIN ex USING (vec_id)
+    """,
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 for single-table hyperplane-LSH top-k (the
+    sim_ann_lsh_topk path, 8 planes = 1/256 of the corpus scanned in
+    expectation) vs the exact cosine top-10 — the one approximate
+    retrieval leg that had no recall row.  Both sides exclude the
+    query vector itself, matching the ANN query's contract."""
+    from hpaste_spark.functions.vectors import as_double, cosine
+    from hpaste_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    lsh = ann_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8).select(
+        "vec_id"
+    )
+    e = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    qe = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(as_double(F.col("embedding")).alias("qe"))
+    )
+    exact = (
+        e.crossJoin(F.broadcast(qe))
+        .withColumn("cs", cosine(F.col("e"), F.col("qe")))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return lsh.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hit"),
+        (F.round(F.count(F.lit(1)) / 10.0, 2)).alias("recall_at_k"),
+    )
 
 
 @q(

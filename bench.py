@@ -111,6 +111,10 @@ HEADLINE = [
     "vec_kmeans_lloyd",
     "text_perplexity_bucket",
     "dsir_importance_weights",
+    "sim_ivf_recall",
+    "sim_lsh_recall",
+    "mm_shared_frames",
+    "text_langid_eval",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

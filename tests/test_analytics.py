@@ -1299,3 +1299,44 @@ def test_shared_frame_pairs_finds_copied_segments(spark):
     # the 'A'*64 frame appears in 3 docs; capping df at 2 kills those pairs
     capped = shared_frame_pairs(media, frame_bytes=64, max_frame_df=2).collect()
     assert capped == []
+
+
+def test_recall_graders_bounded_and_consistent(spark):
+    """Every recall grader emits one row with 0 <= n_hit <= k and
+    recall = n_hit/k — and IVF at nprobe=8/8 (full probe) must be
+    exact-recall by construction."""
+    import __spark_entry__ as em
+    from hpaste_spark.functions.vectors import as_double, cosine
+    from hpaste_spark.operators.similarity import ivf_topk
+
+    for name in ("sim_ivf_recall", "sim_lsh_recall", "sim_sq8_recall"):
+        r = em.queries()[name](spark, SF).collect()[0]
+        assert 0 <= r["n_hit"] <= r["k"]
+        assert r["recall_at_k"] == round(r["n_hit"] / r["k"], 2)
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    full_probe = {
+        r["vec_id"]
+        for r in ivf_topk(emb, qv, k=10, k_centroids=8, nprobe=8).collect()
+    }
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    exact = {
+        r["vec_id"]
+        for r in e.crossJoin(F.broadcast(qe))
+        .withColumn("cs", cosine(F.col("e"), F.col("qe")))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert full_probe == exact
+
+
+def test_langid_eval_counts_partition_scored_docs(spark, docs):
+    import __spark_entry__ as em
+
+    rows = em.text_langid_eval(spark, SF).collect()
+    scored = docs.filter(F.length(F.trim(F.col("text"))) > 0).count()
+    assert sum(r["n_docs"] for r in rows) == scored
+    assert all(r["n_docs"] > 0 for r in rows)

@@ -143,6 +143,12 @@ BIG_PROBES = [
     # (the AUTO form — the pinned-k1/k2 twin would reintroduce the
     # fixed-k pathology at 30× that autok vs dedup_semantic documents)
     "dedup_semantic_2level_auto",
+    # round-6 cross-set / pair ops: decontamination and DSIR are
+    # linear-by-design (bounded broadcast side, corpus streams);
+    # frame dedup expands pairs only through the frame-hash equi-join
+    "decontaminate_ngram",
+    "dsir_importance_weights",
+    "mm_shared_frames",
 ]
 BIG_MARK = "<!-- big-probe -->"
 
