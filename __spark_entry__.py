@@ -6150,31 +6150,37 @@ def sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "decontaminate_ngram",
-    """
-    WITH d AS (
+# shared by decontaminate_ngram and the pipe_target_corpus composite
+_DECON_CHAIN = """
+    dc_d AS (
       SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0
     ),
-    tokh AS (
+    dc_tokh AS (
       SELECT doc_id, source, list_transform(t, tok ->
           CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
-      FROM d
+      FROM dc_d
     ),
-    h AS (
+    dc_h AS (
       SELECT doc_id, source, list_transform(range(1, greatest(len(th)-4, 0)+1), i ->
           list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+4]),
             (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
-      FROM tokh WHERE len(th) >= 5
+      FROM dc_tokh WHERE len(th) >= 5
     ),
-    cg AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM h WHERE source <> 'src0'),
-    bg AS (SELECT doc_id AS bench_id, unnest(list_distinct(hs)) AS g FROM h WHERE source = 'src0')
-    SELECT cg.doc_id,
-           COUNT(DISTINCT cg.g) AS n_hits,
-           COUNT(DISTINCT bg.bench_id) AS n_benchmark_docs
-    FROM cg JOIN bg USING (g)
-    GROUP BY cg.doc_id
+    dc_cg AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM dc_h WHERE source <> 'src0'),
+    dc_bg AS (SELECT doc_id AS bench_id, unnest(list_distinct(hs)) AS g FROM dc_h WHERE source = 'src0')
+"""
+
+
+@q(
+    "decontaminate_ngram",
+    f"""
+    WITH {_DECON_CHAIN}
+    SELECT dc_cg.doc_id,
+           COUNT(DISTINCT dc_cg.g) AS n_hits,
+           COUNT(DISTINCT dc_bg.bench_id) AS n_benchmark_docs
+    FROM dc_cg JOIN dc_bg USING (g)
+    GROUP BY dc_cg.doc_id
     """,
 )
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6553,28 +6559,36 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(d, vocab_size=1000, min_bigram_count=2, band=0.5)
 
 
+# shared by dsir_importance_weights and the pipe_target_corpus
+# composite; ds_w is the per-raw-doc (doc_id, n_tokens, log_weight)
+_DSIR_CHAIN = r"""
+    ds_d AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+               FROM documents WHERE length(trim(text)) > 0),
+    ds_tok AS (SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(tk), 1, 13)) AS BIGINT) % 1024 AS b
+            FROM (SELECT doc_id, source, unnest(t) AS tk FROM ds_d)),
+    ds_tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM ds_tok
+            WHERE source = 'src0' GROUP BY b),
+    ds_rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM ds_tok
+             WHERE source <> 'src0' GROUP BY b),
+    ds_tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t FROM ds_tgt),
+    ds_tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS r FROM ds_rawc),
+    ds_feat AS (SELECT COALESCE(ds_tgt.b, ds_rawc.b) AS b,
+                    ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (ds_tt.t + 1024))
+                  - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / (ds_tr.r + 1024)) AS lw
+             FROM ds_tgt FULL JOIN ds_rawc ON ds_tgt.b = ds_rawc.b, ds_tt, ds_tr),
+    ds_w AS (SELECT ds_tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    ROUND(SUM(lw), 4) + 0.0 AS log_weight
+             FROM ds_tok JOIN ds_feat USING (b) WHERE ds_tok.source <> 'src0'
+             GROUP BY ds_tok.doc_id)
+"""
+
+
 @q(
     "dsir_importance_weights",
-    r"""
-    WITH d AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
-               FROM documents WHERE length(trim(text)) > 0),
-    tok AS (SELECT doc_id, source,
-                   CAST(('0x' || substr(md5(tk), 1, 13)) AS BIGINT) % 1024 AS b
-            FROM (SELECT doc_id, source, unnest(t) AS tk FROM d)),
-    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
-            WHERE source = 'src0' GROUP BY b),
-    rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok
-             WHERE source <> 'src0' GROUP BY b),
-    tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t FROM tgt),
-    tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS r FROM rawc),
-    feat AS (SELECT COALESCE(tgt.b, rawc.b) AS b,
-                    ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt.t + 1024))
-                  - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / (tr.r + 1024)) AS lw
-             FROM tgt FULL JOIN rawc ON tgt.b = rawc.b, tt, tr)
-    SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(SUM(lw), 4) + 0.0 AS log_weight
-    FROM tok JOIN feat USING (b) WHERE tok.source <> 'src0'
-    GROUP BY tok.doc_id
+    f"""
+    WITH {_DSIR_CHAIN}
+    SELECT doc_id, n_tokens, log_weight FROM ds_w
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6594,6 +6608,107 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") != "src0"),
         d.filter(F.col("source") == "src0"),
         n_buckets=1024,
+    )
+
+
+#: the quality_score formula as DuckDB SQL (mirrors functions.text
+#: quality_score: 0.5·len + 0.3·stopword + 0.2·(1−punct), rounded 4dp)
+_QUALITY_SQL = """ROUND(
+               0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+                             / len(regexp_split_to_array(trim(text), '\\s+')) END)
+               + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                  / length(text) END)), 4)"""
+
+
+@q(
+    "pipe_target_corpus",
+    f"""
+    WITH {_DECON_CHAIN}, {_DSIR_CHAIN},
+    flagged AS (SELECT DISTINCT dc_cg.doc_id FROM dc_cg JOIN dc_bg USING (g)),
+    mu AS (SELECT ROUND(AVG(log_weight), 6) AS m FROM ds_w),
+    q AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality
+          FROM documents WHERE length(trim(text)) > 0 AND source <> 'src0'),
+    sel AS (SELECT q.doc_id, q.source, w.n_tokens, w.log_weight
+            FROM q JOIN ds_w w USING (doc_id)
+            LEFT JOIN flagged f ON q.doc_id = f.doc_id, mu
+            WHERE f.doc_id IS NULL AND w.log_weight > mu.m AND q.quality >= 0.5)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(AVG(log_weight), 4) + 0.0 AS avg_log_weight
+    FROM sel GROUP BY source
+    """,
+)
+def pipe_target_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 ops composed into the selection pipeline a
+    target-domain training run actually executes: DECONTAMINATE the
+    raw pool against the held-out set (anti-join the 5-gram collision
+    list), keep docs the DSIR model scores MORE target-leaning than
+    the corpus-mean weight (a broadcast scalar — absolute weights are
+    smoothing-shifted, only the ordering is meaningful, which is why
+    the DSIR paper RESAMPLES by weight) that also clear the heuristic
+    quality gate, and
+    report the per-source makeup of the surviving pool (doc/token
+    counts + mean importance weight — the mixture-table input).
+    Composition stays one pass over the corpus: the contamination
+    list and the 1024-row DSIR feature table broadcast, the per-doc
+    weight join is doc_id-co-partitioned, and the rollup is a
+    map-side-combined hash-agg."""
+    from hpaste_spark.operators.dedup import decontaminate_ngram as _dc
+    from hpaste_spark.operators.sampling import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    flagged = _dc(corpus, bench, n=5).select("doc_id")
+    w = dsir_weights(corpus, bench, n_buckets=1024)
+    mu = w.agg(F.round(F.avg("log_weight"), 6).alias("_mu"))
+    q = corpus.select("doc_id", "source", X.quality_score(F.col("text")).alias("quality"))
+    sel = (
+        q.join(w, "doc_id")
+        .join(flagged, "doc_id", "left_anti")
+        .crossJoin(F.broadcast(mu))
+        .filter((F.col("log_weight") > F.col("_mu")) & (F.col("quality") >= 0.5))
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.round(F.avg("log_weight"), 4) + F.lit(0.0)).alias("avg_log_weight"),
+    )
+
+
+@q(
+    "text_quality_vs_lm",
+    f"""
+    WITH {_BACKOFF_CHAIN},
+    dl AS (SELECT doc_id, ROUND(-AVG(lp), 4) AS logprob FROM lp GROUP BY doc_id),
+    qd AS (SELECT doc_id, {_QUALITY_SQL} AS q
+           FROM documents WHERE length(trim(text)) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(corr(q, logprob), 6) AS quality_nll_corr
+    FROM qd JOIN dl USING (doc_id)
+    """,
+)
+def text_quality_vs_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration telemetry: Pearson correlation between the
+    cheap heuristic quality_score and the Stupid-Backoff NLL across
+    the corpus — 'does the zero-cost gate agree with the model-based
+    scorer?' is the question every pipeline answers before replacing
+    LM scoring with heuristics on the 100 TB tail.  One doc-keyed
+    equi-join of two per-doc score tables into a single-pass corr
+    aggregate (same grade-the-approximation posture as the ANN recall
+    rows, pointed at the quality stack)."""
+    from hpaste_spark.operators.corpus import bigram_backoff_logprob
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    lp = bigram_backoff_logprob(d, vocab_size=1000, min_bigram_count=2)
+    qd = d.select("doc_id", X.quality_score(F.col("text")).alias("q"))
+    return qd.join(lp, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.corr("q", "logprob"), 6).alias("quality_nll_corr"),
     )
 
 

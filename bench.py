@@ -115,6 +115,8 @@ HEADLINE = [
     "sim_lsh_recall",
     "mm_shared_frames",
     "text_langid_eval",
+    "pipe_target_corpus",
+    "text_quality_vs_lm",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1340,3 +1340,33 @@ def test_langid_eval_counts_partition_scored_docs(spark, docs):
     scored = docs.filter(F.length(F.trim(F.col("text"))) > 0).count()
     assert sum(r["n_docs"] for r in rows) == scored
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_pipe_target_corpus_selects_clean_target_leaning_docs(spark, docs):
+    """The composite selection never contains a contaminated doc, only
+    above-mean-weight docs survive, and every selected doc clears the
+    quality gate (checked by reconstructing the stages independently)."""
+    import __spark_entry__ as em
+    from hpaste_spark.functions.text import quality_score
+    from hpaste_spark.operators.dedup import decontaminate_ngram
+    from hpaste_spark.operators.sampling import dsir_weights
+
+    out = em.pipe_target_corpus(spark, SF).collect()
+    assert out, "selection must be non-empty on the fixture"
+    assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in out)
+
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    flagged = {r["doc_id"] for r in decontaminate_ngram(corpus, bench).collect()}
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_weights(corpus, bench).collect()}
+    mu = round(sum(w.values()) / len(w), 6)
+    q = {
+        r["doc_id"]: r["q"]
+        for r in corpus.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    expect = [
+        d for d, lw in w.items() if d not in flagged and lw > mu and q[d] >= 0.5
+    ]
+    assert sum(r["n_docs"] for r in out) == len(expect)
