@@ -6712,6 +6712,97 @@ def text_quality_vs_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "filter_quality_threshold",
+    f"""
+    WITH fq AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality
+                FROM documents WHERE length(trim(text)) > 0),
+    fc AS (SELECT source, quality, CAST(COUNT(*) AS BIGINT) AS n
+           FROM fq GROUP BY source, quality),
+    fcum AS (SELECT source, quality, n,
+                    CAST(SUM(n) OVER (PARTITION BY source ORDER BY quality DESC) AS BIGINT) AS cum
+             FROM fc),
+    ftot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ntot FROM fc GROUP BY source),
+    fthr AS (SELECT source,
+                    COALESCE(MIN(CASE WHEN cum <= CEIL(0.3 * ntot) THEN quality END),
+                             MAX(quality)) AS threshold
+             FROM fcum JOIN ftot USING (source) GROUP BY source),
+    fk AS (SELECT fq.source, threshold, CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM fq JOIN fthr USING (source)
+           WHERE quality >= threshold GROUP BY fq.source, threshold)
+    SELECT fk.source, threshold, n_kept, ntot AS n_total,
+           ROUND(n_kept * 1.0 / ntot, 4) AS kept_frac
+    FROM fk JOIN ftot USING (source)
+    """,
+)
+def filter_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-source quality gating at corpus scale: keep
+    the top ~30% of each source by heuristic quality score.  The
+    obvious plan — percent_rank partitioned by source — funnels each
+    source through ONE task (sources are few; at 100 TB that is a
+    terabyte sort per task).  quality_threshold_filter instead runs
+    the two-phase threshold plan: a map-side-combined count per
+    (source, 4dp-quality) — a tiny table no matter the corpus size —
+    a window over THAT, and one broadcast-threshold filter pass.  The
+    rollup here reports each source's threshold and realized keep
+    fraction (ties are never split, so the fraction can exceed the
+    target — that is the documented semantics, not noise)."""
+    from hpaste_spark.operators.sampling import quality_threshold_filter
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    scored = d.select(
+        "doc_id", "source", X.quality_score(F.col("text")).alias("quality")
+    )
+    kept = quality_threshold_filter(scored, "quality", "source", keep_frac=0.3)
+    tot = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("source", "threshold")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "threshold",
+            "n_kept",
+            "n_total",
+            F.round(F.col("n_kept") / F.col("n_total"), 4).alias("kept_frac"),
+        )
+    )
+
+
+@q(
+    "pack_shard_manifest",
+    """
+    WITH sd AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ss AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard,
+                  ntok
+           FROM sd),
+    sper AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+             FROM ss GROUP BY shard),
+    stot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM sper)
+    SELECT shard, n_docs, n_tokens,
+           ROUND(n_docs * 16.0 / t, 4) AS balance
+    FROM sper, stot
+    """,
+)
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export manifest: every doc hashes to one of 16 output
+    shards (md5 of the id — stable under repartitioning, unlike row
+    position), and the manifest prices each shard's doc/token load
+    plus its balance ratio vs the ideal n/16.  ONE map-side-combined
+    hash-agg over the corpus + a broadcast single-row total; the
+    actual file write is then `.repartition(16, shard)` + partitioned
+    write with exactly this layout."""
+    from hpaste_spark.operators.sampling import shard_manifest
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    d = d.withColumn("_ntok", X.token_count(F.col("text")))
+    return shard_manifest(d, n_shards=16, id_col="doc_id", token_count_col="_ntok")
+
+
 # Rank-band contract for the quantile sketch, same posture as the HLL
 # band oracles: percentile_approx(accuracy=10000) guarantees rank
 # error ≤ ~1e-4, so the estimate must land within the EXACT [q−0.01,

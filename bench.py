@@ -117,6 +117,8 @@ HEADLINE = [
     "text_langid_eval",
     "pipe_target_corpus",
     "text_quality_vs_lm",
+    "filter_quality_threshold",
+    "pack_shard_manifest",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -335,3 +335,103 @@ def dsir_weights(
             (F.round(F.sum("_lw"), 4) + F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def quality_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FineWeb-style per-group top-fraction selection WITHOUT a
+    per-group global sort: keep (approximately) the best ``keep_frac``
+    of rows in each ``group_col`` partition by score threshold.
+
+    The naive formulation — ``percent_rank()`` partitioned by group —
+    funnels each group through ONE task (a handful of sources over
+    100 TB ⇒ a handful of tasks sorting terabytes).  Instead this runs
+    the classic two-phase threshold plan:
+
+    1. hash-aggregate row counts per (group, score) — scores are
+       finite-precision (callers round to ≤4 dp), so this table is
+       tiny regardless of corpus size and the agg map-side combines;
+    2. a window over THAT table (thousands of rows, not the corpus)
+       finds each group's threshold: the lowest score whose
+       from-the-top cumulative count still fits ``ceil(keep_frac·n)``.
+       If even the best tie-group overflows the target, the threshold
+       falls back to that top score (whole-tie-group-keep semantics —
+       thresholds never split a tie);
+    3. the corpus streams once more through a broadcast join on the
+       per-group threshold row and keeps ``score >= threshold``.
+
+    Returns the input rows that clear their group's threshold, plus a
+    ``threshold`` column.  Deterministic, rank-free, and both phases
+    reproduce exactly in ANSI SQL (the oracle mirrors them).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc())
+    cum = counts.withColumn("_cum", F.sum("_n").over(w))
+    tot = counts.groupBy(group_col).agg(F.sum("_n").alias("_ntot"))
+    thr = (
+        cum.join(tot, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("_cum") <= F.ceil(F.lit(keep_frac) * F.col("_ntot")),
+                        F.col(score_col),
+                    )
+                ),
+                F.max(F.col(score_col)),
+            ).alias("threshold")
+        )
+    )
+    return df.join(F.broadcast(thr), group_col).filter(
+        F.col(score_col) >= F.col("threshold")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Deterministic training-export shard manifest: assign every row
+    to one of ``n_shards`` output shards by content hash of its id
+    (stable across runs, engines, and partitionings — never by row
+    position, which changes under repartition), and report per-shard
+    doc/token totals plus a balance ratio (shard docs ÷ ideal docs).
+
+    This is the bookkeeping step before a 100 TB corpus is written as
+    N tokenizer-ready files: the manifest is ONE map-side-combined
+    hash-agg over the corpus keyed by a 16-bit-md5 shard id, and the
+    balance column only needs the grand total, which joins back as a
+    broadcast single row.  A downstream ``.repartition(n_shards,
+    shard)`` + partitioned write then produces the actual files with
+    the exact layout this manifest promised.
+    """
+    shard = (hash_bucket(F.col(id_col), n_shards)).alias("shard")
+    toks = F.col(token_count_col) if token_count_col else F.lit(1)
+    per = (
+        df.select(shard, toks.alias("_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") * n_shards / F.col("_tot"), 4).alias("balance"),
+        )
+    )

@@ -1370,3 +1370,63 @@ def test_pipe_target_corpus_selects_clean_target_leaning_docs(spark, docs):
         d for d, lw in w.items() if d not in flagged and lw > mu and q[d] >= 0.5
     ]
     assert sum(r["n_docs"] for r in out) == len(expect)
+
+
+def test_quality_threshold_filter_matches_naive_per_group_selection(spark, docs):
+    """The two-phase threshold plan must select EXACTLY the rows a
+    naive per-group computation picks: threshold = lowest score whose
+    from-the-top cumulative count fits ceil(frac*n), whole tie groups
+    kept, top-tie fallback when the best group alone overflows."""
+    import math
+    from collections import Counter
+
+    from hpaste_spark.functions.text import quality_score
+    from hpaste_spark.operators.sampling import quality_threshold_filter
+
+    scored = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "source", quality_score(F.col("text")).alias("q"))
+    )
+    rows = scored.collect()
+    got = {
+        r["doc_id"]
+        for r in quality_threshold_filter(scored, "q", "source", 0.3).collect()
+    }
+
+    expect = set()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["q"], r["doc_id"]))
+    for src, pairs in by_src.items():
+        target = math.ceil(0.3 * len(pairs))
+        counts = Counter(q for q, _ in pairs)
+        cum, thr = 0, None
+        for qv in sorted(counts, reverse=True):
+            cum += counts[qv]
+            if cum <= target:
+                thr = qv
+            else:
+                break
+        if thr is None:
+            thr = max(counts)
+        expect |= {d for qv, d in pairs if qv >= thr}
+    assert got == expect
+
+
+def test_shard_manifest_partitions_all_docs_and_balances(spark, docs):
+    from hpaste_spark.functions.text import token_count
+    from hpaste_spark.operators.sampling import shard_manifest
+
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0).withColumn(
+        "_ntok", token_count(F.col("text"))
+    )
+    out = shard_manifest(d, n_shards=16, token_count_col="_ntok").collect()
+    n = d.count()
+    tok = d.agg(F.sum("_ntok")).first()[0]
+    assert sum(r["n_docs"] for r in out) == n
+    assert sum(r["n_tokens"] for r in out) == tok
+    assert all(0 <= r["shard"] < 16 for r in out)
+    for r in out:
+        assert abs(r["balance"] - r["n_docs"] * 16 / n) < 1e-3
+        # md5 sharding should be roughly uniform on the fixture
+        assert 0.3 < r["balance"] < 3.0
