@@ -6150,6 +6150,169 @@ def sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sim_ivfadc_rerank",
+    f"""
+    WITH {_IVFADC_CHAIN},
+    short AS (SELECT vec_id FROM (
+      SELECT vec_id, row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM sc) WHERE rk <= 50),
+    red AS (SELECT f.vec_id, ROUND(SUM((f.x - g.x)*(f.x - g.x)), 6) + 0.0 AS ed2
+            FROM fd f JOIN fd g ON f.pos = g.pos AND g.vec_id = 0
+            JOIN short s ON f.vec_id = s.vec_id
+            GROUP BY f.vec_id)
+    SELECT vec_id, ed2, CAST(rk AS INT) AS rank FROM (
+      SELECT vec_id, ed2, row_number() OVER (ORDER BY ed2, vec_id) AS rk
+      FROM red) WHERE rk <= 10
+    """,
+)
+def sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production-ANN recipe (Jégou et al. 2011 §VII):
+    residual-IVFADC keeps a 50-candidate shortlist in the compressed
+    domain, then ONLY those 50 rows are re-scored against their full
+    vectors — exact L2² within the shortlist, corpus never scanned at
+    full precision.  The oracle replays the whole compressed model,
+    shortlists, and re-ranks the same 50."""
+    from hpaste_spark.operators.similarity import ivfadc_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivfadc_rerank(
+        emb, qv, shortlist=50, topk=10, k_centroids=8, nprobe=2, m=4, k=16
+    )
+
+
+@q(
+    "sim_rerank_recall",
+    f"""
+    WITH {_IVFADC_CHAIN},
+    ranked AS (SELECT vec_id, row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+               FROM sc),
+    adc10 AS (SELECT vec_id FROM ranked WHERE rk <= 10),
+    short AS (SELECT vec_id FROM ranked WHERE rk <= 50),
+    ed AS (SELECT f.vec_id, SUM((f.x - g.x)*(f.x - g.x)) AS ed2
+           FROM fd f JOIN fd g ON f.pos = g.pos AND g.vec_id = 0
+           GROUP BY f.vec_id),
+    exact10 AS (SELECT vec_id FROM (
+      SELECT vec_id, row_number() OVER (ORDER BY ROUND(ed2, 6), vec_id) AS rk
+      FROM ed) WHERE rk <= 10),
+    rr AS (SELECT s.vec_id FROM short s JOIN ed USING (vec_id)
+           ORDER BY ROUND(ed2, 6), vec_id LIMIT 10)
+    SELECT 10 AS k,
+      CAST((SELECT COUNT(*) FROM adc10 JOIN exact10 USING (vec_id)) AS BIGINT) AS n_hit_adc,
+      CAST((SELECT COUNT(*) FROM rr JOIN exact10 USING (vec_id)) AS BIGINT) AS n_hit_rerank,
+      ROUND((SELECT COUNT(*) FROM adc10 JOIN exact10 USING (vec_id)) / 10.0, 2) AS recall_adc,
+      ROUND((SELECT COUNT(*) FROM rr JOIN exact10 USING (vec_id)) / 10.0, 2) AS recall_rerank
+    """,
+)
+def sim_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices what the re-rank stage buys: recall@10 of raw ADC top-10
+    vs the 50-shortlist exact re-rank, both against the exact L2²
+    top-10 over the whole corpus.  Any exact-top-10 member inside the
+    shortlist survives re-ranking by construction, so recall_rerank ≥
+    recall_adc ALWAYS — the grader makes the monotone gain visible
+    (and the oracle recomputes both legs end-to-end)."""
+    from hpaste_spark.functions.vectors import as_double
+    from hpaste_spark.operators.similarity import ivfadc_rerank, ivfadc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    adc = ivfadc_topk(
+        emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10
+    ).select("vec_id")
+    rr = ivfadc_rerank(
+        emb, qv, shortlist=50, topk=10, k_centroids=8, nprobe=2, m=4, k=16
+    ).select("vec_id")
+
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    exact = (
+        e.crossJoin(F.broadcast(qe))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("e"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("ed2"),
+        )
+        .orderBy(F.round("ed2", 6), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    na = adc.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_hit_adc"))
+    nr = rr.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_hit_rerank"))
+    return na.crossJoin(nr).select(
+        F.lit(10).alias("k"),
+        "n_hit_adc",
+        "n_hit_rerank",
+        F.round(F.col("n_hit_adc") / 10.0, 2).alias("recall_adc"),
+        F.round(F.col("n_hit_rerank") / 10.0, 2).alias("recall_rerank"),
+    )
+
+
+@q(
+    "sim_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    dims AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, round(unnest(v) * 1000000) AS xq
+      FROM e
+    ),
+    pl AS (
+      SELECT j, pos, ((j*2654435761 + pos*40503) % 10007) - 5003 AS comp
+      FROM range(32) r(j), (SELECT DISTINCT pos FROM dims) d
+    ),
+    dots AS (
+      SELECT vec_id, j, SUM(xq * comp) AS dot
+      FROM dims JOIN pl USING (pos) GROUP BY vec_id, j
+    ),
+    bk AS (
+      SELECT vec_id, j // 4 AS band_idx,
+             SUM(CASE WHEN dot > 0 THEN CAST(pow(2, j % 4) AS BIGINT) ELSE 0 END) AS band_key
+      FROM dots GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             ec.label AS neg_label
+      FROM bk qb JOIN bk cb
+        ON qb.band_idx = cb.band_idx AND qb.band_key = cb.band_key
+      JOIN e eq ON eq.vec_id = qb.vec_id
+      JOIN e ec ON ec.vec_id = cb.vec_id
+      WHERE qb.vec_id % 25 = 0 AND qb.vec_id != cb.vec_id
+        AND eq.label != ec.label
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, neg_label,
+        ROUND(list_dot_product(eq.v, ec.v)
+              / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cos_sim
+      FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, neg_label, cos_sim, CAST(rk AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: every 25th
+    vector (the query set) gets its top-5 most-similar corpus vectors
+    with a DIFFERENT label — the near-miss impostors the loss learns
+    most from.  Same banded-LSH blocking as sim_knn_join; the
+    label-mismatch predicate prunes candidates BEFORE any cosine is
+    computed.  The oracle replays blocking, labels, and ranking."""
+    from hpaste_spark.operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_mining(
+        emb, qs, k=5, bands=8, planes_per_band=4, max_bucket=2000
+    )
+
+
 # shared by decontaminate_ngram and the pipe_target_corpus composite
 _DECON_CHAIN = """
     dc_d AS (

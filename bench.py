@@ -119,6 +119,8 @@ HEADLINE = [
     "text_quality_vs_lm",
     "filter_quality_threshold",
     "pack_shard_manifest",
+    "sim_ivfadc_rerank",
+    "sim_hard_negatives",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1430,3 +1430,46 @@ def test_shard_manifest_partitions_all_docs_and_balances(spark, docs):
         assert abs(r["balance"] - r["n_docs"] * 16 / n) < 1e-3
         # md5 sharding should be roughly uniform on the fixture
         assert 0.3 < r["balance"] < 3.0
+
+
+def test_ivfadc_rerank_is_exact_within_shortlist_and_lifts_recall(spark, emb):
+    """Re-ranked top-k must equal the exact-L2² ordering of the ADC
+    shortlist, and recall@10 after re-rank must be >= raw ADC recall
+    (guaranteed: every exact-top-10 member in the shortlist survives)."""
+    import __spark_entry__ as em
+    from hpaste_spark.operators.similarity import ivfadc_rerank, ivfadc_topk
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    short = {
+        r["vec_id"]
+        for r in ivfadc_topk(
+            emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=50
+        ).collect()
+    }
+    rr = ivfadc_rerank(emb, qv, shortlist=50, topk=10).collect()
+    assert {r["vec_id"] for r in rr} <= short
+    assert [r["rank"] for r in sorted(rr, key=lambda r: r["rank"])] == list(
+        range(1, len(rr) + 1)
+    )
+    ed2s = [r["ed2"] for r in sorted(rr, key=lambda r: r["rank"])]
+    assert ed2s == sorted(ed2s)
+
+    rec = em.sim_rerank_recall(spark, SF).collect()[0]
+    assert rec["recall_rerank"] >= rec["recall_adc"]
+    assert rec["n_hit_rerank"] <= 10 and rec["n_hit_adc"] <= 10
+
+
+def test_hard_negatives_never_share_the_query_label(spark, emb):
+    from hpaste_spark.operators.similarity import hard_negative_mining
+
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negative_mining(emb, qs, k=5, max_bucket=2000).collect()
+    assert out, "fixture must produce hard negatives"
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        assert r["neg_label"] == labels[r["neighbor_id"]]
+        assert labels[r["query_id"]] != r["neg_label"]
+        assert r["query_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 5
