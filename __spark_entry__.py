@@ -6364,6 +6364,123 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of dedup._bloom_bit — bit i of value v in an m-bit
+#: Bloom filter; keep in lockstep with the Spark expression
+def _bloom_bit_sql(v: str, i: str, m: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({v} AS VARCHAR) || ':' || "
+        f"CAST({i} AS VARCHAR)), 1, 13)) AS BIGINT) % {m}"
+    )
+
+
+@q(
+    "decontaminate_bloom",
+    f"""
+    WITH {_DECON_CHAIN},
+    blb AS (SELECT DISTINCT {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM (SELECT DISTINCT g FROM dc_bg) bgd, range(3) r(i)),
+    blp AS (SELECT doc_id, g, {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM dc_cg, range(3) r(i)),
+    blf AS (SELECT doc_id, g FROM blp JOIN blb USING (bit)
+            GROUP BY doc_id, g HAVING COUNT(*) = 3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM blf GROUP BY doc_id
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination when the BLOCKLIST side is itself too big to
+    broadcast raw: the benchmark's distinct 5-grams compress into a
+    16384-bit Bloom filter — the broadcast is the ≤16k-row set-bit
+    table, fixed size no matter how many eval suites / opt-out lists /
+    PII hashes go in.  Conservative by construction (false positives
+    over-flag at the rate bloom_fp_eval prices; false negatives are
+    impossible), deterministic md5 probes, so the oracle replays the
+    exact same filter bit-for-bit."""
+    from hpaste_spark.operators.dedup import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=5,
+        m_bits=16384,
+        k_hashes=3,
+    )
+
+
+@q(
+    "bloom_fp_eval",
+    f"""
+    WITH {_DECON_CHAIN},
+    cgd AS (SELECT DISTINCT g FROM dc_cg),
+    bgd AS (SELECT DISTINCT g FROM dc_bg),
+    blb AS (SELECT DISTINCT {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM bgd, range(3) r(i)),
+    blp AS (SELECT g, {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM cgd, range(3) r(i)),
+    blf AS (SELECT g FROM blp JOIN blb USING (bit)
+            GROUP BY g HAVING COUNT(*) = 3),
+    ex AS (SELECT cgd.g FROM cgd JOIN bgd USING (g)),
+    st AS (SELECT
+      (SELECT COUNT(*) FROM cgd) AS n_grams,
+      (SELECT COUNT(*) FROM blf) AS n_hit_bloom,
+      (SELECT COUNT(*) FROM ex) AS n_hit_exact,
+      (SELECT COUNT(*) FROM blf WHERE g NOT IN (SELECT g FROM ex)) AS n_false_pos,
+      (SELECT COUNT(*) FROM ex WHERE g NOT IN (SELECT g FROM blf)) AS n_false_neg)
+    SELECT 16384 AS m_bits, 3 AS k_hashes,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit_bloom AS BIGINT) AS n_hit_bloom,
+           CAST(n_hit_exact AS BIGINT) AS n_hit_exact,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           CAST(n_false_neg AS BIGINT) AS n_false_neg,
+           ROUND(n_false_pos * 1.0 / (n_grams - n_hit_exact), 6) AS fp_rate
+    FROM st
+    """,
+)
+def bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the Bloom filter the same way the recall rows grade the
+    ANN ladder: gram-level confusion of bloom membership vs the exact
+    benchmark-gram join.  n_false_neg MUST be 0 (a Bloom filter cannot
+    miss an inserted value — structural, and the oracle verifies it);
+    fp_rate is the empirical (1−e^{-kn/m})^k price of compressing the
+    blocklist to 16384 bits."""
+    from hpaste_spark.functions.text import shingle_hashes
+    from hpaste_spark.operators.dedup import bloom_bits, bloom_membership
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+
+    def grams(df):
+        return df.select(
+            F.explode(F.array_distinct(shingle_hashes(F.col("text"), 5))).alias("g")
+        ).distinct()
+
+    cg = grams(d.filter(F.col("source") != "src0"))
+    bg = grams(d.filter(F.col("source") == "src0"))
+    bits = bloom_bits(bg, "g", m_bits=16384, k_hashes=3)
+    fl = bloom_membership(cg, bits, "g", m_bits=16384, k_hashes=3)
+    ex = cg.join(bg, "g")
+
+    ng = cg.agg(F.count(F.lit(1)).alias("n_grams"))
+    nb = fl.agg(F.count(F.lit(1)).alias("n_hit_bloom"))
+    ne = ex.agg(F.count(F.lit(1)).alias("n_hit_exact"))
+    nfp = fl.join(ex, "g", "left_anti").agg(F.count(F.lit(1)).alias("n_false_pos"))
+    nfn = ex.join(fl, "g", "left_anti").agg(F.count(F.lit(1)).alias("n_false_neg"))
+    return (
+        ng.crossJoin(nb).crossJoin(ne).crossJoin(nfp).crossJoin(nfn).select(
+            F.lit(16384).alias("m_bits"),
+            F.lit(3).alias("k_hashes"),
+            "n_grams",
+            "n_hit_bloom",
+            "n_hit_exact",
+            "n_false_pos",
+            "n_false_neg",
+            F.round(
+                F.col("n_false_pos") / (F.col("n_grams") - F.col("n_hit_exact")), 6
+            ).alias("fp_rate"),
+        )
+    )
+
+
 @q(
     "text_zipf_slope",
     """

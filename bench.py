@@ -121,6 +121,8 @@ HEADLINE = [
     "pack_shard_manifest",
     "sim_ivfadc_rerank",
     "sim_hard_negatives",
+    "decontaminate_bloom",
+    "bloom_fp_eval",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1204,3 +1204,118 @@ def decontaminate_ngram(
         F.countDistinct("g").alias("n_hits"),
         F.countDistinct("bench_id").alias("n_benchmark_docs"),
     )
+
+
+def _bloom_bit(val_col, i_col, m_bits: int):
+    """Bit position i of a Bloom probe: 52-bit md5 prefix of
+    "<value>:<i>" mod m — one JVM md5 per probe, reproduced verbatim
+    in DuckDB as ``('0x'||substr(md5(v||':'||i),1,13))::BIGINT % m``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", val_col.cast("string"), i_col.cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_bits(
+    values: DataFrame, val_col: str = "g", m_bits: int = 16384, k_hashes: int = 3
+) -> DataFrame:
+    """The SET-BIT table of a distributed Bloom filter over a value
+    column: each distinct value sets ``k_hashes`` md5-derived bit
+    positions; the filter is the distinct (bit) relation — at most
+    ``m_bits`` rows NO MATTER how many values went in.
+
+    That bound is the whole point vs broadcasting the value set
+    itself: a benchmark/blocklist side that outgrows comfortable
+    broadcast (decontaminate_ngram ships every distinct gram hash)
+    compresses to a fixed-size bit table, trading a false-positive
+    rate of ~(1 − e^{-k·n/m})^k — sized by the caller, priced
+    empirically by the bloom_fp_eval grader.  No false negatives,
+    ever: every inserted value finds all k of its bits set.
+    """
+    ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
+    return (
+        values.select(F.col(val_col)).distinct()
+        .select(F.col(val_col), ks)
+        .select(_bloom_bit(F.col(val_col), F.col("i"), m_bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_membership(
+    probes: DataFrame,
+    bits: DataFrame,
+    val_col: str = "g",
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Rows of ``probes`` whose value tests POSITIVE against the Bloom
+    bit table: expand each probe row to its k bit positions, equi-join
+    the (broadcast, ≤ m_bits-row) bit table, and keep rows where all k
+    probe positions matched.  The probe side is the 100 TB side and is
+    never shuffled — the join is broadcast and the all-k check is a
+    map-side-combinable count keyed by the probe row's own columns."""
+    ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
+    keys = [c for c in probes.columns]
+    pp = probes.select(*keys, ks).select(
+        *keys, _bloom_bit(F.col(val_col), F.col("i"), m_bits).alias("bit")
+    )
+    return (
+        pp.join(F.broadcast(bits), "bit")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_k_set"))
+        .filter(F.col("_k_set") == k_hashes)
+        .select(*keys)
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination through a fixed-size Bloom filter:
+    like :func:`decontaminate_ngram` (flag corpus docs sharing an
+    n-gram with the eval set) but the broadcast side is the Bloom BIT
+    table (≤ m_bits rows) instead of the benchmark's full distinct-
+    gram table — the shape that still works when the blocklist side
+    is itself large (all eval suites + opt-out lists + PII hashes).
+
+    Conservative by construction: false positives over-flag (a doc
+    can be flagged for a gram the benchmark never contained — rate
+    priced by bloom_fp_eval), false negatives cannot happen, so
+    nothing contaminated ever slips through.  Returns (id, n_flagged)
+    with n_flagged = the doc's count of bloom-positive distinct
+    grams."""
+    from hpaste_spark.functions.text import shingle_hashes
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n))).alias(
+                "g"
+            ),
+        )
+
+    bits = bloom_bits(
+        grams(benchmark).select("g"), "g", m_bits=m_bits, k_hashes=k_hashes
+    )
+    flagged = bloom_membership(
+        grams(corpus), bits, "g", m_bits=m_bits, k_hashes=k_hashes
+    )
+    return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))

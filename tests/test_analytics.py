@@ -1473,3 +1473,37 @@ def test_hard_negatives_never_share_the_query_label(spark, emb):
         assert labels[r["query_id"]] != r["neg_label"]
         assert r["query_id"] != r["neighbor_id"]
         assert 1 <= r["rank"] <= 5
+
+
+def test_bloom_decontaminate_is_a_conservative_superset(spark, docs):
+    """Structural Bloom guarantees on the fixture: (a) no false
+    negatives — every exactly-contaminated doc is bloom-flagged with
+    at least its exact hit count; (b) the broadcast bit table never
+    exceeds m_bits rows."""
+    from hpaste_spark.functions.text import shingle_hashes
+    from hpaste_spark.operators.dedup import (
+        bloom_bits,
+        bloom_decontaminate,
+        decontaminate_ngram,
+    )
+
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate_ngram(corpus, bench, n=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_decontaminate(
+            corpus, bench, n=5, m_bits=16384, k_hashes=3
+        ).collect()
+    }
+    for doc, n_hits in exact.items():
+        assert doc in bloom, f"false negative: doc {doc} lost by the bloom filter"
+        assert bloom[doc] >= n_hits
+
+    g = bench.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.explode(F.array_distinct(shingle_hashes(F.col("text"), 5))).alias("g")
+    )
+    assert bloom_bits(g, "g", m_bits=512, k_hashes=3).count() <= 512
