@@ -7083,6 +7083,113 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(d, n_shards=16, id_col="doc_id", token_count_col="_ntok")
 
 
+@q(
+    "mix_epoch_budget",
+    r"""
+    WITH mt AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS ntok
+                FROM documents WHERE length(trim(text)) > 0),
+    ma AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS avail_tokens,
+                  CAST(CASE WHEN source = 'src1' THEN 3.0
+                            WHEN source = 'src2' THEN 2.0 ELSE 1.0 END AS DOUBLE) AS weight
+           FROM mt GROUP BY source),
+    mtot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tot, SUM(weight) AS wsum FROM ma),
+    md AS (SELECT source, avail_tokens, weight,
+                  CAST(FLOOR(weight / wsum * 1.5 * tot) AS BIGINT) AS des,
+                  CAST(FLOOR(2.0 * avail_tokens) AS BIGINT) AS cap
+           FROM ma, mtot),
+    mc AS (SELECT source, avail_tokens, weight, des, cap, des > cap AS capped,
+                  LEAST(des, cap) AS alloc1 FROM md),
+    mr AS (SELECT COALESCE(SUM(CASE WHEN capped THEN des - cap END), 0) AS leftover,
+                  SUM(CASE WHEN NOT capped THEN weight END) AS uw FROM mc),
+    mf AS (SELECT source, avail_tokens, weight, capped,
+                  CASE WHEN NOT capped AND COALESCE(uw, 0) > 0
+                       THEN alloc1 + leftover * weight / uw
+                       ELSE CAST(alloc1 AS DOUBLE) END AS alloc2
+           FROM mc, mr)
+    SELECT source, avail_tokens, weight,
+           ROUND(alloc2, 2) + 0.0 AS alloc_tokens,
+           ROUND(alloc2 / avail_tokens, 4) + 0.0 AS epochs,
+           capped
+    FROM mf
+    """,
+)
+def mix_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture planning (Muennighoff et al. 2023):
+    split a 1.5×-corpus token budget across sources weighted src1=3 /
+    src2=2 / rest=1, cap every source at 2 epochs of its available
+    tokens, redistribute the capped surplus to uncapped sources in ONE
+    deterministic round.  Whole plan = one hash-agg over the corpus +
+    broadcast-scalar arithmetic on the per-source table; desired/cap
+    quantize to whole tokens so cross-row sums are exact integers
+    (no float-summation-order sensitivity between engines)."""
+    from hpaste_spark.operators.sampling import token_budget_mixture
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    d = d.withColumn("_ntok", X.token_count(F.col("text")))
+    return token_budget_mixture(
+        d,
+        "_ntok",
+        "source",
+        weights={"src1": 3.0, "src2": 2.0},
+        budget_factor=1.5,
+        max_epochs=2.0,
+    )
+
+
+@q(
+    "dedup_cross_source_matrix",
+    """
+    WITH xk AS (SELECT source,
+                  md5(array_to_string(list_sort(list_distinct(
+                    regexp_split_to_array(
+                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' +'))), ' ')) AS th
+                FROM documents WHERE length(trim(text)) > 0),
+    xp AS (SELECT th, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM xk GROUP BY th, source),
+    xj AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb
+           FROM xp a JOIN xp b ON a.th = b.th AND a.source <= b.source),
+    xn AS (SELECT src_a, src_b,
+                  CAST(CASE WHEN src_a = src_b THEN na*(na-1)//2
+                            ELSE na*nb END AS BIGINT) AS np
+           FROM xj)
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared_texts,
+           CAST(SUM(np) AS BIGINT) AS n_dup_pairs
+    FROM xn WHERE np > 0 GROUP BY src_a, src_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate pressure between sources (the crawl-snapshot / mirror
+    diagnostic read before weighting overlapping corpora): per source
+    pair, distinct shared contents and total duplicate doc pairs,
+    keyed by the OpenRefine-style sorted-distinct-token fingerprint
+    (byte-exact md5 would be vacuous on the fixture — and on real
+    crawls misses the boilerplate-jittered copies this key folds).
+    Pair expansion happens on the (key, source, count) aggregate
+    joined with itself on the key — fan-out bounded by the number of
+    SOURCES per content, so a 100k-fold duplicate costs one row with
+    n_pairs = n_a·n_b, never 10^10 doc pairs."""
+    from hpaste_spark.operators.dedup import cross_source_dup_matrix
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    key = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                        ),
+                        " +",
+                    )
+                )
+            ),
+            " ",
+        ).cast("binary")
+    )
+    return cross_source_dup_matrix(d, key=key)
+
+
 # Rank-band contract for the quantile sketch, same posture as the HLL
 # band oracles: percentile_approx(accuracy=10000) guarantees rank
 # error ≤ ~1e-4, so the estimate must land within the EXACT [q−0.01,

@@ -123,6 +123,8 @@ HEADLINE = [
     "sim_hard_negatives",
     "decontaminate_bloom",
     "bloom_fp_eval",
+    "mix_epoch_budget",
+    "dedup_cross_source_matrix",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1319,3 +1319,61 @@ def bloom_decontaminate(
         grams(corpus), bits, "g", m_bits=m_bits, k_hashes=k_hashes
     )
     return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    key=None,
+) -> DataFrame:
+    """Duplicate pressure BETWEEN sources — the diagnostic a
+    mixture designer reads before weighting corpora that overlap
+    (multiple crawl snapshots, re-hosted dumps, mirrored forums):
+    for every source pair (a ≤ b), how many identical-text doc pairs
+    and how many distinct shared texts exist.
+
+    ``key`` chooses the equivalence: default is the md5 of the raw
+    text (byte-exact dups); pass a normalized fingerprint column
+    (e.g. the sorted-distinct-token bag key) to count near-dup
+    pressure instead — same plan either way.
+
+    Shape: one key expression per doc, then everything happens on the
+    (text_hash, source, count) aggregate — pair expansion is an
+    equi-join of that table WITH ITSELF ON THE HASH, so the fan-out
+    per hash is bounded by the number of SOURCES carrying it (a
+    handful), never by the number of duplicate docs: a text repeated
+    100k× across 2 sources contributes one joined row with
+    n_pairs = n_a·n_b, not 10^10 doc pairs.  Within-source pressure
+    lands on the diagonal as C(n,2).
+
+    Returns (src_a, src_b, n_shared_texts, n_dup_pairs), src_a ≤ src_b.
+    """
+    if key is None:
+        key = F.md5(F.col(text_col).cast("binary"))
+    per = (
+        df.select(key.alias("_th"), F.col(source_col))
+        .groupBy("_th", source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    a = per.select(
+        "_th", F.col(source_col).alias("src_a"), F.col("_n").alias("_na")
+    )
+    b = per.select(
+        "_th", F.col(source_col).alias("src_b"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(b, "_th").filter(F.col("src_a") <= F.col("src_b"))
+    n_pairs = F.when(
+        F.col("src_a") == F.col("src_b"),
+        F.col("_na") * (F.col("_na") - 1) / 2,
+    ).otherwise(F.col("_na") * F.col("_nb"))
+    return (
+        pairs.withColumn("_np", n_pairs.cast("long"))
+        .filter(F.col("_np") > 0)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_texts"),
+            F.sum("_np").alias("n_dup_pairs"),
+        )
+    )

@@ -435,3 +435,86 @@ def shard_manifest(
             F.round(F.col("n_docs") * n_shards / F.col("_tot"), 4).alias("balance"),
         )
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    tokens_col: str,
+    source_col: str,
+    weights: "dict[str, float]",
+    budget_factor: float = 1.5,
+    max_epochs: float = 2.0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Data-constrained mixture planning (the Muennighoff et al. 2023
+    "Scaling Data-Constrained Language Models" bookkeeping): split a
+    token budget across sources by weight, but cap every source at
+    ``max_epochs`` passes over its available tokens, and redistribute
+    the capped surplus to the uncapped sources in ONE deterministic
+    round (proportional to their weights; a second round is never run
+    — the single-round semantics is part of the contract, mirrored in
+    the oracle).
+
+    The budget is ``budget_factor ×`` the corpus's total available
+    tokens, so the plan is scale-invariant: the same query produces a
+    consistent mixture table at any SF.  Everything happens on the
+    per-source aggregate (a handful of rows): one map-side-combined
+    hash-agg over the corpus, then broadcast-scalar arithmetic — the
+    100 TB cost is the one aggregation pass.
+
+    Returns per source: avail_tokens, weight, alloc_tokens (2 dp),
+    epochs (4 dp), capped.
+    """
+    w = F.lit(default_weight)
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+
+    avail = df.groupBy(source_col).agg(F.sum(F.col(tokens_col)).alias("avail_tokens"))
+    avail = avail.withColumn("weight", w)
+    tot = avail.agg(
+        F.sum("avail_tokens").alias("_tot"), F.sum("weight").alias("_wsum")
+    )
+    # desired and cap are FLOORED TO WHOLE TOKENS: every downstream
+    # aggregate (leftover, uncapped-weight) then sums exact integers /
+    # small-integer doubles, so no cross-row double summation order
+    # can perturb the plan (weights are assumed exactly-representable
+    # smallish values — 0.5, 1, 2, 3 — which sum exactly too)
+    a = avail.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "avail_tokens",
+        "weight",
+        F.floor(
+            F.col("weight") / F.col("_wsum") * F.lit(budget_factor) * F.col("_tot")
+        ).cast("long").alias("_desired"),
+        F.floor(F.lit(max_epochs) * F.col("avail_tokens")).cast("long").alias("_cap"),
+    )
+    a = a.withColumn("capped", F.col("_desired") > F.col("_cap")).withColumn(
+        "_alloc1", F.least(F.col("_desired"), F.col("_cap"))
+    )
+    redo = a.agg(
+        F.sum(F.when(F.col("capped"), F.col("_desired") - F.col("_cap"))).alias(
+            "_leftover"
+        ),
+        F.sum(F.when(~F.col("capped"), F.col("weight"))).alias("_uw"),
+    )
+    return (
+        a.crossJoin(F.broadcast(redo))
+        .withColumn(
+            "_alloc2",
+            F.when(
+                ~F.col("capped") & (F.coalesce(F.col("_uw"), F.lit(0.0)) > 0),
+                F.col("_alloc1")
+                + F.coalesce(F.col("_leftover"), F.lit(0.0))
+                * F.col("weight")
+                / F.col("_uw"),
+            ).otherwise(F.col("_alloc1")),
+        )
+        .select(
+            source_col,
+            "avail_tokens",
+            "weight",
+            F.round(F.col("_alloc2"), 2).alias("alloc_tokens"),
+            F.round(F.col("_alloc2") / F.col("avail_tokens"), 4).alias("epochs"),
+            "capped",
+        )
+    )

@@ -1507,3 +1507,72 @@ def test_bloom_decontaminate_is_a_conservative_superset(spark, docs):
         F.explode(F.array_distinct(shingle_hashes(F.col("text"), 5))).alias("g")
     )
     assert bloom_bits(g, "g", m_bits=512, k_hashes=3).count() <= 512
+
+
+def test_token_budget_mixture_conserves_budget_and_respects_caps(spark, docs):
+    """Single-round redistribution: capped sources sit exactly at
+    max_epochs·avail, total allocation equals the (floored) budget to
+    within one token per source, and uncapped sources only gain."""
+    from hpaste_spark.functions.text import token_count
+    from hpaste_spark.operators.sampling import token_budget_mixture
+
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0).withColumn(
+        "_ntok", token_count(F.col("text"))
+    )
+    out = token_budget_mixture(
+        d, "_ntok", "source", weights={"src1": 3.0, "src2": 2.0},
+        budget_factor=1.5, max_epochs=2.0,
+    ).collect()
+    assert out
+    total_avail = sum(r["avail_tokens"] for r in out)
+    budget = 1.5 * total_avail
+    for r in out:
+        if r["capped"]:
+            assert r["alloc_tokens"] == 2.0 * r["avail_tokens"]
+            assert r["epochs"] == 2.0
+        else:
+            assert r["epochs"] <= 2.0 or sum(x["capped"] for x in out) > 0
+    assert abs(sum(r["alloc_tokens"] for r in out) - budget) <= len(out) + 1
+
+
+def test_cross_source_dup_matrix_matches_naive_pair_count(spark, docs):
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    from hpaste_spark.operators.dedup import cross_source_dup_matrix
+
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    key = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+                " +",
+            ))),
+            " ",
+        ).cast("binary")
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_shared_texts"], r["n_dup_pairs"])
+        for r in cross_source_dup_matrix(d, key=key).collect()
+    }
+
+    rows = d.select("source", "text").collect()
+    def k(t):
+        toks = sorted(set(re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split()))
+        return " ".join(toks)
+    groups = {}
+    for r in rows:
+        groups.setdefault(k(r["text"]), []).append(r["source"])
+    shared, pairs = Counter(), Counter()
+    for srcs in groups.values():
+        c = Counter(srcs)
+        for s, n in c.items():
+            if n >= 2:
+                pairs[(s, s)] += n * (n - 1) // 2
+                shared[(s, s)] += 1
+        for sa, sb in combinations(sorted(c), 2):
+            pairs[(sa, sb)] += c[sa] * c[sb]
+            shared[(sa, sb)] += 1
+    expect = {pk: (shared[pk], pairs[pk]) for pk in pairs}
+    assert got == expect

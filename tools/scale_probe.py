@@ -149,6 +149,15 @@ BIG_PROBES = [
     "decontaminate_ngram",
     "dsir_importance_weights",
     "mm_shared_frames",
+    # round-6 second batch: bloom keeps the broadcast side at m_bits
+    # rows by construction; the threshold filter's agg table is
+    # bounded by sources×10^4 score levels; hard negatives reuse the
+    # banded-LSH pair expansion; rerank adds an R-row exact stage on
+    # top of the compressed IVFADC scan
+    "decontaminate_bloom",
+    "filter_quality_threshold",
+    "sim_hard_negatives",
+    "sim_ivfadc_rerank",
 ]
 BIG_MARK = "<!-- big-probe -->"
 
