@@ -614,6 +614,40 @@ class Query2Builder:
             raise KeyError(f"expected a row for keys {self.keys!r}")
         return res
 
+    def single_option_async(
+        self, skip_cache: bool = True, none_on_empty: bool = True, ttl: int = 30
+    ):
+        """S6 — non-blocking point get (Query2.scala:461-477, client
+        pool AsyncQuery.scala:12-23).  Mirrors the reference contract:
+
+        - **exactly one family** may be selected (asynchbase's
+          GetRequest carries a single family; the reference
+          ``require``s it — so do we, eagerly, on the caller thread);
+        - the fetch itself runs off-thread and the caller gets a
+          ``concurrent.futures.Future`` resolving to the same value
+          ``single_option`` returns (``.result()`` ≈ the reference's
+          ``defs.join()`` — which Query2.scala itself calls inline,
+          so even upstream this API is completion-blocking at heart).
+
+        SparkSessions are thread-safe; the shared daemon pool plays
+        the role of the reference's pooled asyncClient.  Spark jobs
+        from concurrent futures schedule independently (FIFO within
+        the session), so several point gets overlap their scans."""
+        fams = {f.name for f in self.sel_families}
+        fams.update(c.family.name for c in self.sel_columns)
+        fams.update(self.fam_key_sel)
+        if len(fams) != 1:
+            raise ValueError(
+                "async point get allows exactly one family to be fetched "
+                f"at a time (reference Query2.scala:463); selected: {sorted(fams)}"
+            )
+        return _async_pool().submit(
+            self.single_option,
+            skip_cache=skip_cache,
+            none_on_empty=none_on_empty,
+            ttl=ttl,
+        )
+
     def multi_map(self, skip_cache: bool = True, return_empty_rows: bool = False, ttl: int = 30) -> dict:
         """S2 terminal (Query2.scala:690-825).  ``return_empty_rows=True``
         yields an entry per requested key even when absent — the left-
@@ -702,3 +736,20 @@ class Query2Builder:
     multiMap = multi_map
     scanToIterable = scan_to_iterable
     scanUntil = scan_until
+
+
+_ASYNC_POOL = None
+
+
+def _async_pool():
+    """Lazy shared daemon pool for single_option_async — the analog of
+    the reference's per-conf cached asyncClient (AsyncQuery.scala:12-23:
+    one client reused across requests, created on first use)."""
+    global _ASYNC_POOL
+    if _ASYNC_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ASYNC_POOL = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="hpaste-async-get"
+        )
+    return _ASYNC_POOL

@@ -306,3 +306,47 @@ def test_scan_cache_ttl_expiry_and_writeback_counts(spark, base_dir, monkeypatch
     assert [i for i in tbl.cache.instrumented] == [
         (1, 0, 0, 1), (1, 1, 0, 0), (1, 0, 0, 1)
     ]
+
+
+def test_single_option_async_mirrors_sync_and_enforces_one_family(spark, base_dir):
+    """S6 (Query2.scala:461-477): async point get returns a Future
+    resolving to the same row the sync terminal yields, and rejects
+    multi-family selections exactly as the reference require()s."""
+    from concurrent.futures import Future
+
+    _, pages, _ = web_schema(base_dir, spark)
+    pages.put("http://x.com/1").value("title", "X").execute(spark)
+    fut = (
+        pages.query2(spark)
+        .with_key("http://x.com/1")
+        .with_columns("title")
+        .single_option_async()
+    )
+    assert isinstance(fut, Future)
+    row = fut.result(timeout=120)
+    assert row.column("title") == pages.query2(spark).with_key(
+        "http://x.com/1"
+    ).with_columns("title").single().column("title")
+
+    # absent key resolves to None (noneOnEmpty=true default)
+    assert (
+        pages.query2(spark)
+        .with_key("nope")
+        .with_columns("title")
+        .single_option_async()
+        .result(timeout=120)
+        is None
+    )
+
+    # several in flight at once — the pooled-client shape
+    futs = [
+        pages.query2(spark).with_key(k).with_columns("title").single_option_async()
+        for k in ("http://x.com/1", "nope", "http://x.com/1")
+    ]
+    got = [f.result(timeout=120) for f in futs]
+    assert got[0] is not None and got[1] is None and got[2] is not None
+
+    with pytest.raises(ValueError, match="exactly one family"):
+        pages.query2(spark).with_key("k").with_families(
+            "meta", "text"
+        ).single_option_async()
