@@ -7190,6 +7190,76 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_dup_matrix(d, key=key)
 
 
+@q(
+    "pipe_export_manifest",
+    f"""
+    WITH {_DECON_CHAIN},
+    blb AS (SELECT DISTINCT {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM (SELECT DISTINCT g FROM dc_bg) bgd, range(3) r(i)),
+    blp AS (SELECT doc_id, g, {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM dc_cg, range(3) r(i)),
+    blf AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, g FROM blp JOIN blb USING (bit)
+            GROUP BY doc_id, g HAVING COUNT(*) = 3)),
+    fq AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality
+           FROM documents
+           WHERE length(trim(text)) > 0 AND source <> 'src0'),
+    fc AS (SELECT source, quality, CAST(COUNT(*) AS BIGINT) AS n
+           FROM fq GROUP BY source, quality),
+    fcum AS (SELECT source, quality, n,
+                    CAST(SUM(n) OVER (PARTITION BY source ORDER BY quality DESC) AS BIGINT) AS cum
+             FROM fc),
+    ftot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ntot FROM fc GROUP BY source),
+    fthr AS (SELECT source,
+                    COALESCE(MIN(CASE WHEN cum <= CEIL(0.3 * ntot) THEN quality END),
+                             MAX(quality)) AS threshold
+             FROM fcum JOIN ftot USING (source) GROUP BY source),
+    kept AS (SELECT fq.doc_id FROM fq JOIN fthr USING (source)
+             WHERE quality >= threshold),
+    clean AS (SELECT k.doc_id FROM kept k LEFT JOIN blf ON k.doc_id = blf.doc_id
+              WHERE blf.doc_id IS NULL),
+    sd AS (SELECT d.doc_id, len(regexp_split_to_array(trim(d.text), '\\s+')) AS ntok
+           FROM documents d JOIN clean USING (doc_id)),
+    ss AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard,
+                  ntok FROM sd),
+    sper AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+             FROM ss GROUP BY shard),
+    stot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM sper)
+    SELECT shard, n_docs, n_tokens,
+           ROUND(n_docs * 8.0 / t, 4) AS balance
+    FROM sper, stot
+    """,
+)
+def pipe_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST mile of the curation pipeline as one lazy plan: keep
+    each source's top ~30% by quality (two-phase threshold — no
+    per-source sort), drop anything the 16384-bit Bloom filter flags
+    as benchmark-contaminated (conservative: FPs over-drop, FNs
+    impossible), then lay the survivors out as an 8-shard training
+    export and report the manifest.  Corpus-sized work = the quality
+    scan, the gram probe, and ONE final hash-agg; everything joined
+    in is broadcast-sized (thresholds per source, bloom bits ≤ 16k
+    rows, the flagged-doc list)."""
+    from hpaste_spark.operators.dedup import bloom_decontaminate
+    from hpaste_spark.operators.sampling import quality_threshold_filter, shard_manifest
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    scored = corpus.select(
+        "doc_id", "source", "text", X.quality_score(F.col("text")).alias("quality")
+    )
+    kept = quality_threshold_filter(scored, "quality", "source", keep_frac=0.3)
+    flagged = bloom_decontaminate(
+        corpus, bench, n=5, m_bits=16384, k_hashes=3
+    ).select("doc_id")
+    clean = kept.join(flagged, "doc_id", "left_anti").withColumn(
+        "_ntok", X.token_count(F.col("text"))
+    )
+    return shard_manifest(clean, n_shards=8, id_col="doc_id", token_count_col="_ntok")
+
+
 # Rank-band contract for the quantile sketch, same posture as the HLL
 # band oracles: percentile_approx(accuracy=10000) guarantees rank
 # error ≤ ~1e-4, so the estimate must land within the EXACT [q−0.01,

@@ -125,6 +125,7 @@ HEADLINE = [
     "bloom_fp_eval",
     "mix_epoch_budget",
     "dedup_cross_source_matrix",
+    "pipe_export_manifest",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

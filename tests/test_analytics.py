@@ -1576,3 +1576,39 @@ def test_cross_source_dup_matrix_matches_naive_pair_count(spark, docs):
             shared[(sa, sb)] += 1
     expect = {pk: (shared[pk], pairs[pk]) for pk in pairs}
     assert got == expect
+
+
+def test_pipe_export_manifest_composes_its_stages(spark, docs):
+    """The manifest must cover exactly the docs that clear BOTH gates:
+    per-source quality threshold AND not bloom-flagged."""
+    import __spark_entry__ as em
+    from hpaste_spark.functions.text import quality_score, token_count
+    from hpaste_spark.operators.dedup import bloom_decontaminate
+    from hpaste_spark.operators.sampling import quality_threshold_filter
+
+    out = em.pipe_export_manifest(spark, SF).collect()
+    assert out and all(0 <= r["shard"] < 8 for r in out)
+
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    scored = corpus.select(
+        "doc_id", "source", "text", quality_score(F.col("text")).alias("quality")
+    )
+    kept = {
+        r["doc_id"]
+        for r in quality_threshold_filter(scored, "quality", "source", 0.3).collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            corpus, bench, n=5, m_bits=16384, k_hashes=3
+        ).collect()
+    }
+    clean = kept - flagged
+    assert sum(r["n_docs"] for r in out) == len(clean)
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in corpus.select("doc_id", token_count(F.col("text")).alias("t")).collect()
+    }
+    assert sum(r["n_tokens"] for r in out) == sum(toks[i] for i in clean)
