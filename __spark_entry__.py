@@ -1290,6 +1290,109 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_minhash_est_error",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM d WHERE len(t) >= 3
+    ),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ),
+    tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM tokh WHERE len(th) >= 3
+    ),
+    sg AS (
+      SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+      FROM h
+    ),
+    ee AS (
+      SELECT tp.id_a, tp.id_b, jaccard,
+             CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est
+      FROM tp JOIN sg sa ON sa.doc_id = tp.id_a JOIN sg sb ON sb.doc_id = tp.id_b
+    ),
+    u AS (SELECT CAST(ROUND(ABS(est - jaccard) * 1000000) AS BIGINT) AS err_u FROM ee)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(err_u) AS BIGINT) / (COUNT(*) * 1000000.0), 4) AS mean_abs_err,
+           ROUND(MAX(err_u) / 1000000.0, 4) AS max_abs_err,
+           (CAST(SUM(err_u) AS BIGINT) < COUNT(*) * 150000) AND (MAX(err_u) < 450000)
+             AS within_band
+    FROM u
+    """,
+)
+def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the MinHash SKETCH itself (the recall rows grade the LSH
+    blocking): over the exact-Jaccard ≥ 0.5 truth pairs, compare the
+    16-hash signature-agreement estimate k/16 against the true Jaccard
+    — mean/max absolute error, plus the theory band (mean < 0.15,
+    max < 0.45 ≈ 3.9σ for k=16).  Per-pair errors quantize to exact
+    integer micro-units BEFORE aggregation, so the cross-row sums are
+    order-free and the oracle matches bit-for-bit (same trick as
+    temperature_mixture's weight quantum)."""
+    from hpaste_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(d, n=3, threshold=0.5, max_shingle_df=None)
+    sigs = minhash_signatures(d)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
+    est = (
+        truth.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "jaccard",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_sa"),
+                        F.col("_sb"),
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / 16.0
+            ).alias("est"),
+        )
+        .select(
+            F.round(F.abs(F.col("est") - F.col("jaccard")) * 1000000)
+            .cast("long")
+            .alias("err_u")
+        )
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("err_u") / (F.count(F.lit(1)) * 1000000.0), 4).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max("err_u") / 1000000.0, 4).alias("max_abs_err"),
+        (
+            (F.sum("err_u") < F.count(F.lit(1)) * 150000)
+            & (F.max("err_u") < 450000)
+        ).alias("within_band"),
+    )
+
+
+@q(
     "dedup_containment",
     """
     WITH d AS (

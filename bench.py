@@ -126,6 +126,7 @@ HEADLINE = [
     "mix_epoch_budget",
     "dedup_cross_source_matrix",
     "pipe_export_manifest",
+    "dedup_minhash_est_error",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

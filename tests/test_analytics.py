@@ -1612,3 +1612,16 @@ def test_pipe_export_manifest_composes_its_stages(spark, docs):
         for r in corpus.select("doc_id", token_count(F.col("text")).alias("t")).collect()
     }
     assert sum(r["n_tokens"] for r in out) == sum(toks[i] for i in clean)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
+    """Sketch-quality gate on the fixture: the 16-hash estimate's mean
+    absolute error over the true >=0.5 pairs stays inside the theory
+    band, and the query's within_band flag is TRUE."""
+    import __spark_entry__ as em
+
+    r = em.dedup_minhash_est_error(spark, SF).collect()[0]
+    assert r["n_pairs"] > 0
+    assert r["within_band"] is True
+    assert r["mean_abs_err"] < 0.15
+    assert r["max_abs_err"] < 0.45
