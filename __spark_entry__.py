@@ -7153,6 +7153,57 @@ def filter_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "prof_quality_token_curve",
+    f"""
+    WITH qc AS (SELECT source, {_QUALITY_SQL} AS quality,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+                FROM documents WHERE length(trim(text)) > 0),
+    qb AS (SELECT source, LEAST(CAST(FLOOR(quality * 10) AS BIGINT), 9) AS b,
+                  ntok FROM qc),
+    qp AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS nd,
+                  CAST(SUM(ntok) AS BIGINT) AS nt
+           FROM qb GROUP BY source, b)
+    SELECT source, ROUND(b / 10.0, 1) AS min_quality,
+           CAST(SUM(nd) OVER w AS BIGINT) AS n_docs_cum,
+           CAST(SUM(nt) OVER w AS BIGINT) AS n_tokens_cum
+    FROM qp
+    WINDOW w AS (PARTITION BY source ORDER BY b DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def prof_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-selection curve every quality gate is tuned from:
+    per source, how many docs/tokens SURVIVE each decile quality
+    cutoff ("set the bar at 0.6 and src3 keeps 48M tokens").  Corpus
+    work is one map-side-combined hash-agg to ≤ sources×10 rows; the
+    from-the-top cumulative window runs on that tiny table — same
+    two-phase shape as filter_quality_threshold, reported instead of
+    applied."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    qb = d.select(
+        "source",
+        F.least(
+            F.floor(X.quality_score(F.col("text")) * 10).cast("long"), F.lit(9)
+        ).alias("b"),
+        X.token_count(F.col("text")).alias("ntok"),
+    )
+    qp = qb.groupBy("source", "b").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("ntok").alias("nt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return qp.select(
+        "source",
+        F.round(F.col("b") / 10.0, 1).alias("min_quality"),
+        F.sum("nd").over(w).alias("n_docs_cum"),
+        F.sum("nt").over(w).alias("n_tokens_cum"),
+    )
+
+
+@q(
     "pack_shard_manifest",
     """
     WITH sd AS (

@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "pipe_export_manifest",
     "dedup_minhash_est_error",
+    "prof_quality_token_curve",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1625,3 +1625,32 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
     assert r["within_band"] is True
     assert r["mean_abs_err"] < 0.15
     assert r["max_abs_err"] < 0.45
+
+
+def test_quality_token_curve_is_monotone_and_anchored(spark, docs):
+    """Per source: cumulative counts grow as the cutoff drops, and the
+    loosest cutoff row equals the source's full doc/token totals."""
+    import __spark_entry__ as em
+    from hpaste_spark.functions.text import token_count
+
+    rows = em.prof_quality_token_curve(spark, SF).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    totals = {
+        r["source"]: (r["nd"], r["nt"])
+        for r in d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(token_count(F.col("text"))).alias("nt"),
+        )
+        .collect()
+    }
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: -r["min_quality"])
+        docs_seq = [r["n_docs_cum"] for r in rs]
+        toks_seq = [r["n_tokens_cum"] for r in rs]
+        assert docs_seq == sorted(docs_seq) and toks_seq == sorted(toks_seq)
+        assert (docs_seq[-1], toks_seq[-1]) == totals[src]
