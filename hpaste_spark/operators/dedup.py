@@ -1265,7 +1265,14 @@ def bloom_membership(
     the (broadcast, ≤ m_bits-row) bit table, and keep rows where all k
     probe positions matched.  The probe side is the 100 TB side and is
     never shuffled — the join is broadcast and the all-k check is a
-    map-side-combinable count keyed by the probe row's own columns."""
+    map-side-combinable count keyed by the probe row's own columns.
+
+    Contract: probe ROWS must be unique over their column tuple (a
+    duplicated row would double its matched-position count past k and
+    be silently DROPPED — a false negative).  Callers here guarantee
+    it (grams are array_distinct per doc); dedupe upstream if yours
+    don't — an unconditional .distinct() here would shuffle the whole
+    corpus-sized probe side on every call."""
     ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
     keys = [c for c in probes.columns]
     pp = probes.select(*keys, ks).select(
