@@ -497,3 +497,56 @@ def test_stored_two_level_cells_restriction_prunes_cid1_partitions(spark):
     )
     got = sorted(r["vec_id"] for r in restricted.collect())
     assert got == want
+
+
+def test_bloom_membership_broadcasts_bits_never_shuffles_probe_to_sort(spark, queries):
+    """decontaminate_bloom: the bit table (≤ m_bits rows) must be the
+    BROADCAST side of the membership join; the corpus-sized probe side
+    must never enter a SortMergeJoin for it."""
+    plan = plan_of(queries["decontaminate_bloom"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_threshold_is_two_phase_no_corpus_window(spark, queries):
+    """filter_quality_threshold: the per-source threshold attaches via
+    a broadcast join, and every Window in the plan runs ABOVE an
+    aggregate (the tiny (source, score) table), never over the raw
+    documents scan — the whole point of the two-phase plan."""
+    plan = plan_of(queries["filter_quality_threshold"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only sorts feeding windows must sit above a HashAggregate:
+    # cheap proxy — the plan's Window input chain includes an agg, and
+    # there is exactly ONE scan-sized exchange feeding the counts agg
+    assert "HashAggregate" in plan
+    # counts/totals/threshold derivations + the filter pass; formatted
+    # mode prints tree+detail so each physical scan appears twice.
+    # All threshold-phase scans are column-pruned to (source, quality)
+    # aggregations — the corpus-width pass happens exactly once.
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_rerank_stays_compressed_until_the_shortlist(spark, queries):
+    """sim_ivfadc_rerank: the full-precision embedding column must join
+    AFTER the shortlist (broadcast/equi join), never a second corpus
+    ranking — the plan ends in one tiny global window over ≤ R rows."""
+    plan = plan_of(queries["sim_ivfadc_rerank"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the shortlist stage keeps the distributed top-k shape
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_blocks_on_band_keys(spark, queries):
+    plan = plan_of(queries["sim_hard_negatives"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "band_idx" in plan and "band_key" in plan
+
+
+def test_mixture_planner_is_one_corpus_agg_plus_scalars(spark, queries):
+    """mix_epoch_budget: corpus work is ONE aggregation; the scalar
+    attaches are single-row broadcasts (the allowed BNLJ pattern)."""
+    plan = plan_of(queries["mix_epoch_budget"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
