@@ -724,7 +724,18 @@ def semantic_dedup(
     Keep rule determinism: a pair (a < b) above threshold drops the
     member with the LOWER centroid-cosine, ties drop the higher id —
     pure expressions over values both engines compute identically, so
-    the kept-row SET is the oracle contract."""
+    the kept-row SET is the oracle contract.
+
+    **Auto-k routes HIERARCHICAL** (round-6 verdict): with
+    ``k_centroids=None``, k grows ∝ n by contract, so FLAT assignment
+    is n·k·d ≈ n²·d/target — the one super-linear term left at design
+    scale (30× probe: α=0.87 flat vs 0.43 two-level).  The default
+    therefore delegates to :func:`semantic_dedup_two_level` (k1=⌈√k⌉
+    coarse cells, k2=⌈k/k1⌉ sub-centroids → n·2√k·d assignment); the
+    keep rule is byte-identical either way (shared
+    :func:`_semantic_prune`).  Flat assignment remains available via
+    an EXPLICIT ``k_centroids`` — the right tool when k is a fixed
+    small contract, where flat is both cheaper and simpler."""
     from pyspark.sql import Window
 
     from hpaste_spark.functions.vectors import as_double, dot
@@ -732,11 +743,22 @@ def semantic_dedup(
                                                    ivf_centroids)
 
     if k_centroids is None:
-        # one count job (parquet footer metadata at scan level — no
-        # full read); keeps |cluster| ≈ target_cluster_size so the
-        # cid-local quadratic is linear-in-n overall
-        n = df.count()
-        k_centroids = max(k_min, -(-n // max(1, target_cluster_size)))
+        if iterations != 1:
+            raise ValueError(
+                "auto-k semantic_dedup routes through hierarchical "
+                "assignment, which refines per level and takes no "
+                "iterations knob; pass an explicit k_centroids to use "
+                "flat Lloyd refinement"
+            )
+        return semantic_dedup_two_level(
+            df,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_cluster=max_cluster,
+            target_cluster_size=target_cluster_size,
+            k_min=k_min,
+        )
     cents = ivf_centroids(df, k_centroids, vec_col, id_col, iterations)
     # k·d gates the centroid-dim broadcast: under auto-k that table is
     # ~n·d/512 rows (linear in the corpus) — above the ceiling the
@@ -1371,9 +1393,13 @@ def cross_source_dup_matrix(
         "_th", F.col(source_col).alias("src_b"), F.col("_n").alias("_nb")
     )
     pairs = a.join(b, "_th").filter(F.col("src_a") <= F.col("src_b"))
+    # diagonal C(n,2) in LONG arithmetic end-to-end: `/ 2` would route
+    # through double and lose exactness for n ≳ 9.4e7 (2^53 mantissa),
+    # silently diverging from the oracle's integer n*(n-1)//2.  One of
+    # n, n-1 is even, so integer `div` is exact.
     n_pairs = F.when(
         F.col("src_a") == F.col("src_b"),
-        F.col("_na") * (F.col("_na") - 1) / 2,
+        F.expr("_na * (_na - 1) div 2"),
     ).otherwise(F.col("_na") * F.col("_nb"))
     return (
         pairs.withColumn("_np", n_pairs.cast("long"))

@@ -741,15 +741,67 @@ class Query2Builder:
 _ASYNC_POOL = None
 
 
+class _DaemonPool:
+    """Minimal fixed-size pool of DAEMON threads returning
+    ``concurrent.futures.Future``s.
+
+    Why not ``ThreadPoolExecutor``: since Python 3.9 its workers are
+    non-daemon and are joined at interpreter exit (via
+    ``threading._register_atexit``), so one hung point get would block
+    process shutdown forever — the opposite of what a fire-and-forget
+    async facade should do.  Daemon threads die with the interpreter;
+    an in-flight get is simply abandoned, matching the reference's
+    asyncClient posture (the client doesn't pin the JVM open either).
+    Workers spawn lazily up to ``max_workers`` and block on a shared
+    queue between tasks."""
+
+    def __init__(self, max_workers: int = 8, name: str = "hpaste-async-get"):
+        import queue
+        import threading
+
+        self._q = queue.SimpleQueue()
+        self._threads: list = []
+        self._max = max_workers
+        self._name = name
+        self._lock = threading.Lock()
+
+    def submit(self, fn, *args, **kwargs):
+        from concurrent.futures import Future
+
+        fut = Future()
+        self._q.put((fut, fn, args, kwargs))
+        self._maybe_spawn()
+        return fut
+
+    def _maybe_spawn(self) -> None:
+        import threading
+
+        with self._lock:
+            if len(self._threads) < self._max:
+                t = threading.Thread(
+                    target=self._worker,
+                    daemon=True,
+                    name=f"{self._name}-{len(self._threads)}",
+                )
+                t.start()
+                self._threads.append(t)
+
+    def _worker(self) -> None:
+        while True:
+            fut, fn, args, kwargs = self._q.get()
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn(*args, **kwargs))
+            except BaseException as exc:  # surface via the Future, keep worker alive
+                fut.set_exception(exc)
+
+
 def _async_pool():
     """Lazy shared daemon pool for single_option_async — the analog of
     the reference's per-conf cached asyncClient (AsyncQuery.scala:12-23:
     one client reused across requests, created on first use)."""
     global _ASYNC_POOL
     if _ASYNC_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _ASYNC_POOL = ThreadPoolExecutor(
-            max_workers=8, thread_name_prefix="hpaste-async-get"
-        )
+        _ASYNC_POOL = _DaemonPool(max_workers=8)
     return _ASYNC_POOL

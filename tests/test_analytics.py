@@ -828,20 +828,55 @@ def test_prefix_length_integer_safe_at_exact_products(spark):
 
 
 def test_semantic_dedup_auto_k_scales_with_corpus(spark, emb):
-    """Default k_centroids=None derives k = max(k_min, ceil(n/target)):
-    a smaller target_cluster_size must yield MORE clusters, output
-    stays deterministic, and no input row vanishes except pair losers."""
+    """Default k_centroids=None derives k_total = max(k_min,
+    ceil(n/target)) and (since r7) routes through the HIERARCHICAL
+    k1=⌈√k_total⌉ / k2=⌈k_total/k1⌉ split: a smaller
+    target_cluster_size must yield MORE cells (≤ k1·k2 effective cids),
+    output stays deterministic, and no input row vanishes except pair
+    losers."""
     from hpaste_spark.operators.dedup import semantic_dedup
 
     coarse = semantic_dedup(emb, threshold=0.4, target_cluster_size=250)
     fine = semantic_dedup(emb, threshold=0.4, target_cluster_size=50)
     n_coarse = coarse.select("cid").distinct().count()
     n_fine = fine.select("cid").distinct().count()
-    # 500 vectors: ceil(500/250)=2 -> k_min=8 floor; ceil(500/50)=10
-    assert n_coarse <= 8 and n_fine <= 10 and n_fine > n_coarse
+    # 500 vectors: ceil(500/250)=2 -> k_min=8 floor -> k1=3,k2=3 (≤9
+    # cells); ceil(500/50)=10 -> k1=4,k2=3 (≤12 cells)
+    assert n_coarse <= 9 and n_fine <= 12 and n_fine > n_coarse
     again = {r["vec_id"] for r in semantic_dedup(
         emb.repartition(7), threshold=0.4, target_cluster_size=50).collect()}
     assert again == {r["vec_id"] for r in fine.collect()}
+
+
+def test_semantic_dedup_autok_routes_two_level(spark, emb):
+    """Pins the r7 routing contract: k_centroids=None delegates to
+    semantic_dedup_two_level (the n·2√k·d path) with the same derived
+    k_total, and matches it row-for-row; an explicit k keeps the flat
+    single-level assignment (exactly one per-id argmax window)."""
+    import hpaste_spark.operators.dedup as dd
+
+    routed = dd.semantic_dedup(emb, threshold=0.4, target_cluster_size=50)
+    direct = dd.semantic_dedup_two_level(
+        emb, threshold=0.4, target_cluster_size=50
+    )
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # routing pin: auto-k must CALL the two-level form (a plan-node
+    # count is brittle — the prune's a/b/anti-join branches each expand
+    # the assignment subtree in the logical tree); explicit k must not
+    calls = []
+    real = dd.semantic_dedup_two_level
+    dd.semantic_dedup_two_level = lambda *a, **kw: (calls.append(kw), real(*a, **kw))[1]
+    try:
+        dd.semantic_dedup(emb, threshold=0.4, target_cluster_size=50)
+        assert len(calls) == 1 and calls[0]["target_cluster_size"] == 50
+        dd.semantic_dedup(emb, k_centroids=8, threshold=0.4)
+        assert len(calls) == 1, "explicit k must stay flat"
+    finally:
+        dd.semantic_dedup_two_level = real
+    with pytest.raises(ValueError, match="hierarchical"):
+        dd.semantic_dedup(emb, threshold=0.4, iterations=2)
 
 
 def test_multimodal_codec_seam_contract(spark):

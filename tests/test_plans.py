@@ -440,6 +440,10 @@ def test_centroid_dim_broadcast_gated_on_k_times_d(spark):
             gplan = plan_of(gated)
             assert "BroadcastHashJoin" not in gplan, gplan
             assert "SortMergeJoin" in gplan or "ShuffledHashJoin" in gplan, gplan
+            # r6 advice: the degraded flat join must be SALTED — bare
+            # pos has only d distinct values, capping reduce
+            # parallelism at d; the salt widens the key space to d·P
+            assert "_salt" in gplan, gplan
             # and the degraded plan still computes the same assignment
             a = {r["vec_id"]: r["cid"] for r in hinted.collect()}
             b = {r["vec_id"]: r["cid"] for r in gated.collect()}
