@@ -6599,6 +6599,62 @@ def bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_FILTER_VERSION = 1
+
+
+def _bloom_filter_dir(sf_dir: str) -> str:
+    """Same fixture-identity keying as _ivf_index_dir, separate tree."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_BLOOM_FILTER_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_BLOOM_FILTER_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "bloom_filter",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+@q(
+    "decontaminate_bloom_stored",
+    f"""
+    WITH {_DECON_CHAIN},
+    blb AS (SELECT DISTINCT {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM (SELECT DISTINCT g FROM dc_bg) bgd, range(3) r(i)),
+    blp AS (SELECT doc_id, g, {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM dc_cg, range(3) r(i)),
+    blf AS (SELECT doc_id, g FROM blp JOIN blb USING (bit)
+            GROUP BY doc_id, g HAVING COUNT(*) = 3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM blf GROUP BY doc_id
+    """,
+)
+def decontaminate_bloom_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination off a WRITE-ONCE Bloom blocklist artifact
+    (VERDICT r6 #3): build_bloom_filter persists the ≤16k-row set-bit
+    table + a geometry meta row once per blocklist; every ingest run
+    then probes by reading those rows instead of re-hashing the
+    benchmark corpus — the build_ivf_index posture applied to
+    decontamination.  The md5 probes are deterministic, so the stored
+    bits are the identical relation the in-plan form computes — same
+    oracle as decontaminate_bloom."""
+    from hpaste_spark.operators.dedup import (build_bloom_filter,
+                                              decontaminate_bloom_stored)
+
+    d = _t(spark, sf_dir, "documents")
+    path = _bloom_filter_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "bits", "_SUCCESS")):
+        build_bloom_filter(
+            d.filter(F.col("source") == "src0"), path,
+            n=5, m_bits=16384, k_hashes=3,
+        )
+    return decontaminate_bloom_stored(
+        spark, path, d.filter(F.col("source") != "src0")
+    )
+
+
 @q(
     "text_zipf_slope",
     """

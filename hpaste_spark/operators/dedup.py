@@ -1350,6 +1350,83 @@ def bloom_decontaminate(
     return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))
 
 
+def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, g) — per-doc DISTINCT n-gram hashes, the probe/insert unit
+    shared by the ngram and Bloom decontamination paths (array_distinct
+    per doc also upholds bloom_membership's unique-probe-row
+    contract)."""
+    from hpaste_spark.functions.text import shingle_hashes
+
+    return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n))).alias("g"),
+    )
+
+
+def build_bloom_filter(
+    benchmark: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Write-once Bloom BLOCKLIST artifact (round-6 verdict ask): at
+    100 TB the blocklist — all eval suites + opt-out lists + PII
+    hashes — is built ONCE and probed by every ingest run, the same
+    pay-the-pass-once posture as
+    :func:`~hpaste_spark.operators.similarity.build_ivf_index`;
+    :func:`bloom_decontaminate` recomputing the bit table per run is
+    the in-plan convenience form.
+
+    Layout: ``{path}/bits`` — the ≤ m_bits-row set-bit relation — and
+    ``{path}/meta`` — one row (m_bits, k_hashes, n) pinning the filter
+    GEOMETRY, so readers always probe with the same (m, k, shingle
+    width) the bits were inserted under (probing a filter with the
+    wrong geometry silently yields false negatives, the one failure
+    mode a Bloom filter must never have).  Additivity note: because
+    the filter is just the distinct bit set, refreshing with new
+    blocklist material is a union + distinct re-write, no rebuild of
+    prior inserts."""
+    bloom_bits(
+        _doc_grams(benchmark, text_col, id_col, n).select("g"),
+        "g",
+        m_bits=m_bits,
+        k_hashes=k_hashes,
+    ).write.mode(mode).parquet(f"{path}/bits")
+    benchmark.sparkSession.createDataFrame(
+        [(m_bits, k_hashes, n)], "m_bits INT, k_hashes INT, n INT"
+    ).write.mode(mode).parquet(f"{path}/meta")
+
+
+def decontaminate_bloom_stored(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_flagged) against a PREBUILT :func:`build_bloom_filter`
+    artifact — same output as :func:`bloom_decontaminate` with the
+    same geometry (the md5 probes are deterministic, so stored and
+    recomputed bits are identical relations), but the benchmark pass
+    is replaced by a ≤ m_bits-row parquet READ.  The corpus side
+    streams through the broadcast bit join exactly as before: never
+    shuffled, no pair expansion."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    bits = spark.read.parquet(f"{path}/bits")
+    flagged = bloom_membership(
+        _doc_grams(corpus, text_col, id_col, meta["n"]),
+        bits,
+        "g",
+        m_bits=meta["m_bits"],
+        k_hashes=meta["k_hashes"],
+    )
+    return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
 def cross_source_dup_matrix(
     df: DataFrame,
     text_col: str = "text",

@@ -674,6 +674,32 @@ class Query2Builder:
     def execute_map(self, **kw) -> dict:  # legacy alias (Query2.scala)
         return self.multi_map(**kw)
 
+    def multi_map_async(
+        self, skip_cache: bool = True, return_empty_rows: bool = False, ttl: int = 30
+    ):
+        """S6 multi-get parity (ExampleSchema.scala:301-324 exercises the
+        async client over a keySet get; Query2.scala:690-825 is the sync
+        twin): returns a ``concurrent.futures.Future`` resolving to the
+        SAME dict :meth:`multi_map` yields.  Same one-family contract as
+        :meth:`single_option_async` — asynchbase GetRequests carry a
+        single family, and the reference ``require``s the selection down
+        to one — enforced eagerly on the caller thread so misuse fails
+        fast, not inside the Future."""
+        fams = {f.name for f in self.sel_families}
+        fams.update(c.family.name for c in self.sel_columns)
+        fams.update(self.fam_key_sel)
+        if len(fams) != 1:
+            raise ValueError(
+                "async multi get allows exactly one family to be fetched "
+                f"at a time (reference Query2.scala:463); selected: {sorted(fams)}"
+            )
+        return _async_pool().submit(
+            self.multi_map,
+            skip_cache=skip_cache,
+            return_empty_rows=return_empty_rows,
+            ttl=ttl,
+        )
+
     def scan(self, handler: Callable[[HRow], Any], cache_size: int = 100, use_local_cache: bool = False, local_ttl: int = 30):
         """S3 terminal (Query2.scala:931-976) — streams partitions to the
         client via toLocalIterator (one partition in memory at a time)."""
@@ -733,7 +759,9 @@ class Query2Builder:
     maxRowsPerServer = max_rows_per_server
     withBatchSize = with_batch_size
     singleOption = single_option
+    singleOptionAsync = single_option_async
     multiMap = multi_map
+    multiMapAsync = multi_map_async
     scanToIterable = scan_to_iterable
     scanUntil = scan_until
 

@@ -1544,6 +1544,42 @@ def test_bloom_decontaminate_is_a_conservative_superset(spark, docs):
     assert bloom_bits(g, "g", m_bits=512, k_hashes=3).count() <= 512
 
 
+def test_stored_bloom_filter_roundtrips_and_pins_geometry(spark, docs, tmp_path):
+    """build_bloom_filter → decontaminate_bloom_stored equals the
+    in-plan bloom_decontaminate at the same geometry (the md5 probes
+    are deterministic, so the persisted bits ARE the computed bits);
+    the meta row pins (m_bits, k_hashes, n) so readers probe with the
+    insert-time geometry, and the bits relation respects the m_bits
+    bound."""
+    from hpaste_spark.operators.dedup import (
+        bloom_decontaminate,
+        build_bloom_filter,
+        decontaminate_bloom_stored,
+    )
+
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    path = str(tmp_path / "bloom")
+    build_bloom_filter(bench, path, n=4, m_bits=2048, k_hashes=2)
+
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    assert len(meta) == 1
+    assert (meta[0]["m_bits"], meta[0]["k_hashes"], meta[0]["n"]) == (2048, 2, 4)
+    assert spark.read.parquet(f"{path}/bits").count() <= 2048
+
+    stored = {
+        (r["doc_id"], r["n_flagged"])
+        for r in decontaminate_bloom_stored(spark, path, corpus).collect()
+    }
+    inplan = {
+        (r["doc_id"], r["n_flagged"])
+        for r in bloom_decontaminate(
+            corpus, bench, n=4, m_bits=2048, k_hashes=2
+        ).collect()
+    }
+    assert stored == inplan
+
+
 def test_token_budget_mixture_conserves_budget_and_respects_caps(spark, docs):
     """Single-round redistribution: capped sources sit exactly at
     max_epochs·avail, total allocation equals the (floored) budget to

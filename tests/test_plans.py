@@ -513,6 +513,21 @@ def test_bloom_membership_broadcasts_bits_never_shuffles_probe_to_sort(spark, qu
     assert "CartesianProduct" not in plan
 
 
+def test_stored_bloom_broadcasts_read_bits_and_skips_benchmark_pass(spark, queries):
+    """decontaminate_bloom_stored: the artifact's bit table arrives by
+    a parquet READ (no benchmark gram pass in the plan — exactly one
+    parquet source, the corpus) and is still the BROADCAST side; the
+    probe side never sort-merges."""
+    plan = plan_of(queries["decontaminate_bloom_stored"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # sources: documents (corpus) + the artifact's bits parquet — the
+    # benchmark text is never re-read (formatted mode prints each scan
+    # in tree + detail, so each distinct scan appears twice)
+    assert plan.count("Scan parquet") <= 4, plan
+
+
 def test_quality_threshold_is_two_phase_no_corpus_window(spark, queries):
     """filter_quality_threshold: the per-source threshold attaches via
     a broadcast join, and every Window in the plan runs ABOVE an

@@ -350,3 +350,37 @@ def test_single_option_async_mirrors_sync_and_enforces_one_family(spark, base_di
         pages.query2(spark).with_key("k").with_families(
             "meta", "text"
         ).single_option_async()
+
+
+def test_multi_map_async_mirrors_sync_multi_get(spark, base_dir):
+    """S6 multi-get parity (ExampleSchema.scala:301-324): the async
+    keySet get resolves to the same rowid→row dict the sync multi_map
+    terminal yields — including return_empty_rows entries — and
+    enforces the same one-family contract eagerly."""
+    from concurrent.futures import Future
+
+    _, pages, _ = web_schema(base_dir, spark)
+    pages.put("http://m.com/1").value("title", "A").execute(spark)
+    pages.put("http://m.com/2").value("title", "B").execute(spark)
+    keys = ["http://m.com/1", "http://m.com/2", "http://m.com/absent"]
+
+    def query():
+        return pages.query2(spark).with_keys(keys).with_columns("title")
+
+    fut = query().multi_map_async(return_empty_rows=True)
+    assert isinstance(fut, Future)
+    got = fut.result(timeout=180)
+    want = query().multi_map(return_empty_rows=True)
+    assert set(got) == set(want) == set(keys)
+    for k in keys:
+        assert got[k].column("title") == want[k].column("title")
+
+    # without empty rows: the absent key is simply missing, same as sync
+    assert set(query().multi_map_async().result(timeout=180)) == set(
+        query().multi_map()
+    )
+
+    with pytest.raises(ValueError, match="exactly one family"):
+        pages.query2(spark).with_keys(keys).with_families(
+            "meta", "text"
+        ).multi_map_async()
