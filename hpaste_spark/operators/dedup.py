@@ -1228,6 +1228,64 @@ def decontaminate_ngram(
     )
 
 
+def longest_shared_run_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared_tokens: int = 10,
+) -> DataFrame:
+    """Contamination by LONGEST SHARED TOKEN RUN (the PaLM refinement
+    on top of :func:`decontaminate_ngram`): an n-gram collision alone
+    over-flags short idioms — "as a result of" collides everywhere —
+    so flag a (corpus doc, benchmark doc) pair only when they share
+    ≥ ``min_shared_tokens`` CONSECUTIVE tokens.  Returns
+    (doc_id, bench_id, lcs_tokens) for flagged pairs, lcs_tokens =
+    the longest shared run found (exact for every run ≥ n).
+
+    How consecutive-ness falls out of the same gram join: keep each
+    gram's START POSITION on both sides; a shared run of r tokens
+    produces r−n+1 collided grams whose (corpus_pos − bench_pos)
+    difference is CONSTANT — so group hits by (doc, bench, diagonal),
+    find maximal consecutive-position islands with the classic
+    pos − row_number() trick, and an island of c grams is a shared
+    run of c+n−1 tokens.
+
+    Scale posture unchanged from the gram join it refines: the
+    benchmark's positional gram table broadcasts (eval suites are
+    tiny), the corpus side streams through one equi-join and is never
+    shuffled at corpus size — only HITS reach the island window, and
+    its partitions are per (doc, bench, diagonal), bounded by the
+    matched span, never corpus-sized."""
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.text import shingle_hashes
+
+    def pgrams(df: DataFrame, out_id: str, out_pos: str) -> DataFrame:
+        return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(shingle_hashes(F.col(text_col), n)).alias(out_pos, "g"),
+        )
+
+    hits = (
+        pgrams(corpus, id_col, "pc")
+        .join(F.broadcast(pgrams(benchmark, "bench_id", "pb")), "g")
+        .select(id_col, "bench_id", "pc", (F.col("pc") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy(id_col, "bench_id", "diag").orderBy("pc")
+    runs = (
+        hits.withColumn("grp", F.col("pc") - F.row_number().over(w))
+        .groupBy(id_col, "bench_id", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(n - 1)).alias("_run"))
+    )
+    return (
+        runs.groupBy(id_col, "bench_id")
+        .agg(F.max("_run").cast("long").alias("lcs_tokens"))
+        .filter(F.col("lcs_tokens") >= min_shared_tokens)
+    )
+
+
 def _bloom_bit(val_col, i_col, m_bits: int):
     """Bit position i of a Bloom probe: 52-bit md5 prefix of
     "<value>:<i>" mod m — one JVM md5 per probe, reproduced verbatim
@@ -1348,6 +1406,77 @@ def bloom_decontaminate(
         grams(corpus), bits, "g", m_bits=m_bits, k_hashes=k_hashes
     )
     return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Sub-document EXACT dedup (the RefinedWeb / CCNet crawl-cleaning
+    step): remove every line that occurs in ≥ ``min_df`` DISTINCT
+    documents — headers, footers, cookie banners, nav boilerplate —
+    and reconstruct each document from its surviving lines in order.
+    The complement of :func:`repeated_ngram_spans` (which finds
+    WITHIN-doc repetition); this kills ACROSS-doc repetition below the
+    whole-doc granularity that dedup_exact/MinHash operate at.
+
+    Returns one row per input document: (id, clean_text, n_lines,
+    n_removed).  A fully-boilerplate document survives as
+    ``clean_text = ''`` (dropping docs is a separate policy decision —
+    compose with a filter).  Blank/whitespace-only lines are never
+    removal candidates: they carry document structure, and their
+    corpus-wide frequency is meaningless as a boilerplate signal.
+
+    ``sep`` is a LITERAL separator (regex-escaped for the split,
+    reused verbatim for the re-join): '\\n' for lines, '\\n\\n' for
+    paragraphs.
+
+    Scale shape: posexplode lines → one map-side-combinable
+    distinct-doc count per line (the line-hash groupBy) → equi-join
+    lines against the ≥min_df "boilerplate" set → per-doc re-assembly
+    via a sort-free collect_list + array_sort + array_join (all
+    JVM-side).  No pair expansion anywhere — a line shared by 100k
+    docs costs 100k join rows, never 100k² pairs — so the plan is two
+    shuffles (line key, then doc key) regardless of duplication
+    structure."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
+    )
+    boiler = (
+        lines.filter(F.length(F.trim(F.col("line"))) > 0)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )
 
 
 def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

@@ -1544,6 +1544,80 @@ def test_bloom_decontaminate_is_a_conservative_superset(spark, docs):
     assert bloom_bits(g, "g", m_bits=512, k_hashes=3).count() <= 512
 
 
+def test_longest_shared_run_measures_exact_spans_and_skips_idioms(spark):
+    """PaLM-style LCS contamination: a planted 12-token quote is
+    measured at exactly 12 shared tokens; a doc sharing only a 3-token
+    idiom collides on grams but is NOT flagged; two disjoint runs on
+    different diagonals report the longer; below-n overlap is
+    invisible."""
+    from hpaste_spark.operators.dedup import longest_shared_run_pairs
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    bench = spark.createDataFrame(
+        [(100, f"benchhead {quote} benchtail idiom x y")],
+        "doc_id INT, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {quote} outro words"),      # full quote
+            (2, "stuff idiom x y more stuff"),            # 3-token idiom only
+            (3, f"a b {quote} c d q4 q5 q6 q7 q8 e f"),   # 12-run + separate 5-run
+            (4, "zz q1 q2 yy"),                           # 2-token overlap < n
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        (r["doc_id"], r["bench_id"]): r["lcs_tokens"]
+        for r in longest_shared_run_pairs(
+            corpus, bench, n=3, min_shared_tokens=10
+        ).collect()
+    }
+    assert out == {(1, 100): 12, (3, 100): 12}
+    # lowering the bar to 3 admits the idiom pair at its true length
+    loose = {
+        (r["doc_id"], r["bench_id"]): r["lcs_tokens"]
+        for r in longest_shared_run_pairs(
+            corpus, bench, n=3, min_shared_tokens=3
+        ).collect()
+    }
+    assert loose[(2, 100)] == 3 and (4, 100) not in loose
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate_in_order(spark):
+    """RefinedWeb-style line dedup semantics: a line in ≥min_df docs
+    vanishes from ALL of them; unique lines survive in original order;
+    blank lines are never candidates; a fully-boilerplate doc yields
+    clean_text='' (row kept); separator is literal (paragraph mode via
+    sep='\\n\\n')."""
+    from hpaste_spark.operators.dedup import dedup_lines
+
+    hdr, ftr = "COOKIE BANNER", "(c) example.com"
+    df = spark.createDataFrame(
+        [
+            (1, f"{hdr}\nalpha unique one\n\nbeta unique two\n{ftr}"),
+            (2, f"{hdr}\ngamma unique three\n{ftr}"),
+            (3, f"{hdr}\n{ftr}"),
+            (4, "delta stands alone"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_df=2).collect()}
+    assert len(out) == 4
+    assert out[1]["clean_text"] == "alpha unique one\n\nbeta unique two"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (5, 2)
+    assert out[2]["clean_text"] == "gamma unique three"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["clean_text"] == "delta stands alone" and out[4]["n_removed"] == 0
+
+    # paragraph granularity: same machinery, literal '\n\n' separator
+    pdf = spark.createDataFrame(
+        [(1, "shared para\n\nmine alone"), (2, "shared para\n\nyours alone")],
+        "doc_id INT, text STRING",
+    )
+    pout = {r["doc_id"]: r["clean_text"] for r in dedup_lines(pdf, sep="\n\n").collect()}
+    assert pout == {1: "mine alone", 2: "yours alone"}
+
+
 def test_stored_bloom_filter_roundtrips_and_pins_geometry(spark, docs, tmp_path):
     """build_bloom_filter → decontaminate_bloom_stored equals the
     in-plan bloom_decontaminate at the same geometry (the md5 probes
