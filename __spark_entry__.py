@@ -7033,6 +7033,125 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "vec_kmeans_two_level",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p0 AS (SELECT vec_id % 4 AS cid, i, AVG(e[i]) AS m
+           FROM v, range(1, 65) AS r(i) GROUP BY vec_id % 4, i),
+    c0 AS (SELECT cid, list(ROUND(m, 6) ORDER BY i) AS cvec FROM p0 GROUP BY cid),
+    s1 AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.e, c.cvec)
+                    / (sqrt(list_dot_product(v.e, v.e))
+                       * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM v, c0 c),
+    a1 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM s1) WHERE rn = 1),
+    p1 AS (SELECT a.cid, i, AVG(v.e[i]) AS m
+           FROM v JOIN a1 a USING (vec_id), range(1, 65) AS r(i)
+           GROUP BY a.cid, i),
+    c1 AS (SELECT cid, list(ROUND(m, 6) ORDER BY i) AS cvec FROM p1 GROUP BY cid),
+    s2 AS (SELECT v.vec_id, c.cid,
+                  list_dot_product(v.e, c.cvec)
+                    / (sqrt(list_dot_product(v.e, v.e))
+                       * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM v, c1 c),
+    a2 AS (SELECT vec_id, cid AS cid1 FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM s2) WHERE rn = 1),
+    m2 AS (SELECT v.vec_id, a.cid1, v.e FROM v JOIN a2 a USING (vec_id)),
+    p20 AS (SELECT cid1, vec_id % 3 AS scid, i, AVG(e[i]) AS m
+            FROM m2, range(1, 65) AS r(i) GROUP BY cid1, vec_id % 3, i),
+    c20 AS (SELECT cid1, scid, list(ROUND(m, 6) ORDER BY i) AS cvec
+            FROM p20 GROUP BY cid1, scid),
+    s21 AS (SELECT m2.vec_id, m2.cid1, c.scid,
+                   list_dot_product(m2.e, c.cvec)
+                     / (sqrt(list_dot_product(m2.e, m2.e))
+                        * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+            FROM m2 JOIN c20 c ON m2.cid1 = c.cid1),
+    a21 AS (SELECT vec_id, cid1, scid FROM (
+        SELECT vec_id, cid1, scid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, scid) AS rn
+        FROM s21) WHERE rn = 1),
+    p21 AS (SELECT a.cid1, a.scid, i, AVG(m2.e[i]) AS m
+            FROM m2 JOIN a21 a USING (vec_id), range(1, 65) AS r(i)
+            GROUP BY a.cid1, a.scid, i),
+    c21 AS (SELECT cid1, scid, list(ROUND(m, 6) ORDER BY i) AS cvec
+            FROM p21 GROUP BY cid1, scid),
+    s22 AS (SELECT m2.vec_id, m2.cid1, c.scid,
+                   list_dot_product(m2.e, c.cvec)
+                     / (sqrt(list_dot_product(m2.e, m2.e))
+                        * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+            FROM m2 JOIN c21 c ON m2.cid1 = c.cid1),
+    a22 AS (SELECT vec_id, cid1, scid FROM (
+        SELECT vec_id, cid1, scid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, scid) AS rn
+        FROM s22) WHERE rn = 1),
+    cnt AS (SELECT cid1, scid, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM a22 GROUP BY cid1, scid)
+    SELECT c20.cid1, c20.scid, COALESCE(cnt.n_members, 0) AS n_members,
+           ROUND(list_sum(list_transform(range(1, 65),
+               i -> (c21.cvec[i] - c20.cvec[i]) * (c21.cvec[i] - c20.cvec[i]))), 6)
+             + 0.0 AS shift
+    FROM c20 JOIN c21 USING (cid1, scid) LEFT JOIN cnt USING (cid1, scid)
+    """,
+)
+def vec_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical k-means TRAINING hash-gated end-to-end (VERDICT r6
+    #2 — flat Lloyd's re-assignment scores all k centroids per vector,
+    n·k·d, the same super-linear term flat assignment had): Lloyd-
+    refine k1=4 coarse centroids, freeze the cells, Lloyd-refine k2=3
+    sub-centroids WITHIN each cell (re-assignment joins on (cid1, pos)
+    — a vector never scores another cell's sub-centroids).  Reports
+    per (cid1, scid): final membership and the level-2 refinement
+    shift ‖c21−c20‖² — the convergence telemetry.  Training cost
+    n·(2·k1 + 2·k2)·d vs flat n·2·(k1·k2)·d; the oracle replays both
+    Lloyd chains."""
+    from hpaste_spark.functions.vectors import as_double
+    from hpaste_spark.operators.similarity import (_sub_assign, ivf_assign,
+                                                   ivf_centroids,
+                                                   two_level_centroids)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k1, k2, dim = 4, 3, 64
+    c20 = two_level_centroids(emb, k1, k2, iterations=2, sub_iterations=1).select(
+        "cid1", "scid", F.col("cvec").alias("_c0")
+    )
+    c21 = two_level_centroids(emb, k1, k2, iterations=2, sub_iterations=2).select(
+        "cid1", "scid", F.col("cvec").alias("_c1")
+    )
+    cents1 = ivf_centroids(emb, k1, iterations=2)
+    a1 = ivf_assign(emb, cents1, n_dim_rows=k1 * dim).withColumnRenamed(
+        "cid", "cid1"
+    )
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).join(
+        a1, "vec_id"
+    )
+    counts = (
+        _sub_assign(v, c21.select("cid1", "scid", F.col("_c1").alias("cvec")),
+                    k1 * k2 * dim)
+        .groupBy("cid1", "scid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    diff = F.zip_with(F.col("_c1"), F.col("_c0"), lambda a, b: (a - b) * (a - b))
+    return (
+        c20.join(c21, ["cid1", "scid"])
+        .join(counts, ["cid1", "scid"], "left")
+        .select(
+            "cid1",
+            "scid",
+            F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+            (
+                F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
+                + F.lit(0.0)
+            ).alias("shift"),
+        )
+    )
+
+
+@q(
     "text_perplexity_bucket",
     f"""
     WITH {_BACKOFF_CHAIN},
@@ -7687,21 +7806,39 @@ def _evidence() -> "tuple[dict, set]":
     return last_green, red
 
 
+#: queries whose SEMANTICS changed in a given round AFTER they already
+#: had green driver evidence — their old green rows validate the old
+#: behavior, so they outrank the merely-stale tail until re-sampled.
+#: Self-expiring: once a green row from >= the change round exists,
+#: the entry is inert (safe to leave for history).
+_SEMANTICS_CHANGED = {
+    # r7: auto-k semantic dedup re-routed through hierarchical
+    # assignment (different kept-set oracle)
+    "dedup_semantic_autok": 7,
+}
+
+
 def _driver_order(names) -> list[str]:
     """Evidence-capture ordering for the driver's per-round sample of
     the first N registry entries: currently-red queries first (they need
-    a fresh green row), never-checked next, then the green tail sorted
-    OLDEST-green-round-first so evidence staleness self-heals — a query
-    last validated on round-1 code outranks one validated last round."""
+    a fresh green row), never-checked next, then queries whose code
+    changed after their last green row (see _SEMANTICS_CHANGED), then
+    the green tail sorted OLDEST-green-round-first so evidence
+    staleness self-heals — a query last validated on round-1 code
+    outranks one validated last round."""
     last_green, red = _evidence()
     idx = {n: i for i, n in enumerate(names)}
     reds = [n for n in names if n in red]
     unchecked = [n for n in names if n not in red and n not in last_green]
+    greens = [n for n in names if n not in red and n in last_green]
+    changed = [
+        n for n in greens if last_green[n] < _SEMANTICS_CHANGED.get(n, 0)
+    ]
     stale_first = sorted(
-        (n for n in names if n not in red and n in last_green),
+        (n for n in greens if n not in changed),
         key=lambda n: (last_green[n], idx[n]),
     )
-    return reds + unchecked + stale_first
+    return reds + unchecked + changed + stale_first
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

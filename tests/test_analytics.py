@@ -1544,6 +1544,37 @@ def test_bloom_decontaminate_is_a_conservative_superset(spark, docs):
     assert bloom_bits(g, "g", m_bits=512, k_hashes=3).count() <= 512
 
 
+def test_two_level_centroids_trains_within_cells_deterministically(spark, emb):
+    """Hierarchical k-means training invariants: (a) at most k1·k2
+    trained sub-centroids, each belonging to a level-1 cell; (b)
+    deterministic under repartition; (c) sub_iterations=1 reproduces
+    the seeded (unrefined) sub-means — the _two_level_model contract —
+    while sub_iterations=2 actually moves centroids."""
+    from hpaste_spark.operators.similarity import two_level_centroids
+
+    c = two_level_centroids(emb, 4, 3, iterations=2, sub_iterations=2)
+    rows = c.collect()
+    assert len(rows) <= 12
+    assert {r["cid1"] for r in rows} <= {0, 1, 2, 3}
+    assert all(r["scid"] in (0, 1, 2) for r in rows)
+
+    again = two_level_centroids(
+        emb.repartition(7), 4, 3, iterations=2, sub_iterations=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    seed = {
+        (r["cid1"], r["scid"]): r["cvec"]
+        for r in two_level_centroids(
+            emb, 4, 3, iterations=2, sub_iterations=1
+        ).collect()
+    }
+    refined = {(r["cid1"], r["scid"]): r["cvec"] for r in rows}
+    assert any(seed[k] != refined[k] for k in refined if k in seed), (
+        "one refinement round should move at least one sub-centroid"
+    )
+
+
 def test_longest_shared_run_measures_exact_spans_and_skips_idioms(spark):
     """PaLM-style LCS contamination: a planted 12-token quote is
     measured at exactly 12 shared tokens; a doc sharing only a 3-token

@@ -215,12 +215,13 @@ def big_probe(spark, qs, factor: int) -> None:
         "Reading the semantic-dedup rows: auto-k makes the cluster-local",
         "pair step LINEAR by construction (k = n/512 holds |cluster|",
         "fixed — at pinned k=8 this factor would be ~" + str(factor * factor) + "× the pair",
-        "work); its residual over-1.0 alpha is the nearest-centroid",
-        "ASSIGNMENT term, n·k·d with k ∝ n.  `dedup_semantic_2level`",
-        "(`similarity.two_level_assign`) is the hierarchical fix — k1",
-        "coarse cells then k2 sub-centroids within each, n·(k1+k2)·d ≈",
-        "n·2√k·d — same keep rule, oracle-checked; its row measures the",
-        "assignment saving directly on the same fixture.",
+        "work).  Since round 7 `dedup_semantic_autok` ROUTES THROUGH the",
+        "hierarchical assignment (`similarity.two_level_assign`, k1 coarse",
+        "cells then k2 sub-centroids, n·(k1+k2)·d ≈ n·2√k·d), so its alpha",
+        "should now track `dedup_semantic_2level_auto`'s — the flat n·k·d",
+        "assignment term (alpha 0.87 in the r6 table) is gone from the",
+        "default path; both rows below measure the same hierarchical plan",
+        "at different target cluster sizes.",
         "",
     ]
 
@@ -323,12 +324,87 @@ def gate_probe(spark, factor: int = 30) -> None:
     print(f"gate probe: shuffled={shuffled} secs={secs:.2f} rows={rows}")
 
 
+TRAIN_MARK = "<!-- train-probe -->"
+
+
+def train_probe(spark, factor: int = 30) -> None:
+    """Hierarchical vs flat k-means TRAINING at auto-k-scale k (round-6
+    verdict ask #2): on the factor× fixture with k_total derived from
+    the corpus (⌈n/512⌉ — the semantic-dedup contract), time one full
+    flat Lloyd train (ivf_centroids, n·k_total·d per iteration) against
+    the two-level train (two_level_centroids, n·(k1+k2)·d) at the SAME
+    k_total = k1·k2 budget — the measured training-side twin of the
+    assignment saving the 30× alpha table shows."""
+    import math as _math
+
+    import hpaste_spark.operators.similarity as sim
+
+    big_dir = os.path.join(REPO, ".scratch", f"sf{factor}x_probe")
+    if not os.path.isdir(f"{big_dir}/embeddings.parquet"):
+        synthesize(spark, factor, big_dir)
+    emb = spark.read.parquet(f"{big_dir}/embeddings.parquet")
+    n = emb.count()
+    k_total = max(8, -(-n // 512))
+    k1 = max(2, _math.ceil(_math.sqrt(k_total)))
+    k2 = -(-k_total // k1)
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    t_flat = timed(sim.ivf_centroids(emb, k_total, iterations=2))
+    t_two = timed(
+        sim.two_level_centroids(emb, k1, k2, iterations=2, sub_iterations=2)
+    )
+
+    lines = [
+        TRAIN_MARK,
+        "",
+        f"## Hierarchical k-means TRAINING probe ({factor}×)",
+        "",
+        f"n={n}, d=64, auto-k contract k_total=⌈n/512⌉={k_total}",
+        f"(k1={k1}, k2={k2}, k1·k2={k1 * k2}).  Two Lloyd iterations each.",
+        "Flat refinement scores all k_total centroids per vector per",
+        f"iteration (n·k·d); two-level scores k1 then its own cell's k2",
+        "(n·(k1+k2)·d) — the training-side twin of the assignment fix.",
+        "",
+        "| train path | wall (s) | per-vector score width |",
+        "|---|---|---|",
+        f"| flat `ivf_centroids(k={k_total})` | {t_flat:.2f} | {k_total} |",
+        f"| `two_level_centroids({k1},{k2})` | {t_two:.2f} | {k1 + k2} |",
+        "",
+        f"Speedup {t_flat / t_two:.1f}× at {factor}×; the gap widens with n",
+        "because k_total ∝ n while k1+k2 ∝ √n.",
+        "",
+    ]
+    path = os.path.join(REPO, "SCALE.md")
+    text = open(path).read() if os.path.exists(path) else "# SCALE\n"
+    if TRAIN_MARK in text:
+        head, _, rest = text.partition(TRAIN_MARK)
+        nxt = rest.find("<!-- ")
+        text = head + (rest[nxt:] if nxt != -1 else "")
+        text = text.rstrip() + "\n\n"
+    else:
+        text = text.rstrip() + "\n\n"
+    with open(path, "w") as fh:
+        fh.write(text + "\n".join(lines))
+    print(f"train probe: flat={t_flat:.2f}s two_level={t_two:.2f}s k_total={k_total}")
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from hpaste_spark import get_spark
 
     spark = get_spark("scale-probe")
     qs = entry_mod.queries()
+
+    if "--train" in sys.argv:
+        i = sys.argv.index("--train")
+        factor = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 30
+        train_probe(spark, factor)
+        spark.stop()
+        return
 
     if "--gate" in sys.argv:
         i = sys.argv.index("--gate")
