@@ -6531,6 +6531,68 @@ def decontaminate_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "decontaminate_mask",
+    """
+    WITH dc_d AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    dc_tokh AS (
+      SELECT doc_id, source, t, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM dc_d),
+    dc_h AS (
+      SELECT doc_id, source, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM dc_tokh WHERE len(th) >= 3),
+    cp AS (SELECT doc_id, unnest(hs) AS g, unnest(range(1, len(hs)+1)) AS pc
+           FROM dc_h WHERE source <> 'src0'),
+    bp AS (SELECT doc_id AS bench_id, unnest(hs) AS g, unnest(range(1, len(hs)+1)) AS pb
+           FROM dc_h WHERE source = 'src0'),
+    hits AS (SELECT doc_id, bench_id, pc, pc - pb AS diag FROM cp JOIN bp USING (g)),
+    runs AS (SELECT doc_id, bench_id, diag, pc,
+                    pc - row_number() OVER (PARTITION BY doc_id, bench_id, diag ORDER BY pc) AS grp
+             FROM hits),
+    islands AS (SELECT doc_id, MIN(pc) AS s, COUNT(*) AS c
+                FROM runs GROUP BY doc_id, bench_id, diag, grp
+                HAVING COUNT(*) + 2 >= 10),
+    maskpos AS (SELECT DISTINCT doc_id, unnest(range(s, s + c + 2)) AS tpos
+                FROM islands),
+    toks AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS tpos
+             FROM dc_d WHERE source <> 'src0'),
+    kept AS (SELECT toks.* FROM toks LEFT JOIN maskpos m USING (doc_id, tpos)
+             WHERE m.tpos IS NULL),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+            FROM dc_d WHERE source <> 'src0')
+    SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text, tot.n_tokens,
+           CAST(tot.n_tokens - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_masked_tokens
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def decontaminate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by EXCISION (Lee et al. 2022 ExactSubstr,
+    cross-set): the ≥10-token runs decontaminate_lcs FLAGS are here
+    CUT from the corpus docs, token-exact, and every doc is rebuilt
+    from its survivors — keep the document, lose the quote.  On the
+    fixture the 2 planted contaminated docs lose exactly their shared
+    spans; the other ~437 pass through byte-identical (the oracle
+    hashes full reconstructed text, so the no-op path is pinned as
+    hard as the masked one)."""
+    from hpaste_spark.operators.dedup import mask_shared_runs
+
+    d = _t(spark, sf_dir, "documents")
+    return mask_shared_runs(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=3,
+        min_shared_tokens=10,
+    )
+
+
 #: DuckDB twin of dedup._bloom_bit — bit i of value v in an m-bit
 #: Bloom filter; keep in lockstep with the Spark expression
 def _bloom_bit_sql(v: str, i: str, m: int) -> str:

@@ -128,6 +128,13 @@ HEADLINE = [
     "pipe_export_manifest",
     "dedup_minhash_est_error",
     "prof_quality_token_curve",
+    # round 7: hierarchical auto-k routing + training, sub-document
+    # dedup, LCS decontamination (flag + excise), stored bloom
+    "dedup_lines",
+    "decontaminate_lcs",
+    "decontaminate_mask",
+    "decontaminate_bloom_stored",
+    "vec_kmeans_two_level",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -138,6 +145,7 @@ PREBUILD = [
     "sim_pq_topk_stored",
     "sim_ivfadc_topk_stored",
     "dedup_semantic_2level_stored",
+    "decontaminate_bloom_stored",
 ]
 
 

@@ -1286,6 +1286,90 @@ def longest_shared_run_pairs(
     )
 
 
+def mask_shared_runs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared_tokens: int = 10,
+) -> DataFrame:
+    """Decontamination by EXCISION (the ExactSubstr posture of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", applied cross-set): instead of dropping a contaminated
+    document wholesale, cut exactly the token runs it shares with the
+    benchmark (runs ≥ ``min_shared_tokens``) and keep the rest — the
+    right trade when a long, otherwise-good document quotes one eval
+    item.  Returns every corpus doc as (id, clean_text, n_tokens,
+    n_masked_tokens); untouched docs pass through with
+    n_masked_tokens = 0.
+
+    Same diagonal-island machinery as
+    :func:`longest_shared_run_pairs`, carried one step further: each
+    qualifying island (start position + gram count) expands to its
+    covered TOKEN positions via a bounded ``sequence`` (bounded by
+    matched material, not corpus size), positions are unioned across
+    benchmark docs/diagonals, and the doc is rebuilt from its
+    surviving tokens in order — the dedup_lines reassembly shape at
+    token granularity.  The benchmark side broadcasts; the corpus
+    streams through the gram join and one token-level anti-join."""
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.text import shingle_hashes, tokens
+
+    base = corpus.filter(F.length(F.trim(F.col(text_col))) > 0)
+
+    def pgrams(df: DataFrame, out_id: str, out_pos: str) -> DataFrame:
+        return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(shingle_hashes(F.col(text_col), n)).alias(out_pos, "g"),
+        )
+
+    hits = (
+        pgrams(base, id_col, "pc")
+        .join(F.broadcast(pgrams(benchmark, "bench_id", "pb")), "g")
+        .select(id_col, "bench_id", "pc", (F.col("pc") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy(id_col, "bench_id", "diag").orderBy("pc")
+    islands = (
+        hits.withColumn("grp", F.col("pc") - F.row_number().over(w))
+        .groupBy(id_col, "bench_id", "diag", "grp")
+        .agg(F.min("pc").alias("_start"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") + F.lit(n - 1) >= min_shared_tokens)
+    )
+    maskpos = islands.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("_start"), F.col("_start") + F.col("_c") + F.lit(n - 2))
+        ).alias("tpos"),
+    ).distinct()
+    toks = base.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("tpos", "tok")
+    )
+    kept = toks.join(maskpos, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_masked_tokens"),
+    )
+
+
 def _bloom_bit(val_col, i_col, m_bits: int):
     """Bit position i of a Bloom probe: 52-bit md5 prefix of
     "<value>:<i>" mod m — one JVM md5 per probe, reproduced verbatim

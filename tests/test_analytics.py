@@ -1614,6 +1614,40 @@ def test_longest_shared_run_measures_exact_spans_and_skips_idioms(spark):
     assert loose[(2, 100)] == 3 and (4, 100) not in loose
 
 
+def test_mask_shared_runs_excises_exact_token_spans(spark):
+    """ExactSubstr excision: the planted 12-token quote is cut
+    token-exactly (surrounding text rejoins), short idiom overlap is
+    untouched, a doc that IS the quote collapses to '', and unmatched
+    docs round-trip byte-identical."""
+    from hpaste_spark.operators.dedup import mask_shared_runs
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    bench = spark.createDataFrame(
+        [(100, f"bh {quote} bt idiom x y")], "doc_id INT, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {quote} outro words"),
+            (2, "stuff idiom x y more stuff"),
+            (3, quote),
+            (4, "totally unrelated text here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mask_shared_runs(
+            corpus, bench, n=3, min_shared_tokens=10
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "intro words outro words"
+    assert (out[1]["n_tokens"], out[1]["n_masked_tokens"]) == (16, 12)
+    assert out[2]["clean_text"] == "stuff idiom x y more stuff"
+    assert out[2]["n_masked_tokens"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_masked_tokens"] == 12
+    assert out[4]["clean_text"] == "totally unrelated text here"
+
+
 def test_dedup_lines_removes_cross_doc_boilerplate_in_order(spark):
     """RefinedWeb-style line dedup semantics: a line in ≥min_df docs
     vanishes from ALL of them; unique lines survive in original order;

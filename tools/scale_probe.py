@@ -158,6 +158,16 @@ BIG_PROBES = [
     "filter_quality_threshold",
     "sim_hard_negatives",
     "sim_ivfadc_rerank",
+    # round-7 batch: line dedup is two bounded shuffles (line key, doc
+    # key — no pair expansion); LCS keeps the broadcast-benchmark gram
+    # join and only HITS reach the island window; the stored bloom
+    # variant replaces the benchmark pass with a <=m_bits-row read;
+    # hierarchical training is the n·2√k·d fix measured directly by
+    # the --train probe
+    "dedup_lines",
+    "decontaminate_lcs",
+    "decontaminate_bloom_stored",
+    "vec_kmeans_two_level",
 ]
 BIG_MARK = "<!-- big-probe -->"
 
@@ -268,15 +278,23 @@ def gate_probe(spark, factor: int = 30) -> None:
             "formatted"
         )
         plan = qe.explainString(mode)
-        # exactly the level-1 hint may broadcast (k1·d is under the
-        # ceiling); with autoBroadcastJoinThreshold=-1 any OTHER
-        # BroadcastHashJoin could only come from the sub-centroid
-        # table's hint — which the gate must have dropped.  ("is a
+        # only the LEVEL-1 hint may broadcast (k1·d is under the
+        # ceiling; its subtree legitimately appears once per consumer
+        # of the assignment).  The sub-centroid join is keyed
+        # (cid1, pos) — so with autoBroadcastJoinThreshold=-1, a
+        # BroadcastHashJoin whose join keys mention cid1 could only be
+        # the sub-level hint the gate must have dropped.  ("is a
         # shuffle join present" would be trivially true here: the
         # id-keyed joins always sort-merge under threshold=-1, so it
         # proves nothing about the dim table — r6 advice.)
-        n_bhj = plan.count("BroadcastHashJoin")
-        shuffled = n_bhj <= 1
+        import re as _re
+
+        bhj_blocks = [
+            b for b in plan.split("\n\n")
+            if _re.match(r"\(\d+\) BroadcastHashJoin", b.strip())
+        ]
+        n_bhj = len(bhj_blocks)
+        shuffled = n_bhj >= 1 and not any("cid1" in b for b in bhj_blocks)
         t0 = time.perf_counter()
         tl.write.format("noop").mode("overwrite").save()
         secs = time.perf_counter() - t0
@@ -300,7 +318,7 @@ def gate_probe(spark, factor: int = 30) -> None:
         "",
         "| check | result |",
         "|---|---|",
-        f"| ≤1 BroadcastHashJoin in plan (level-1 hint only; sub-level not force-broadcast) | {shuffled} (count={n_bhj}) |",
+        f"| no BroadcastHashJoin keyed on cid1 (sub-centroid table not force-broadcast; level-1 hint only) | {shuffled} (bhj_nodes={n_bhj}) |",
         f"| completed without error | True |",
         f"| wall-clock (s) | {secs:.2f} |",
         f"| rows assigned | {rows} (= n: {rows == n}) |",
