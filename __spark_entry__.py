@@ -4082,6 +4082,61 @@ def a5_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sketch_cms_token_counts",
+    r"""
+    WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0),
+    cms AS (SELECT d, CAST(('0x'||substr(md5(tok||':'||d), 1, 13)) AS BIGINT) % 16 AS b,
+                   COUNT(*) AS cnt
+            FROM tk, range(3) r(d) GROUP BY 1, 2),
+    ex AS (SELECT tok, COUNT(*) AS exact_n FROM tk
+           GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20),
+    pe AS (SELECT ex.tok, CAST(('0x'||substr(md5(ex.tok||':'||d), 1, 13)) AS BIGINT) % 16 AS b, d
+           FROM ex, range(3) r(d)),
+    est AS (SELECT tok, CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS cms_n
+            FROM pe LEFT JOIN cms USING (d, b) GROUP BY tok)
+    SELECT ex.tok AS term, CAST(ex.exact_n AS BIGINT) AS exact_n, est.cms_n,
+           CAST(est.cms_n - ex.exact_n AS BIGINT) AS overcount
+    FROM ex JOIN est USING (tok)
+    """,
+)
+def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch graded against exact counts (the
+    sketch family's missing leg: HLL=distincts, MinHash=similarity,
+    SimHash=near-dup bits, Bloom=membership, CMS=FREQUENCIES): build
+    a depth=3 × width=16 counter table over the corpus token stream —
+    fixed-size and shard-mergeable, the Bloom-bits posture for counts
+    — then estimate the exact top-20 terms through it.  overcount ≥ 0
+    structurally (collisions only inflate; the oracle recomputes the
+    identical md5 sketch, so the one-sidedness is hash-pinned).
+    Width 16 is fixture-sized to make collisions visible against the
+    31-term vocabulary; production widths are 2^12..2^20 rows — still
+    broadcastable."""
+    from hpaste_spark.functions import text as X
+    from hpaste_spark.operators.sketches import cms_counts, cms_estimate
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    )
+    cms = cms_counts(toks, "tok", depth=3, width=16)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(top, cms, "tok", depth=3, width=16)
+    return top.join(est, "tok").select(
+        F.col("tok").alias("term"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
 # BPE-ish subword token counting (north star: "token counting —
 # whitespace + a BPE-ish regex").  Whitespace count alongside for the
 # tokens-per-word granularity ratio LLM data budgeting uses.

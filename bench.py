@@ -135,6 +135,7 @@ HEADLINE = [
     "decontaminate_mask",
     "decontaminate_bloom_stored",
     "vec_kmeans_two_level",
+    "sketch_cms_token_counts",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

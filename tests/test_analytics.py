@@ -1614,6 +1614,43 @@ def test_longest_shared_run_measures_exact_spans_and_skips_idioms(spark):
     assert loose[(2, 100)] == 3 and (4, 100) not in loose
 
 
+def test_cms_never_undercounts_and_merges_cellwise(spark):
+    """Count-Min structural guarantees: (a) estimate ≥ true count for
+    EVERY value, unseen values estimate ≥ 0 with no counter row
+    required; (b) the sketch is mergeable — counters built on disjoint
+    shards, summed cell-wise, equal the single-pass sketch (the 100 TB
+    ingestion contract); (c) the table never exceeds depth·width
+    rows."""
+    from hpaste_spark.operators.sketches import cms_counts, cms_estimate
+
+    vals = [f"v{i % 7}" for i in range(100)] + ["rare"]
+    df = spark.createDataFrame([(v,) for v in vals], "v STRING")
+    cms = cms_counts(df, "v", depth=3, width=4)
+    assert cms.count() <= 12
+
+    probes = spark.createDataFrame(
+        [(v,) for v in ["v0", "v3", "rare", "never_seen"]], "v STRING"
+    )
+    est = {r["v"]: r["cms_n"] for r in cms_estimate(probes, cms, "v", 3, 4).collect()}
+    import collections
+
+    true = collections.Counter(vals)
+    for v, e in est.items():
+        assert e >= true[v], (v, e, true[v])
+
+    half1 = spark.createDataFrame([(v,) for v in vals[:50]], "v STRING")
+    half2 = spark.createDataFrame([(v,) for v in vals[50:]], "v STRING")
+    merged = (
+        cms_counts(half1, "v", 3, 4)
+        .unionByName(cms_counts(half2, "v", 3, 4))
+        .groupBy("d", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["d"], r["b"]): r["cnt"] for r in cms.collect()}
+    b = {(r["d"], r["b"]): r["cnt"] for r in merged.collect()}
+    assert a == b
+
+
 def test_mask_shared_runs_excises_exact_token_spans(spark):
     """ExactSubstr excision: the planted 12-token quote is cut
     token-exactly (surrounding text rejoins), short idiom overlap is

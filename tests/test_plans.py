@@ -528,6 +528,32 @@ def test_stored_bloom_broadcasts_read_bits_and_skips_benchmark_pass(spark, queri
     assert plan.count("Scan parquet") <= 4, plan
 
 
+def test_lcs_and_mask_broadcast_benchmark_and_window_per_diagonal(spark, queries):
+    """decontaminate_lcs / decontaminate_mask: the benchmark's
+    positional gram table must be the BROADCAST side (the corpus
+    streams through the equi-join), and every Window must be
+    partitioned (the island row_number runs per (doc, bench,
+    diagonal)) — no Exchange SinglePartition anywhere: a global window
+    over corpus-sized hits would be the scale-killer."""
+    for name in ("decontaminate_lcs", "decontaminate_mask"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_dedup_lines_two_bounded_shuffles_no_pairs(spark, queries):
+    """dedup_lines: boilerplate detection and reassembly are plain
+    hash-partitioned aggregations/joins (line key, then doc key) —
+    no pair expansion, no cartesian, no single-partition stage."""
+    plan = plan_of(queries["dedup_lines"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # the boilerplate anti-join keeps the left-anti shape (a survivor
+    # row is never multiplied by how often its line repeats elsewhere)
+    assert "LeftAnti" in plan
+
+
 def test_quality_threshold_is_two_phase_no_corpus_window(spark, queries):
     """filter_quality_threshold: the per-source threshold attaches via
     a broadcast join, and every Window in the plan runs ABOVE an
