@@ -5619,6 +5619,49 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+_QUALITY_SQL = """ROUND(
+               0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+                             / len(regexp_split_to_array(trim(text), '\\s+')) END)
+               + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                  / length(text) END)), 4)"""
+
+
+@q(
+    "prof_source_report",
+    f"""
+    WITH d AS (SELECT doc_id, source, lang, text FROM documents
+               WHERE length(trim(text)) > 0),
+    per AS (SELECT source, doc_id, lang, md5(text) AS th,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+                   CAST(ROUND(({_QUALITY_SQL}) * 10000) AS BIGINT) AS qm
+            FROM d)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+           CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+           CAST(SUM(qm) // COUNT(*) AS BIGINT) AS avg_quality_x1e4,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM per GROUP BY source
+    """,
+)
+def prof_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (the first artifact a mixture designer
+    reads): docs / tokens / exact-dup pressure / quality / language
+    spread per source in ONE grouped aggregate — the distinct
+    aggregates share Catalyst's Expand, so it is one shuffle round
+    with map-side partials at any corpus size.  Fractions are
+    integer-quantized (quality in 1e-4 units via integer div, dup
+    rate in ppm) so cross-partition sums are order-free and the
+    oracle matches exactly."""
+    from hpaste_spark.operators.profile import source_report
+
+    return source_report(_t(spark, sf_dir, "documents"))
+
+
 @q(
     "prof_table_stats",
     """
@@ -7352,17 +7395,6 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the quality_score formula as DuckDB SQL (mirrors functions.text
 #: quality_score: 0.5·len + 0.3·stopword + 0.2·(1−punct), rounded 4dp)
-_QUALITY_SQL = """ROUND(
-               0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
-               + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
-                        ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                             t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
-                             / len(regexp_split_to_array(trim(text), '\\s+')) END)
-               + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
-                             ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                                  / length(text) END)), 4)"""
-
-
 @q(
     "pipe_target_corpus",
     f"""

@@ -136,6 +136,7 @@ HEADLINE = [
     "decontaminate_bloom_stored",
     "vec_kmeans_two_level",
     "sketch_cms_token_counts",
+    "prof_source_report",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

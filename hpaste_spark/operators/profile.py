@@ -276,3 +276,51 @@ def group_trend(
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+def source_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus report — the dataset-card aggregate a mixture
+    designer reads first: docs, tokens, exact-dup pressure, quality,
+    and language spread per source, in ONE grouped aggregate over one
+    scan (the multiple distinct aggregates share Catalyst's Expand —
+    one shuffle round, partials map-side).
+
+    Fractional metrics are INTEGER-QUANTIZED so cross-partition sums
+    stay order-free and oracle-exact: quality averages in 1e-4 units
+    (the score's own precision) via an integer ``div``, duplicate rate
+    in parts-per-million of docs.  Returns one row per source:
+    (source, n_docs, n_tokens, n_distinct_texts, dup_ppm,
+    avg_quality_x1e4, n_langs)."""
+    from hpaste_spark.functions.text import quality_score, token_count
+
+    q_micro = F.round(quality_score(F.col(text_col)) * 10000).cast("long")
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+            F.countDistinct(F.md5(F.col(text_col).cast("binary")))
+            .cast("long")
+            .alias("n_distinct_texts"),
+            F.sum(q_micro).alias("_q_sum"),
+            F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_texts",
+            F.expr("(n_docs - n_distinct_texts) * 1000000 div n_docs").alias(
+                "dup_ppm"
+            ),
+            F.expr("_q_sum div n_docs").alias("avg_quality_x1e4"),
+            "n_langs",
+        )
+    )
