@@ -7270,28 +7270,35 @@ def vec_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·(2·k1 + 2·k2)·d vs flat n·2·(k1·k2)·d; the oracle replays both
     Lloyd chains."""
     from hpaste_spark.functions.vectors import as_double
-    from hpaste_spark.operators.similarity import (_sub_assign, ivf_assign,
-                                                   ivf_centroids,
-                                                   two_level_centroids)
+    from hpaste_spark.operators.similarity import (_sub_assign, _sub_means,
+                                                   ivf_assign, ivf_centroids)
 
     emb = _t(spark, sf_dir, "embeddings")
     k1, k2, dim = 4, 3, 64
-    c20 = two_level_centroids(emb, k1, k2, iterations=2, sub_iterations=1).select(
-        "cid1", "scid", F.col("cvec").alias("_c0")
-    )
-    c21 = two_level_centroids(emb, k1, k2, iterations=2, sub_iterations=2).select(
-        "cid1", "scid", F.col("cvec").alias("_c1")
-    )
-    cents1 = ivf_centroids(emb, k1, iterations=2)
+    # level-1 Lloyd trained ONCE and persisted (k1 rows): the seed/
+    # refined/count branches below would otherwise each replay the
+    # whole coarse train inside their own subtree (3× n·k1·d·iters —
+    # measured 4.9s → this shape is the two_level_centroids algorithm
+    # inlined around one shared cents1)
+    cents1 = ivf_centroids(emb, k1, iterations=2).persist()
     a1 = ivf_assign(emb, cents1, n_dim_rows=k1 * dim).withColumnRenamed(
         "cid", "cid1"
     )
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).join(
         a1, "vec_id"
     )
+    c20_t = _sub_means(
+        v.select("vec_id", "cid1", (F.col("vec_id") % k2).alias("scid"), "e")
+    )
+    c21_t = _sub_means(
+        v.join(
+            _sub_assign(v, c20_t, k1 * k2 * dim).select("vec_id", "scid"), "vec_id"
+        ).select("vec_id", "cid1", "scid", "e")
+    )
+    c20 = c20_t.select("cid1", "scid", F.col("cvec").alias("_c0"))
+    c21 = c21_t.select("cid1", "scid", F.col("cvec").alias("_c1"))
     counts = (
-        _sub_assign(v, c21.select("cid1", "scid", F.col("_c1").alias("cvec")),
-                    k1 * k2 * dim)
+        _sub_assign(v, c21_t, k1 * k2 * dim)
         .groupBy("cid1", "scid")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )

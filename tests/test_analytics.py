@@ -1614,6 +1614,28 @@ def test_longest_shared_run_measures_exact_spans_and_skips_idioms(spark):
     assert loose[(2, 100)] == 3 and (4, 100) not in loose
 
 
+def test_source_report_quantized_metrics(spark):
+    """Dataset-card arithmetic on constructed data: dup_ppm is exact
+    integer parts-per-million of (docs − distinct texts), quality
+    averages in 1e-4 integer units via integer division, languages
+    counted distinct per source."""
+    from hpaste_spark.operators.profile import source_report
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "a"),
+        (2, "the cat sat on the mat", "en", "a"),   # exact dup of 1
+        (3, "unique text body here", "en", "a"),
+        (4, "autre texte ici", "fr", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, lang STRING, source STRING")
+    out = {r["source"]: r for r in source_report(df).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["n_distinct_texts"], a["n_langs"]) == (3, 2, 1)
+    assert a["dup_ppm"] == (3 - 2) * 1000000 // 3
+    assert a["n_tokens"] == 6 + 6 + 4
+    assert out["b"]["dup_ppm"] == 0 and out["b"]["n_docs"] == 1
+
+
 def test_cms_never_undercounts_and_merges_cellwise(spark):
     """Count-Min structural guarantees: (a) estimate ≥ true count for
     EVERY value, unseen values estimate ≥ 0 with no counter row
