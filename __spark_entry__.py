@@ -7799,6 +7799,60 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_lines_keep_first",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+    wx AS (SELECT doc_id, unnest(w) AS wd, unnest(range(1, len(w)+1)) AS i FROM t),
+    ch AS (SELECT doc_id, CAST((i-1)//4 AS BIGINT) AS pos,
+                  string_agg(wd, ' ' ORDER BY i) AS line
+           FROM wx GROUP BY doc_id, (i-1)//4),
+    boiler AS (SELECT line, keeper FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS keeper
+        FROM ch WHERE length(trim(line)) > 0 GROUP BY line) WHERE df >= 2),
+    kept AS (SELECT ch.* FROM ch LEFT JOIN boiler b USING (line)
+             WHERE b.line IS NULL OR ch.doc_id = b.keeper),
+    reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM ch GROUP BY doc_id)
+    SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text, tot.n_lines,
+           CAST(tot.n_lines - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line dedup under the CCNet KEEP-FIRST policy: one canonical
+    copy of each boilerplate line survives (in the lowest-doc_id
+    holder — the deterministic analog of first-in-processing-order);
+    every other holder loses it.  Same pseudo-line chunking and plan
+    shape as dedup_lines — the policy only changes the anti-join
+    predicate to (line removed ∧ doc ≠ keeper)."""
+    from hpaste_spark.functions import text as X
+    from hpaste_spark.operators.dedup import dedup_lines as _dl
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", X.tokens(F.col("text")).alias("_w"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("_w") / F.lit(4)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("_w"), i * 4 + 1, 4), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return _dl(d, min_df=2, keep="first")
+
+
+@q(
     "pipe_export_manifest",
     f"""
     WITH {_DECON_CHAIN},

@@ -137,6 +137,7 @@ HEADLINE = [
     "vec_kmeans_two_level",
     "sketch_cms_token_counts",
     "prof_source_report",
+    "dedup_lines_keep_first",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

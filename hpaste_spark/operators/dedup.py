@@ -1498,6 +1498,7 @@ def dedup_lines(
     id_col: str = "doc_id",
     min_df: int = 2,
     sep: str = "\n",
+    keep: str = "none",
 ) -> DataFrame:
     """Sub-document EXACT dedup (the RefinedWeb / CCNet crawl-cleaning
     step): remove every line that occurs in ≥ ``min_df`` DISTINCT
@@ -1518,6 +1519,12 @@ def dedup_lines(
     reused verbatim for the re-join): '\\n' for lines, '\\n\\n' for
     paragraphs.
 
+    ``keep`` picks the policy for a boilerplate line: ``'none'``
+    (default, RefinedWeb) removes it from EVERY document; ``'first'``
+    (CCNet) keeps one canonical copy — in the lowest-``id_col``
+    document holding it (the deterministic analog of
+    first-in-processing-order) — and removes the rest.
+
     Scale shape: posexplode lines → one map-side-combinable
     distinct-doc count per line (the line-hash groupBy) → equi-join
     lines against the ≥min_df "boilerplate" set → per-doc re-assembly
@@ -1528,6 +1535,8 @@ def dedup_lines(
     structure."""
     import re as _re
 
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
@@ -1537,11 +1546,21 @@ def dedup_lines(
     boiler = (
         lines.filter(F.length(F.trim(F.col("line"))) > 0)
         .groupBy("line")
-        .agg(F.countDistinct(id_col).alias("_df"))
+        .agg(
+            F.countDistinct(id_col).alias("_df"),
+            F.min(id_col).alias("_keeper"),
+        )
         .filter(F.col("_df") >= min_df)
-        .select("line")
+        .select("line", "_keeper")
     )
-    kept = lines.join(boiler, "line", "left_anti")
+    if keep == "first":
+        # remove (line, doc) only where doc is NOT the canonical holder
+        marked = lines.join(boiler, "line", "left")
+        kept = marked.filter(
+            F.col("_keeper").isNull() | (F.col(id_col) == F.col("_keeper"))
+        ).drop("_keeper")
+    else:
+        kept = lines.join(boiler.select("line"), "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -1741,6 +1741,15 @@ def test_dedup_lines_removes_cross_doc_boilerplate_in_order(spark):
     pout = {r["doc_id"]: r["clean_text"] for r in dedup_lines(pdf, sep="\n\n").collect()}
     assert pout == {1: "mine alone", 2: "yours alone"}
 
+    # CCNet keep-first: the lowest-id holder keeps the line, others lose it
+    fout = {r["doc_id"]: r for r in dedup_lines(df, min_df=2, keep="first").collect()}
+    assert fout[1]["clean_text"] == f"{hdr}\nalpha unique one\n\nbeta unique two\n{ftr}"
+    assert fout[1]["n_removed"] == 0          # doc 1 is the keeper of both
+    assert fout[2]["clean_text"] == "gamma unique three"
+    assert fout[3]["clean_text"] == "" and fout[3]["n_removed"] == 2
+    with pytest.raises(ValueError, match="keep"):
+        dedup_lines(df, keep="last")
+
 
 def test_stored_bloom_filter_roundtrips_and_pins_geometry(spark, docs, tmp_path):
     """build_bloom_filter → decontaminate_bloom_stored equals the
