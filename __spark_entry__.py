@@ -7853,6 +7853,248 @@ def dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_cdc",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+    wx AS (SELECT doc_id, unnest(w) AS wd, unnest(range(1, len(w)+1)) AS i FROM t),
+    cb AS (SELECT doc_id, i, wd,
+             CASE WHEN CAST(('0x'||substr(md5(wd),1,13)) AS BIGINT) % 4 = 0
+                  THEN 1 ELSE 0 END AS cut
+           FROM wx),
+    cc AS (SELECT doc_id, i, wd,
+             COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpos
+           FROM cb),
+    ch AS (SELECT doc_id, cpos, string_agg(wd, ' ' ORDER BY i) AS chunk
+           FROM cc GROUP BY doc_id, cpos),
+    boiler AS (SELECT chunk FROM (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk)
+        WHERE df >= 2),
+    kept AS (SELECT ch.* FROM ch LEFT JOIN boiler b USING (chunk)
+             WHERE b.chunk IS NULL),
+    reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text, tot.n_chunks,
+           CAST(tot.n_chunks - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at CONTENT-DEFINED chunk granularity (the
+    FastCDC/rsync anchoring idea applied to corpus cleaning): cut the
+    token stream after every token whose 52-bit md5 prefix ≡ 0 (mod 4)
+    — expected ~4-token chunks, boundaries anchored to content —
+    remove chunks held by ≥2 distinct docs, reassemble survivors.
+    Complements dedup_lines: fixed-width pseudo-lines lose alignment
+    after one inserted token, CDC re-synchronises at the next anchor
+    (measured by dedup_cdc_shift).  Plan: per-doc window prefix-sum +
+    two doc-keyed shuffles + one chunk-keyed agg — no pair expansion
+    at any duplication structure."""
+    from hpaste_spark.operators.dedup import cdc_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return cdc_dedup(d, divisor=4, min_df=2)
+
+
+@q(
+    "dedup_cdc_shift",
+    """
+    WITH v AS (SELECT doc_id, 'o' AS var, trim(text) AS text
+               FROM documents WHERE length(trim(text)) > 0
+               UNION ALL
+               SELECT doc_id, 's', 'zq9x ' || trim(text)
+               FROM documents WHERE length(trim(text)) > 0),
+    t AS (SELECT doc_id, var, string_split(text, ' ') AS w FROM v),
+    wx AS (SELECT doc_id, var, unnest(w) AS wd, unnest(range(1, len(w)+1)) AS i FROM t),
+    cb AS (SELECT doc_id, var, i, wd,
+             CASE WHEN CAST(('0x'||substr(md5(wd),1,13)) AS BIGINT) % 4 = 0
+                  THEN 1 ELSE 0 END AS cut
+           FROM wx),
+    cc AS (SELECT doc_id, var, i, wd,
+             COALESCE(SUM(cut) OVER (PARTITION BY doc_id, var ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpos
+           FROM cb),
+    cdc AS (SELECT DISTINCT doc_id, var, chunk FROM (
+        SELECT doc_id, var, cpos, string_agg(wd, ' ' ORDER BY i) AS chunk
+        FROM cc GROUP BY doc_id, var, cpos)),
+    fix AS (SELECT DISTINCT doc_id, var, chunk FROM (
+        SELECT doc_id, var, (i-1)//4 AS cpos, string_agg(wd, ' ' ORDER BY i) AS chunk
+        FROM wx GROUP BY doc_id, var, (i-1)//4)),
+    cdc_rec AS (
+        SELECT o.doc_id,
+               CAST(1000000 * COUNT(s.chunk) // COUNT(*) AS BIGINT) AS ppm
+        FROM (SELECT doc_id, chunk FROM cdc WHERE var = 'o') o
+        LEFT JOIN (SELECT doc_id, chunk FROM cdc WHERE var = 's') s
+          USING (doc_id, chunk)
+        GROUP BY o.doc_id),
+    fix_rec AS (
+        SELECT o.doc_id,
+               CAST(1000000 * COUNT(s.chunk) // COUNT(*) AS BIGINT) AS ppm
+        FROM (SELECT doc_id, chunk FROM fix WHERE var = 'o') o
+        LEFT JOIN (SELECT doc_id, chunk FROM fix WHERE var = 's') s
+          USING (doc_id, chunk)
+        GROUP BY o.doc_id)
+    SELECT 'cdc' AS method, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ppm) AS BIGINT) AS sum_recovered_ppm
+    FROM cdc_rec
+    UNION ALL
+    SELECT 'fixed', CAST(COUNT(*) AS BIGINT), CAST(SUM(ppm) AS BIGINT)
+    FROM fix_rec
+    """,
+)
+def dedup_cdc_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-resilience grader for content-defined vs fixed chunking —
+    the empirical WHY behind dedup_cdc.  Every document gets a
+    one-token prefix edit (sentinel 'zq9x', chosen non-anchor so the
+    edit corrupts exactly one CDC chunk); both chunkers run on the
+    original and the shifted copy; per doc we score the fraction of
+    original DISTINCT chunks recovered in the shifted copy, in exact
+    integer ppm.  CDC re-anchors after the edit (recovery near 1e6
+    ppm, only the first chunk breaks); fixed 4-token windows lose all
+    alignment (recovery near the text's self-repetition floor).
+    Output: (method, n_docs, sum_recovered_ppm)."""
+    from hpaste_spark.operators.dedup import cdc_chunks
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.trim(F.col("text")).alias("text"))
+    )
+    both = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("o").alias("var"), F.col("text").alias("text")),
+                F.struct(
+                    F.lit("s").alias("var"),
+                    F.concat(F.lit("zq9x "), F.col("text")).alias("text"),
+                ),
+            )
+        ).alias("v"),
+    ).select("doc_id", F.col("v.var").alias("var"), F.col("v.text").alias("text"))
+    # composite (doc, variant) id for the chunker, split back after
+    keyed = both.select(
+        F.concat_ws(":", "var", F.col("doc_id").cast("string")).alias("_vid"),
+        "text",
+    )
+    cdc = (
+        cdc_chunks(keyed, id_col="_vid", divisor=4)
+        .select(
+            F.split("_vid", ":")[1].cast("long").alias("doc_id"),
+            F.split("_vid", ":")[0].alias("var"),
+            "chunk",
+        )
+        .distinct()
+    )
+    # fixed 4-token windows, HOF-only (no explode needed): chunk array
+    # from materialized tokens, then explode distinct
+    from hpaste_spark.functions import text as X
+
+    fixed = (
+        both.select("doc_id", "var", X.tokens(F.col("text")).alias("_w"))
+        .select(
+            "doc_id",
+            "var",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(F.size("_w") / F.lit(4)).cast("int") - 1,
+                        ),
+                        lambda i: F.array_join(F.slice(F.col("_w"), i * 4 + 1, 4), " "),
+                    )
+                )
+            ).alias("chunk"),
+        )
+    )
+
+    def recovery(ch: DataFrame, method: str) -> DataFrame:
+        o = ch.filter(F.col("var") == "o").select("doc_id", "chunk")
+        s = ch.filter(F.col("var") == "s").select("doc_id", "chunk")
+        per = (
+            o.join(s.withColumn("_hit", F.lit(1)), ["doc_id", "chunk"], "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count("_hit").alias("_m"),
+            )
+            .select(
+                F.expr("1000000 * _m div _n").cast("long").alias("ppm"),
+            )
+        )
+        return per.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ppm").alias("sum_recovered_ppm"),
+        ).select("method", "n_docs", "sum_recovered_ppm")
+
+    return recovery(cdc, "cdc").unionAll(recovery(fixed, "fixed"))
+
+
+@q(
+    "corpus_distinct_ngrams",
+    """
+    WITH t AS (SELECT source, string_split(trim(text), ' ') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT source, 1 AS n, unnest(w) AS g FROM t
+      UNION ALL
+      SELECT source, 2, unnest(list_transform(
+          range(1, greatest(len(w)-1, 0)+1), i -> w[i] || ' ' || w[i+1])) FROM t
+      UNION ALL
+      SELECT source, 3, unnest(list_transform(
+          range(1, greatest(len(w)-2, 0)+1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM t)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST(1000000 * COUNT(DISTINCT g) // COUNT(*) AS BIGINT) AS distinct_ppm
+    FROM g GROUP BY source, n
+    """,
+)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity profile per source (the text-generation
+    diversity metric read before weighting a source up): for n∈{1,2,3},
+    total n-grams, distinct n-grams, and the distinct ratio in exact
+    integer ppm.  Low distinct_ppm at n=3 = template/boilerplate-heavy
+    source (the signal behind dedup_repeated_ngrams, aggregated to the
+    source level).  Plan: one tokens scan exploded three ways, one
+    hash-agg per n keyed (source, n) — countDistinct rewrites to a
+    two-phase expand+agg, all map-side combinable."""
+    from hpaste_spark.functions import text as X
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("source", X.tokens(F.col("text")).alias("_w"))
+    )
+
+    def grams(n: int) -> DataFrame:
+        m = F.greatest(F.size("_w") - (n - 1), F.lit(0))
+        acc = F.slice(F.col("_w"), 1, m)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(F.col("_w"), 1 + j, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return d.select("source", F.lit(n).cast("long").alias("n"), F.explode(acc).alias("g"))
+
+    out = grams(1).unionAll(grams(2)).unionAll(grams(3))
+    return out.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        F.expr("1000000 * count(DISTINCT g) div count(1)").cast("long").alias(
+            "distinct_ppm"
+        ),
+    )
+
+
+@q(
     "pipe_export_manifest",
     f"""
     WITH {_DECON_CHAIN},

@@ -138,6 +138,10 @@ HEADLINE = [
     "sketch_cms_token_counts",
     "prof_source_report",
     "dedup_lines_keep_first",
+    # round 7, second batch: content-defined chunk dedup + diversity
+    "dedup_cdc",
+    "dedup_cdc_shift",
+    "corpus_distinct_ngrams",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

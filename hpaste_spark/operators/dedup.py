@@ -1719,3 +1719,129 @@ def cross_source_dup_matrix(
             F.sum("_np").alias("n_dup_pairs"),
         )
     )
+
+
+def _cdc_cut(tok_col) -> "F.Column":
+    """Content-defined cut decision for ONE token: 52-bit md5 prefix
+    (the repo-wide probe convention, see ``_bloom_bit``) — the caller
+    supplies the divisor via ``% divisor == 0``.  Depends only on the
+    token's BYTES, never its position, which is the whole point of
+    content-defined chunking: an insertion upstream shifts positions
+    but leaves every downstream cut decision — and therefore every
+    downstream chunk — intact."""
+    return F.conv(F.substring(F.md5(tok_col.cast("binary")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 4,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family, re-expressed
+    relationally): split each document's token stream AFTER every token
+    whose content hash ≡ 0 (mod ``divisor``) — expected chunk length
+    ``divisor`` tokens, but boundaries are anchored to CONTENT, not
+    offsets.  Fixed-width chunking (``dedup_lines``'s pseudo-line
+    fixture shim) loses all alignment after a single-token insertion;
+    CDC re-synchronises at the next content anchor, so edit-jittered
+    copies still share every chunk outside the edit's own chunk.
+
+    Returns (id, cpos, chunk, n_tokens): one row per chunk, ``cpos``
+    the chunk's ordinal within its document (count of cuts strictly
+    before it — rebuild order), ``chunk`` the space-joined token run.
+
+    Scale shape: posexplode → per-DOC running sum of cut flags (Window
+    partitioned by doc — never global) → (doc, cid) hash-agg.  Both
+    shuffles key on the document, so cost is O(tokens) regardless of
+    how much cross-doc duplication exists."""
+    from pyspark.sql import Window
+
+    tk = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    cut = (_cdc_cut(F.col("w")) % divisor == 0).cast("long")
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = tk.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("w"),
+        F.coalesce(F.sum(cut).over(win), F.lit(0)).alias("cpos"),
+    )
+    return cells.groupBy(id_col, "cpos").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def cdc_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 4,
+    min_df: int = 2,
+    keep: str = "none",
+) -> DataFrame:
+    """Sub-document exact dedup at content-defined chunk granularity:
+    drop every chunk held by ≥ ``min_df`` distinct documents (``keep``
+    = 'none' removes all copies; 'first' keeps the lowest-id holder's
+    copy — same policies as :func:`dedup_lines`) and reassemble each
+    document from its surviving chunks in order.
+
+    Same output contract as :func:`dedup_lines` — (id, clean_text,
+    n_chunks, n_removed) — but robust to boilerplate that is SHIFTED
+    by surrounding edits rather than line-aligned: the chunk key
+    re-anchors on content, so a nav banner reflowed mid-paragraph
+    still collides.  Same no-pair-expansion guarantee: a chunk shared
+    by 100k docs costs 100k join rows, never 100k² pairs."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    ch = cdc_chunks(df, text_col=text_col, id_col=id_col, divisor=divisor)
+    boiler = (
+        ch.groupBy("chunk")
+        .agg(
+            F.countDistinct(id_col).alias("_df"),
+            F.min(id_col).alias("_keeper"),
+        )
+        .filter(F.col("_df") >= min_df)
+        .select("chunk", "_keeper")
+    )
+    if keep == "first":
+        marked = ch.join(boiler, "chunk", "left")
+        kept = marked.filter(
+            F.col("_keeper").isNull() | (F.col(id_col) == F.col("_keeper"))
+        ).drop("_keeper")
+    else:
+        kept = ch.join(boiler.select("chunk"), "chunk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cpos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_chunks"),
+        (F.col("n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )

@@ -1932,3 +1932,46 @@ def test_quality_token_curve_is_monotone_and_anchored(spark, docs):
         toks_seq = [r["n_tokens_cum"] for r in rs]
         assert docs_seq == sorted(docs_seq) and toks_seq == sorted(toks_seq)
         assert (docs_seq[-1], toks_seq[-1]) == totals[src]
+
+
+def test_cdc_chunks_content_anchored_and_dedup_policies(spark):
+    """Content-defined chunking semantics: a cut token ('cut' hashes
+    ≡0 mod 4) ENDS its chunk; boundaries depend on content only, so a
+    one-token prefix edit corrupts exactly the first chunk and every
+    later chunk re-synchronises byte-identically; dedup then removes
+    cross-doc chunks under the same none/first policies as
+    dedup_lines."""
+    from hpaste_spark.operators.dedup import cdc_chunks, cdc_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta cut gamma delta"),
+            (2, "eta alpha beta cut gamma delta"),  # doc 1 with a prefix edit
+            (3, "gamma delta"),
+            (4, "alpha cut"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    ch = {
+        (r["doc_id"], r["cpos"]): r["chunk"]
+        for r in cdc_chunks(df, divisor=4).collect()
+    }
+    assert ch[(1, 0)] == "alpha beta cut" and ch[(1, 1)] == "gamma delta"
+    # the prefix edit lands in chunk 0; chunk 1 re-syncs exactly
+    assert ch[(2, 0)] == "eta alpha beta cut" and ch[(2, 1)] == "gamma delta"
+    assert ch[(3, 0)] == "gamma delta"          # trailing chunk, no anchor
+    assert ch[(4, 0)] == "alpha cut"            # doc ends ON the anchor
+
+    out = {r["doc_id"]: r for r in cdc_dedup(df, min_df=2).collect()}
+    assert out[1]["clean_text"] == "alpha beta cut"
+    assert (out[1]["n_chunks"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["clean_text"] == "eta alpha beta cut"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "alpha cut" and out[4]["n_removed"] == 0
+
+    fout = {r["doc_id"]: r for r in cdc_dedup(df, min_df=2, keep="first").collect()}
+    assert fout[1]["clean_text"] == "alpha beta cut gamma delta"  # keeper
+    assert fout[2]["clean_text"] == "eta alpha beta cut"
+    assert fout[3]["clean_text"] == ""
+    with pytest.raises(ValueError, match="keep"):
+        cdc_dedup(df, keep="last")

@@ -595,3 +595,33 @@ def test_mixture_planner_is_one_corpus_agg_plus_scalars(spark, queries):
     plan = plan_of(queries["mix_epoch_budget"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_cdc_dedup_doc_local_window_no_pairs(spark, queries):
+    """dedup_cdc: the chunk-id prefix sum is a PER-DOC window (never a
+    global sort — Exchange SinglePartition would serialize the corpus),
+    the boilerplate removal keeps the left-anti shape, and nothing
+    expands pairs."""
+    plan = plan_of(queries["dedup_cdc"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "LeftAnti" in plan
+    # the window exists and is doc-partitioned
+    assert "Window" in plan
+
+
+def test_cdc_shift_grader_no_global_stage(spark, queries):
+    """dedup_cdc_shift: four chunking passes + per-doc recovery joins —
+    all keyed by (doc, variant) or (doc, chunk); the only single-
+    partition stages are the two 1-row final aggregates."""
+    plan = plan_of(queries["dedup_cdc_shift"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_distinct_ngrams_keyed_aggs_only(spark, queries):
+    """corpus_distinct_ngrams: countDistinct rewrites to the two-phase
+    expand+agg keyed on (source, n) — no single-partition exchange, no
+    join at all."""
+    plan = plan_of(queries["corpus_distinct_ngrams"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
