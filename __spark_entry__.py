@@ -4158,6 +4158,42 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_fertility_by_lang",
+    r"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_ws_tokens,
+           CAST(1000000 * SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')))
+                // SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS fertility_micro
+    FROM documents WHERE length(trim(text)) > 0
+    GROUP BY lang
+    """,
+)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — BPE-ish tokens emitted per
+    whitespace word, the multilingual-pipeline readout that prices how
+    expensive each language is to train on (high fertility = more
+    tokens per word = fewer words per context window; the signal
+    behind per-language token budgeting in mixture planning).
+    Exact integer micro-units (1e6 = one token per word).  One
+    lang-keyed hash-agg over the same GPT-2-style pre-tokenizer regex
+    as text_bpe_token_count — map-side combinable, no shuffle beyond
+    the ≤|langs|-group agg."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    per = d.select(
+        "lang",
+        X.bpe_token_count(F.col("text")).alias("_b"),
+        X.token_count(F.col("text")).alias("_w"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_b").cast("long").alias("n_bpe_tokens"),
+        F.sum("_w").cast("long").alias("n_ws_tokens"),
+        F.expr("1000000 * sum(_b) div sum(_w)").cast("long").alias("fertility_micro"),
+    )
+
+
 # §2.9 — native session windows (F.session_window): the declarative
 # batch twin of the stateful streaming sessionizer.  An event at
 # exactly gap seconds after its predecessor starts a NEW session
@@ -8091,6 +8127,89 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 * count(DISTINCT g) div count(1)").cast("long").alias(
             "distinct_ppm"
         ),
+    )
+
+
+@q(
+    "corpus_source_overlap",
+    """
+    WITH t AS (SELECT source, string_split(trim(text), ' ') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+    g AS (SELECT DISTINCT source, g FROM (
+        SELECT source, unnest(list_transform(
+            range(1, greatest(len(w)-2, 0)+1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM t)),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source),
+    px AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM g a JOIN g b USING (g) WHERE a.source < b.source
+           GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+           CAST(1000000 * n_shared // (pa.n + pb.n - n_shared) AS BIGINT)
+             AS jaccard_ppm
+    FROM px
+    JOIN per pa ON pa.source = px.src_a
+    JOIN per pb ON pb.source = px.src_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level Jaccard overlap matrix between sources — the
+    "how much of source B is already in source A" diagnostic read
+    before weighting overlapping corpora (the companion of
+    dedup_cross_source_matrix, which counts whole-doc copies; this
+    measures CONTENT overlap below doc granularity via distinct
+    3-gram sets).  Exact integer ppm.
+
+    Scale shape: one (source, gram) DISTINCT hash-agg (map-side
+    combinable), then a gram-keyed self-join whose fan-out per gram is
+    bounded by the number of SOURCES (≤ tens), never by gram
+    frequency; the per-source totals are a ≤|sources|-row broadcast.
+    A 100k-doc boilerplate gram costs one row per holding source."""
+    from hpaste_spark.functions import text as X
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("source", X.tokens(F.col("text")).alias("_w"))
+    )
+    m = F.greatest(F.size("_w") - 2, F.lit(0))
+    acc = F.slice(F.col("_w"), 1, m)
+    for j in (1, 2):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("_w"), 1 + j, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    sg = d.select("source", F.explode(acc).alias("g")).distinct()
+    per = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    px = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        px.join(
+            F.broadcast(per.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("1000000 * n_shared div (n_a + n_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
     )
 
 

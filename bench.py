@@ -142,6 +142,8 @@ HEADLINE = [
     "dedup_cdc",
     "dedup_cdc_shift",
     "corpus_distinct_ngrams",
+    "corpus_source_overlap",
+    "text_fertility_by_lang",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

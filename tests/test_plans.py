@@ -625,3 +625,23 @@ def test_distinct_ngrams_keyed_aggs_only(spark, queries):
     plan = plan_of(queries["corpus_distinct_ngrams"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_broadcast_totals_bounded_fanout(spark, queries):
+    """corpus_source_overlap: the per-source gram totals attach via
+    BROADCAST joins (≤|sources| rows each); the gram-keyed self-join
+    is an equi-join (never cartesian), and nothing funnels through a
+    single partition."""
+    plan = plan_of(queries["corpus_source_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_fertility_single_keyed_agg(spark, queries):
+    """text_fertility_by_lang: one lang-keyed hash-agg, no join, no
+    window, no single-partition stage."""
+    plan = plan_of(queries["text_fertility_by_lang"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
