@@ -6727,13 +6727,14 @@ def decontaminate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB twin of dedup._bloom_bit — bit i of value v in an m-bit
-#: Bloom filter; keep in lockstep with the Spark expression
+#: DuckDB twin of dedup._bloom_h1h2/_bloom_bit — Kirsch-Mitzenmacher
+#: family 2: bit_i = (h1 + i·h2) mod m from TWO 52-bit slices of ONE
+#: md5(value) digest, h2 forced odd; keep in lockstep with the Spark
+#: expressions (dedup.BLOOM_FAMILY)
 def _bloom_bit_sql(v: str, i: str, m: int) -> str:
-    return (
-        f"CAST(('0x' || substr(md5(CAST({v} AS VARCHAR) || ':' || "
-        f"CAST({i} AS VARCHAR)), 1, 13)) AS BIGINT) % {m}"
-    )
+    h1 = f"CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 13)) AS BIGINT)"
+    h2 = f"(CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 14, 13)) AS BIGINT) | 1)"
+    return f"(({h1} + {i} * {h2}) % {m})"
 
 
 @q(
@@ -6844,7 +6845,11 @@ def bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_FILTER_VERSION = 1
+#: v2 = Kirsch-Mitzenmacher double-hash probe family (dedup.BLOOM_FAMILY
+#: 2) — v1 artifacts hold family-1 bits and must rebuild (the ADVICE-r6
+#: stored-index-versioning lesson, applied at the same time as the
+#: family change, not after)
+_BLOOM_FILTER_VERSION = 2
 
 
 def _bloom_filter_dir(sf_dir: str) -> str:
@@ -8386,6 +8391,12 @@ _SEMANTICS_CHANGED = {
     # r7: auto-k semantic dedup re-routed through hierarchical
     # assignment (different kept-set oracle)
     "dedup_semantic_autok": 7,
+    # r7: Bloom probe family 1 → 2 (Kirsch-Mitzenmacher double
+    # hashing) — different bit tables, different FP sets
+    "decontaminate_bloom": 7,
+    "decontaminate_bloom_stored": 7,
+    "bloom_fp_eval": 7,
+    "pipe_export_manifest": 7,
 }
 
 

@@ -1370,26 +1370,39 @@ def mask_shared_runs(
     )
 
 
-def _bloom_bit(val_col, i_col, m_bits: int):
-    """Bit position i of a Bloom probe: 52-bit md5 prefix of
-    "<value>:<i>" mod m — one JVM md5 per probe, reproduced verbatim
-    in DuckDB as ``('0x'||substr(md5(v||':'||i),1,13))::BIGINT % m``."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", val_col.cast("string"), i_col.cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-    )
+#: Bloom probe-family version: 2 = Kirsch-Mitzenmacher double hashing
+#: (one md5 per value, bit_i = (h1 + i·h2) mod m).  Family 1 hashed
+#: "<value>:<i>" per probe — k md5 calls per value; the md5 dominated
+#: the cost of every bloom path (decontaminate_bloom / bloom_fp_eval
+#: were 2 of the 4 slowest bench queries), and KM 1977 shows i
+#: independent hashes are not needed: two 52-bit slices of ONE digest
+#: give the same asymptotic FP rate.  h2 is forced odd so the probe
+#: stride is invertible mod the power-of-two m_bits (even h2 would
+#: alias probes into half the filter).  Artifacts built under family
+#: 1 are unreadable by design — stored-filter meta pins the family
+#: (a silent family mismatch = false negatives, the one failure mode
+#: a Bloom filter must never have).
+BLOOM_FAMILY = 2
+
+
+def _bloom_h1h2(val_col):
+    """The two 52-bit digest slices of ONE md5(value) — h1 = hex chars
+    1-13, h2 = hex chars 14-26 forced odd.  Mirrored verbatim in
+    DuckDB (__spark_entry__._bloom_bit_sql):
+    ``('0x'||substr(md5(v),1,13))::BIGINT`` and
+    ``('0x'||substr(md5(v),14,13))::BIGINT | 1``."""
+    dig = F.md5(val_col.cast("string").cast("binary"))
+    h1 = F.conv(F.substring(dig, 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(dig, 14, 13), 16, 10).cast("long").bitwiseOR(1)
+    return h1, h2
+
+
+def _bloom_bit(h1_col, h2_col, i_col, m_bits: int):
+    """Bit position i under Kirsch-Mitzenmacher double hashing:
+    (h1 + i·h2) mod m.  Pure arithmetic — callers project h1/h2 ONCE
+    per value (before the k-way explode), so the md5 runs once per
+    value instead of once per probe."""
+    return (h1_col + i_col * h2_col) % m_bits
 
 
 def bloom_bits(
@@ -1409,10 +1422,14 @@ def bloom_bits(
     ever: every inserted value finds all k of its bits set.
     """
     ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
+    h1, h2 = _bloom_h1h2(F.col(val_col))
     return (
         values.select(F.col(val_col)).distinct()
-        .select(F.col(val_col), ks)
-        .select(_bloom_bit(F.col(val_col), F.col("i"), m_bits).alias("bit"))
+        # md5 ONCE per value: h1/h2 are materialized by this projection
+        # boundary, the k-way explode below is pure arithmetic
+        .select(h1.alias("_h1"), h2.alias("_h2"))
+        .select("_h1", "_h2", ks)
+        .select(_bloom_bit(F.col("_h1"), F.col("_h2"), F.col("i"), m_bits).alias("bit"))
         .distinct()
     )
 
@@ -1439,8 +1456,15 @@ def bloom_membership(
     corpus-sized probe side on every call."""
     ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
     keys = [c for c in probes.columns]
-    pp = probes.select(*keys, ks).select(
-        *keys, _bloom_bit(F.col(val_col), F.col("i"), m_bits).alias("bit")
+    h1, h2 = _bloom_h1h2(F.col(val_col))
+    pp = (
+        # md5 ONCE per probe row; the k-way expansion is arithmetic
+        probes.select(*keys, h1.alias("_h1"), h2.alias("_h2"))
+        .select(*keys, "_h1", "_h2", ks)
+        .select(
+            *keys,
+            _bloom_bit(F.col("_h1"), F.col("_h2"), F.col("i"), m_bits).alias("bit"),
+        )
     )
     return (
         pp.join(F.broadcast(bits), "bit")
@@ -1629,7 +1653,8 @@ def build_bloom_filter(
         k_hashes=k_hashes,
     ).write.mode(mode).parquet(f"{path}/bits")
     benchmark.sparkSession.createDataFrame(
-        [(m_bits, k_hashes, n)], "m_bits INT, k_hashes INT, n INT"
+        [(m_bits, k_hashes, n, BLOOM_FAMILY)],
+        "m_bits INT, k_hashes INT, n INT, family INT",
     ).write.mode(mode).parquet(f"{path}/meta")
 
 
@@ -1648,6 +1673,16 @@ def decontaminate_bloom_stored(
     streams through the broadcast bit join exactly as before: never
     shuffled, no pair expansion."""
     meta = spark.read.parquet(f"{path}/meta").first()
+    stored_family = meta["family"] if "family" in meta.__fields__ else 1
+    if stored_family != BLOOM_FAMILY:
+        # probing with the wrong hash family yields silent FALSE
+        # NEGATIVES — the one failure mode a Bloom filter must never
+        # have — so a family mismatch is a hard error, not a fallback
+        raise ValueError(
+            f"bloom filter at {path} was built under probe family "
+            f"{stored_family}; this build probes family {BLOOM_FAMILY} — "
+            "rebuild the artifact with build_bloom_filter"
+        )
     bits = spark.read.parquet(f"{path}/bits")
     flagged = bloom_membership(
         _doc_grams(corpus, text_col, id_col, meta["n"]),

@@ -168,6 +168,10 @@ BIG_PROBES = [
     "decontaminate_lcs",
     "decontaminate_bloom_stored",
     "vec_kmeans_two_level",
+    # round-7 second batch: CDC is dedup_lines' shape plus a per-doc
+    # window; source-overlap fans out ≤ #sources per gram
+    "dedup_cdc",
+    "corpus_source_overlap",
 ]
 BIG_MARK = "<!-- big-probe -->"
 
