@@ -72,3 +72,49 @@ def stream_incremental_dedup(
             f"stream_incremental_dedup did not drain within {timeout_s}s"
         )
     return q
+
+
+def stream_bloom_flags(
+    stream_docs: DataFrame,
+    bits: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """STATELESS streaming decontamination against a published Bloom
+    blocklist (the always-on ingest filter): every (doc, gram) row of
+    the stream that tests bloom-POSITIVE is emitted append-mode, with
+    no watermark, no state store, and no micro-batch barrier.
+
+    The batch operator (dedup.bloom_membership) proves all-k-bits-set
+    with a per-gram COUNT — an aggregation a pure append stream cannot
+    run statelessly.  Here the same predicate is k chained LEFT SEMI
+    joins against the (static, broadcast, ≤ m_bits-row) bit table, one
+    per probe position: a gram survives the chain iff every one of its
+    k Kirsch-Mitzenmacher bits is set — identical row set to the batch
+    operator by construction, stream-static joins are stateless, and
+    the blocklist side is the write-once build_bloom_filter artifact
+    read once per (re)start, never per batch.
+
+    Returns the flagged (id, gram-hash) relation; roll up per doc
+    downstream (foreachBatch, or the batch path on the landed data).
+    Same conservative contract as every bloom path: false positives
+    over-flag at the priced FP rate, false negatives cannot happen."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.operators.dedup import _bloom_bit, _bloom_h1h2, _doc_grams
+
+    g = _doc_grams(stream_docs, text_col, id_col, n)
+    h1, h2 = _bloom_h1h2(F.col("g"))
+    out = g.select(F.col(id_col), F.col("g"), h1.alias("_h1"), h2.alias("_h2"))
+    for i in range(k_hashes):
+        probe = bits.select(F.col("bit").alias(f"_b{i}"))
+        out = out.join(
+            F.broadcast(probe),
+            _bloom_bit(F.col("_h1"), F.col("_h2"), F.lit(i), m_bits)
+            == F.col(f"_b{i}"),
+            "left_semi",
+        )
+    return out.select(id_col, "g")

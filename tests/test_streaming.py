@@ -565,3 +565,63 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     assert want, "fixture must produce at least one near-dup candidate"
     assert got == want
     corpus_bands.unpersist()
+
+
+def test_stream_bloom_flags_stateless_and_matches_batch(spark, tmp_path):
+    """Append-mode bloom decontamination: the k-chained semi-join form
+    must emit EXACTLY the batch operator's flagged (doc, gram) rows
+    over the union of micro-batches, and the streaming query must run
+    with zero stateful operators (no watermark, no state store — the
+    property that lets the filter run as a plain always-on map)."""
+    import pyarrow  # noqa: F401  (parquet batches helper dependency)
+
+    from hpaste_spark.operators.dedup import (
+        _doc_grams,
+        bloom_bits,
+        bloom_membership,
+    )
+    from hpaste_spark.streaming.dedup import stream_bloom_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    bits = bloom_bits(
+        _doc_grams(bench, "text", "doc_id", 5).select("g"), "g"
+    ).persist()
+
+    pdf = corpus.toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+    src = _write_event_batches(
+        tmp_path, "bloom_src", [pdf.iloc[:half], pdf.iloc[half:]]
+    )
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    flagged = stream_bloom_flags(stream, bits)
+
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloom_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    for p in q.recentProgress:
+        assert not p["stateOperators"], "bloom flag stream must be stateless"
+
+    got = {
+        (r["doc_id"], r["g"])
+        for r in spark.sql("SELECT * FROM bloom_flags").collect()
+    }
+    want = {
+        (r["doc_id"], r["g"])
+        for r in bloom_membership(
+            _doc_grams(corpus, "text", "doc_id", 5), bits
+        ).collect()
+    }
+    assert want, "fixture must flag at least one gram"
+    assert got == want
+    bits.unpersist()
