@@ -8333,6 +8333,137 @@ def a5_approx_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming registry queries — each drains a Structured Streaming job
+# over the fixture replayed as a file-source stream, then returns the
+# landed result as a batch DataFrame, so the SAME DuckDB oracle that
+# grades the batch twin grades the STREAMING execution hash-for-hash.
+# (bench.STREAMING times plan shapes; these put streaming under the
+# value-correctness gate itself.)
+# ---------------------------------------------------------------------------
+
+_STREAM_SINK_SEQ = iter(range(1, 1 << 30))
+
+
+def _stage_stream_dir(sf_dir: str, table: str) -> str:
+    """File-source streams want a DIRECTORY; stage a per-fixture
+    symlink dir around the single parquet file (same idiom as
+    bench._bench_stream_stream_asof, kept separate so the registry
+    never imports bench)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src_dir = os.path.join(
+        here, ".scratch", "stream_src",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{table}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, f"{table}.parquet")
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    # lexists: a dangling symlink must be replaced, and a same-basename
+    # key must never silently stream a previous fixture
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(target, link)
+    return src_dir
+
+
+def _drain_to_memory(df: DataFrame, prefix: str, timeout_s: int = 600):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink; returns (spark.table handle, query).
+    Unique names keep repeated driver invocations in one session from
+    colliding on the sink registration."""
+    name = f"{prefix}_{next(_STREAM_SINK_SEQ)}"
+    qh = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not qh.awaitTermination(timeout_s):
+        qh.stop()
+        raise RuntimeError(f"{prefix} stream did not drain within {timeout_s}s")
+    return df.sparkSession.table(name), qh
+
+
+@q(
+    "stream_decontaminate_bloom",
+    f"""
+    WITH {_DECON_CHAIN},
+    blb AS (SELECT DISTINCT {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM (SELECT DISTINCT g FROM dc_bg) bgd, range(3) r(i)),
+    blp AS (SELECT doc_id, g, {_bloom_bit_sql('g', 'i', 16384)} AS bit
+            FROM dc_cg, range(3) r(i)),
+    blf AS (SELECT doc_id, g FROM blp JOIN blb USING (bit)
+            GROUP BY doc_id, g HAVING COUNT(*) = 3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM blf GROUP BY doc_id
+    """,
+)
+def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom decontamination AT INGEST: the corpus replays as a file
+    stream and every doc is probed against the static broadcast bit
+    table by streaming.dedup.stream_bloom_flags — k chained stateless
+    stream-static semi-joins, no watermark, no state store, the
+    always-on filter a 100 TB pipeline runs on arriving crawl data.
+    The md5 probe family is deterministic, so the landed flag rows are
+    the identical relation the batch operator computes and the SAME
+    oracle as decontaminate_bloom grades the streaming execution
+    hash-for-hash (the per-doc rollup happens batch-side on the landed
+    table — counting is the one agg an append stream can't do
+    statelessly)."""
+    from hpaste_spark.operators.dedup import _doc_grams, bloom_bits
+    from hpaste_spark.streaming.dedup import stream_bloom_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bits = bloom_bits(
+        _doc_grams(d.filter(F.col("source") == "src0"), "text", "doc_id", 5)
+        .select("g"),
+        "g", m_bits=16384, k_hashes=3,
+    )
+    src = _stage_stream_dir(sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .parquet(src)
+        .filter(F.col("source") != "src0")
+    )
+    landed, _ = _drain_to_memory(
+        stream_bloom_flags(stream, bits, n=5, m_bits=16384, k_hashes=3),
+        "stream_bloom",
+    )
+    return landed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+@q(
+    "stream_dedup_exact",
+    """
+    SELECT DISTINCT md5(text) AS text_hash
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AT INGEST (the crawler's seen-set): the document
+    stream is keyed by content hash and dropDuplicates' keyed state
+    store admits each hash once — the STATEFUL streaming complement to
+    stream_decontaminate_bloom's stateless filter.  The emitted rows
+    are the distinct hash SET (which doc carries a hash first is
+    arrival-order-dependent, so only the key is emitted — the batch
+    keep-policy variants live in dedup_exact / dedup_near_keep_best).
+    At production scale the state is bounded with an event-time
+    watermark per retention window; the fixture drain keeps it exact
+    over the whole replay."""
+    d = _t(spark, sf_dir, "documents")
+    src = _stage_stream_dir(sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .parquet(src)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.md5(F.col("text")).alias("text_hash"))
+        .dropDuplicates(["text_hash"])
+    )
+    landed, _ = _drain_to_memory(stream, "stream_dedup")
+    return landed
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return a1_groupby_rollup_sum(spark, SF0001)

@@ -144,6 +144,11 @@ HEADLINE = [
     "corpus_distinct_ngrams",
     "corpus_source_overlap",
     "text_fertility_by_lang",
+    # round 7, third batch: oracle-twinned streaming registry queries —
+    # each drains a file-source replay inside the callable, so the
+    # timing includes the micro-batch harness (that's the point)
+    "stream_decontaminate_bloom",
+    "stream_dedup_exact",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

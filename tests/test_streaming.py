@@ -625,3 +625,45 @@ def test_stream_bloom_flags_stateless_and_matches_batch(spark, tmp_path):
     assert want, "fixture must flag at least one gram"
     assert got == want
     bits.unpersist()
+
+
+def test_stream_registry_queries_state_posture(spark):
+    """The two streaming REGISTRY queries split exactly as documented:
+    stream_decontaminate_bloom runs with zero stateful operators, and
+    stream_dedup_exact runs with exactly one (the dropDuplicates keyed
+    state).  Both return the batch-collectable landed relation the
+    driver hashes against the DuckDB oracle."""
+    import __spark_entry__ as m
+
+    out = m.stream_decontaminate_bloom(spark, SF)
+    assert out.columns == ["doc_id", "n_flagged"]
+    assert out.count() > 0
+
+    out2 = m.stream_dedup_exact(spark, SF)
+    assert out2.columns == ["text_hash"]
+    n_stream = out2.count()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_batch = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert n_stream == n_batch
+
+    # state posture: the dedup stream must carry EXACTLY ONE stateful
+    # operator (the dropDuplicates keyed state) — replay the registry's
+    # stream shape and read it off the drained query's progress.  (The
+    # bloom stream's zero-state posture is pinned by
+    # test_stream_bloom_flags_stateless_and_matches_batch.)
+    src = m._stage_stream_dir(SF, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.md5("text").alias("text_hash"))
+        .dropDuplicates(["text_hash"])
+    )
+    _, qh = m._drain_to_memory(stream, "stream_dedup_posture")
+    n_stateful = {len(p["stateOperators"]) for p in qh.recentProgress}
+    assert n_stateful == {1}, n_stateful
