@@ -1263,6 +1263,147 @@ def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(docs, pairs, X.quality_score(F.col("text")))
 
 
+#: DuckDB twin of minhash_lsh_candidates(16, 4, 3) → connected
+#: components — the candidate-pair chain shared by the dedup_near_keep*
+#: oracles, factored for the split queries below.  comp = (node,
+#: cluster_id = min node of the component); docs in no pair are absent.
+_MINHASH_CC = """
+    mc_d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    mc_tokh AS (
+      SELECT doc_id, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM mc_d
+    ),
+    mc_h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM mc_tokh WHERE len(th) >= 3
+    ),
+    mc_sig AS (
+      SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
+      FROM mc_h
+    ),
+    mc_bands AS (
+      SELECT doc_id, b AS band_idx,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
+      FROM mc_sig CROSS JOIN unnest(range(0, 4)) AS u(b)
+    ),
+    mc_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mc_bands a JOIN mc_bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    mc_edges AS (
+      SELECT id_a AS s, id_b AS dd FROM mc_pairs
+      UNION SELECT id_b, id_a FROM mc_pairs
+    ),
+    mc_reach AS (
+      SELECT s AS root, s AS node FROM mc_edges
+      UNION
+      SELECT r.root, e.dd FROM mc_reach r JOIN mc_edges e ON r.node = e.s
+    ),
+    mc_comp AS (SELECT root AS node, MIN(node) AS cluster_id FROM mc_reach GROUP BY root),
+    mc_ck AS (
+      SELECT mc_d.doc_id, COALESCE(c.cluster_id, mc_d.doc_id) AS ckey
+      FROM mc_d LEFT JOIN mc_comp c ON c.node = mc_d.doc_id
+    )
+"""
+
+
+@q(
+    "split_leakage_free",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC}
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(ckey AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM mc_ck
+    """,
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/holdout split: near-duplicate documents must
+    land on the SAME side or the holdout leaks into training through
+    its surviving twins.  The split key is the MinHash-LSH connected-
+    component id (singletons key on their own id), hashed with the
+    same deterministic md5 bucket as hash_split — whole duplicate
+    clusters move as one unit, cross-cut leakage is structurally zero
+    (split_leakage_eval prices the naive split against this)."""
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.sampling import leakage_free_split
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    return leakage_free_split(docs, pairs, holdout_pct=20).select("doc_id", "split")
+
+
+@q(
+    "split_leakage_eval",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC},
+    sl_c AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(ckey AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM mc_ck
+    ),
+    sl_n AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM mc_d
+    ),
+    sl AS (SELECT
+      (SELECT COUNT(*) FROM mc_pairs) AS n_pairs,
+      (SELECT COUNT(*) FROM mc_pairs p
+         JOIN sl_n a ON a.doc_id = p.id_a JOIN sl_n b ON b.doc_id = p.id_b
+       WHERE a.split <> b.split) AS n_leaky_naive,
+      (SELECT COUNT(*) FROM mc_pairs p
+         JOIN sl_c a ON a.doc_id = p.id_a JOIN sl_c b ON b.doc_id = p.id_b
+       WHERE a.split <> b.split) AS n_leaky_clustered,
+      (SELECT COUNT(*) FROM sl_c WHERE split = 'holdout') AS n_holdout)
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_leaky_naive AS BIGINT) AS n_leaky_naive,
+           CAST(n_leaky_clustered AS BIGINT) AS n_leaky_clustered,
+           CAST(n_holdout AS BIGINT) AS n_holdout
+    FROM sl
+    """,
+)
+def split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the split the way the recall rows grade the ANN ladder:
+    count LSH candidate pairs whose ends fall on opposite sides of the
+    cut, for the naive id-hash split vs the cluster-keyed one.
+    n_leaky_clustered MUST be 0 — both ends of every pair share a
+    connected component, so they share a split key by construction —
+    while n_leaky_naive prices what eval contamination a pipeline
+    silently eats by splitting per-document."""
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.sampling import hash_split, leakage_free_split
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    naive = hash_split(docs, "doc_id", holdout_pct=20).select("doc_id", "split")
+    clus = leakage_free_split(docs, pairs, holdout_pct=20).select("doc_id", "split")
+
+    def leaks(split_df: DataFrame) -> DataFrame:
+        a = split_df.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+        b = split_df.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+        return pairs.join(a, "id_a").join(b, "id_b").filter(F.col("_sa") != F.col("_sb"))
+
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    ln = leaks(naive).agg(F.count(F.lit(1)).alias("n_leaky_naive"))
+    lc = leaks(clus).agg(F.count(F.lit(1)).alias("n_leaky_clustered"))
+    nh = clus.filter(F.col("split") == "holdout").agg(
+        F.count(F.lit(1)).alias("n_holdout")
+    )
+    return np_.crossJoin(ln).crossJoin(lc).crossJoin(nh)
+
+
 @q(
     "dedup_ngram_jaccard",
     """

@@ -149,6 +149,8 @@ HEADLINE = [
     # timing includes the micro-batch harness (that's the point)
     "stream_decontaminate_bloom",
     "stream_dedup_exact",
+    # round 7, third batch: dedup-aware eval split (cluster-keyed cut)
+    "split_leakage_eval",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

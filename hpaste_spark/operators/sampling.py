@@ -38,6 +38,43 @@ def hash_split(
     )
 
 
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    holdout_pct: int = 5,
+    split_col: str = "split",
+) -> DataFrame:
+    """hash_split with the DEDUP-AWARE guarantee a real eval split
+    needs: near-duplicate documents must land on the SAME side, or the
+    holdout leaks into training through its surviving twins and every
+    eval number is inflated.  ``pairs`` is any candidate duplicate-pair
+    table (id_a, id_b) — MinHash LSH upstream; the split key is the
+    doc's connected-component id (singletons key on their own id), so
+    entire duplicate clusters move as one unit and the leakage count
+    across the cut is structurally ZERO (split_leakage_eval prices the
+    naive id-hash split against this).
+
+    Scale shape: connected components over the pair graph (bounded by
+    dedup blocking, O(log d) rounds), then ONE id-equi shuffle join to
+    attach cluster keys — the cluster table is proportional to the
+    near-dup population, far too big to broadcast at 100 TB, so no
+    broadcast hint.  The split itself stays a per-row md5, stable
+    across runs, engines, and partitionings."""
+    from hpaste_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    out = df.join(comp, df[id_col] == comp["node"], "left").select(
+        df["*"], F.coalesce(F.col("cluster_id"), df[id_col]).alias("_ckey")
+    )
+    return out.withColumn(
+        split_col,
+        F.when(
+            hash_bucket(F.col("_ckey"), 100) < holdout_pct, F.lit("holdout")
+        ).otherwise(F.lit("train")),
+    ).drop("_ckey")
+
+
 def stratified_take(
     df: DataFrame, group_col: str, id_col: str, n_per_group: int
 ) -> DataFrame:

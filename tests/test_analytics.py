@@ -1975,3 +1975,40 @@ def test_cdc_chunks_content_anchored_and_dedup_policies(spark):
     assert fout[3]["clean_text"] == ""
     with pytest.raises(ValueError, match="keep"):
         cdc_dedup(df, keep="last")
+
+
+def test_leakage_free_split_clusters_never_straddle(spark):
+    """The structural guarantee: every LSH candidate pair lands on one
+    side of the cut (cluster-keyed hash), while the naive id-hash
+    split demonstrably leaks on the same pair set — and the holdout
+    fraction stays in a sane band around the requested 20%."""
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.sampling import hash_split, leakage_free_split
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.length(F.trim("text")) > 0)
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3).cache()
+    assert pairs.count() > 0, "fixture must produce candidate pairs"
+
+    def leaks(split_df):
+        a = split_df.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+        b = split_df.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+        return (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+        )
+
+    clus = leakage_free_split(docs, pairs, holdout_pct=20)
+    assert leaks(clus.select("doc_id", "split")) == 0
+    naive = hash_split(docs, "doc_id", holdout_pct=20)
+    assert leaks(naive.select("doc_id", "split")) > 0
+
+    n = docs.count()
+    h = clus.filter(F.col("split") == "holdout").count()
+    assert 0.10 * n < h < 0.35 * n, (h, n)
+    # splitting must not drop or duplicate docs
+    assert clus.count() == n
+    pairs.unpersist()
