@@ -42,7 +42,10 @@ def connected_components(
     needed)."""
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    )
+    # materialize the symmetric edge list ONCE: every propagation round
+    # joins against it, and callers hand in expensive lineages (a full
+    # MinHash-LSH pass) that would otherwise re-execute per round
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()

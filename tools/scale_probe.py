@@ -172,6 +172,11 @@ BIG_PROBES = [
     # window; source-overlap fans out ≤ #sources per gram
     "dedup_cdc",
     "corpus_source_overlap",
+    # round-7 third batch: CC-keyed split — the scale term is the
+    # connected-components rounds over the LSH pair graph (pair count
+    # bounded by dedup blocking) plus one id-equi shuffle join; the
+    # leakage grader runs the split twice and joins pairs to both
+    "split_leakage_eval",
 ]
 BIG_MARK = "<!-- big-probe -->"
 
