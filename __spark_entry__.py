@@ -1041,232 +1041,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=3)
 
 
-# Duplicate-cluster assignment: connected components over the LSH pair
-# graph (operators/graph.py — iterative min-label propagation, one
-# shuffle per round, localCheckpoint lineage cuts).  Oracle: recursive
-# CTE transitive closure over the same pairs, min reachable id.
-@q(
-    "dedup_cluster_assign",
-    """
-    WITH RECURSIVE d AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    tokh AS (
-      SELECT doc_id, list_transform(t, tok ->
-          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
-      FROM d
-    ),
-    h AS (
-      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
-            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
-      FROM tokh WHERE len(th) >= 3
-    ),
-    sig AS (
-      SELECT doc_id, list_transform(range(0, 16), i ->
-          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
-      FROM h
-    ),
-    bands AS (
-      SELECT doc_id, b AS band_idx,
-        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
-                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
-      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT id_a AS s, id_b AS dd FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-      SELECT s AS root, s AS node FROM edges
-      UNION
-      SELECT r.root, e.dd FROM reach r JOIN edges e ON r.node = e.s
-    )
-    SELECT root AS node, MIN(node) AS cluster_id FROM reach GROUP BY root
-    """,
-)
-def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hpaste_spark.operators.dedup import minhash_lsh_candidates
-    from hpaste_spark.operators.graph import connected_components
-
-    pairs = minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=3
-    )
-    return connected_components(pairs, src="id_a", dst="id_b")
-
-
-_ORACLES["dedup_cluster_assign_star"] = _ORACLES["dedup_cluster_assign"]
-
-
-@q("dedup_cluster_assign_star", None)
-def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same clustering, O(log d) large-star/small-star rounds
-    (operators/graph.py:connected_components_star) — the adversarial-
-    diameter escape hatch, checked against the identical recursive-CTE
-    oracle as the min-label variant."""
-    from hpaste_spark.operators.dedup import minhash_lsh_candidates
-    from hpaste_spark.operators.graph import connected_components_star
-
-    pairs = minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=3
-    )
-    return connected_components_star(pairs, src="id_a", dst="id_b")
-
-
-# Near-dedup survivor set: every document except non-representative
-# members of a duplicate cluster (representative = smallest doc_id).
-# This is the actual output a corpus cleaner ships.  Spark: broadcast
-# anti-join of the tiny victim list against the corpus — the victim
-# side is bounded by the duplicate count, never the corpus size.
-@q(
-    "dedup_near_keep",
-    """
-    WITH RECURSIVE d AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    tokh AS (
-      SELECT doc_id, list_transform(t, tok ->
-          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
-      FROM d
-    ),
-    h AS (
-      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
-            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
-      FROM tokh WHERE len(th) >= 3
-    ),
-    sig AS (
-      SELECT doc_id, list_transform(range(0, 16), i ->
-          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
-      FROM h
-    ),
-    bands AS (
-      SELECT doc_id, b AS band_idx,
-        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
-                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
-      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT id_a AS s, id_b AS dd FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-      SELECT s AS root, s AS node FROM edges
-      UNION
-      SELECT r.root, e.dd FROM reach r JOIN edges e ON r.node = e.s
-    ),
-    comp AS (SELECT root, MIN(node) AS cluster_id FROM reach GROUP BY root)
-    SELECT doc_id, n_chars FROM documents
-    WHERE doc_id NOT IN (SELECT root FROM comp WHERE root != cluster_id)
-    """,
-)
-def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hpaste_spark.operators.dedup import minhash_lsh_candidates
-    from hpaste_spark.operators.graph import connected_components
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
-    victims = comp.filter(F.col("node") != F.col("cluster_id")).select(
-        F.col("node").alias("doc_id")
-    )
-    return docs.join(F.broadcast(victims), "doc_id", "left_anti").select("doc_id", "n_chars")
-
-
-@q(
-    "dedup_near_keep_best",
-    """
-    WITH RECURSIVE d AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    tokh AS (
-      SELECT doc_id, list_transform(t, tok ->
-          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
-      FROM d
-    ),
-    h AS (
-      SELECT doc_id, list_transform(range(1, greatest(len(th)-2, 0)+1), i ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
-            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
-      FROM tokh WHERE len(th) >= 3
-    ),
-    sig AS (
-      SELECT doc_id, list_transform(range(0, 16), i ->
-          list_min(list_transform(hs, hh -> ((2*i+1)*hh + 7919*i) % 1000000007))) AS sig
-      FROM h
-    ),
-    bands AS (
-      SELECT doc_id, b AS band_idx,
-        list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
-                    (acc, x) -> (acc*31 + x) % 1000000007) AS band_key
-      FROM sig CROSS JOIN unnest(range(0, 4)) AS u(b)
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT id_a AS s, id_b AS dd FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-      SELECT s AS root, s AS node FROM edges
-      UNION
-      SELECT r.root, e.dd FROM reach r JOIN edges e ON r.node = e.s
-    ),
-    comp AS (SELECT root AS node, MIN(node) AS cluster_id FROM reach GROUP BY root),
-    qual AS (
-      SELECT doc_id, ROUND(
-        0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
-        + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
-                 ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                      t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
-                      / len(regexp_split_to_array(trim(text), '\\s+')) END)
-        + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
-                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                           / length(text) END)), 4) AS quality
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    ck AS (
-      SELECT q.doc_id, q.quality, COALESCE(c.cluster_id, q.doc_id) AS ckey
-      FROM qual q LEFT JOIN comp c ON c.node = q.doc_id
-    )
-    SELECT doc_id, quality FROM (
-      SELECT doc_id, quality,
-             row_number() OVER (PARTITION BY ckey ORDER BY quality DESC, doc_id) AS rn
-      FROM ck) t WHERE rn = 1
-    """,
-)
-def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survivor selection by QUALITY: each duplicate cluster keeps its
-    highest-quality member (4-dp composite score, doc-id tie-break) —
-    what a production pipeline actually wants, vs near_keep's min-id
-    rule.  Singletons survive as their own cluster."""
-    from hpaste_spark.operators.dedup import keep_best_per_cluster, minhash_lsh_candidates
-
-    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
-    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
-    return keep_best_per_cluster(docs, pairs, X.quality_score(F.col("text")))
-
-
 #: DuckDB twin of minhash_lsh_candidates(16, 4, 3) → connected
-#: components — the candidate-pair chain shared by the dedup_near_keep*
-#: oracles, factored for the split queries below.  comp = (node,
-#: cluster_id = min node of the component); docs in no pair are absent.
+#: components: the candidate-pair chain shared by dedup_cluster_assign
+#: (+_star), dedup_near_keep, dedup_near_keep_best, and the split_*
+#: queries — ONE copy, so a shingle/signature/closure change can never
+#: silently leave a stale twin behind.  mc_comp = (node, cluster_id =
+#: min node of the component); docs in no pair are absent from it;
+#: mc_ck = every non-empty doc with its cluster key (singletons key on
+#: their own id).
 _MINHASH_CC = """
     mc_d AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1314,6 +1096,111 @@ _MINHASH_CC = """
       FROM mc_d LEFT JOIN mc_comp c ON c.node = mc_d.doc_id
     )
 """
+
+
+# Duplicate-cluster assignment: connected components over the LSH pair
+# graph (operators/graph.py — iterative min-label propagation, one
+# shuffle per round, localCheckpoint lineage cuts).  Oracle: recursive
+# CTE transitive closure over the same pairs, min reachable id.
+@q(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC}
+    SELECT node, cluster_id FROM mc_comp
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=3
+    )
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
+_ORACLES["dedup_cluster_assign_star"] = _ORACLES["dedup_cluster_assign"]
+
+
+@q("dedup_cluster_assign_star", None)
+def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering, O(log d) large-star/small-star rounds
+    (operators/graph.py:connected_components_star) — the adversarial-
+    diameter escape hatch, checked against the identical recursive-CTE
+    oracle as the min-label variant."""
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.graph import connected_components_star
+
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle=3
+    )
+    return connected_components_star(pairs, src="id_a", dst="id_b")
+
+
+# Near-dedup survivor set: every document except non-representative
+# members of a duplicate cluster (representative = smallest doc_id).
+# This is the actual output a corpus cleaner ships.  Spark: broadcast
+# anti-join of the tiny victim list against the corpus — the victim
+# side is bounded by the duplicate count, never the corpus size.
+@q(
+    "dedup_near_keep",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC}
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM mc_comp WHERE node != cluster_id)
+    """,
+)
+def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpaste_spark.operators.dedup import minhash_lsh_candidates
+    from hpaste_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    victims = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(victims), "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+@q(
+    "dedup_near_keep_best",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC},
+    qual AS (
+      SELECT doc_id, ROUND(
+        0.5 * LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+        + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\\s+')) END)
+        + 0.2 * (1 - (CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                           / length(text) END)), 4) AS quality
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    kb AS (
+      SELECT q.doc_id, q.quality, k.ckey
+      FROM qual q JOIN mc_ck k USING (doc_id)
+    )
+    SELECT doc_id, quality FROM (
+      SELECT doc_id, quality,
+             row_number() OVER (PARTITION BY ckey ORDER BY quality DESC, doc_id) AS rn
+      FROM kb) t WHERE rn = 1
+    """,
+)
+def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection by QUALITY: each duplicate cluster keeps its
+    highest-quality member (4-dp composite score, doc-id tie-break) —
+    what a production pipeline actually wants, vs near_keep's min-id
+    rule.  Singletons survive as their own cluster."""
+    from hpaste_spark.operators.dedup import keep_best_per_cluster, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    return keep_best_per_cluster(docs, pairs, X.quality_score(F.col("text")))
+
+
 
 
 @q(
@@ -1386,7 +1273,12 @@ def split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.sampling import hash_split, leakage_free_split
 
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
-    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    # materialize once: pairs feeds four separate actions (the CC
+    # rounds, the pair count, and both leak joins) — without the cut
+    # the full MinHash-LSH pass would re-execute per consumer
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, shingle=3
+    ).localCheckpoint()
     naive = hash_split(docs, "doc_id", holdout_pct=20).select("doc_id", "split")
     clus = leakage_free_split(docs, pairs, holdout_pct=20).select("doc_id", "split")
 
@@ -8500,19 +8392,34 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     link = os.path.join(src_dir, f"{table}.parquet")
     target = os.path.join(sf_dir, f"{table}.parquet")
     # lexists: a dangling symlink must be replaced, and a same-basename
-    # key must never silently stream a previous fixture
+    # key must never silently stream a previous fixture; abspath because
+    # a RELATIVE target would be resolved against the link's directory
+    # (dangling for every relative sf_dir the batch readers accept)
     if os.path.lexists(link):
         os.remove(link)
-    os.symlink(target, link)
+    os.symlink(os.path.abspath(target), link)
     return src_dir
+
+
+_STREAM_SINK_LAST: dict = {}
 
 
 def _drain_to_memory(df: DataFrame, prefix: str, timeout_s: int = 600):
     """Run a streaming DataFrame to completion (availableNow) into a
     uniquely-named memory sink; returns (spark.table handle, query).
     Unique names keep repeated driver invocations in one session from
-    colliding on the sink registration."""
+    colliding on the sink registration; the PREVIOUS drain's table for
+    the same prefix is dropped so bench reps don't accumulate landed
+    row sets in driver memory (consume the returned relation before
+    re-invoking the same query)."""
     name = f"{prefix}_{next(_STREAM_SINK_SEQ)}"
+    prev = _STREAM_SINK_LAST.get(prefix)
+    if prev is not None:
+        try:
+            df.sparkSession.catalog.dropTempView(prev)
+        except Exception:
+            pass
+    _STREAM_SINK_LAST[prefix] = name
     qh = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -8526,20 +8433,14 @@ def _drain_to_memory(df: DataFrame, prefix: str, timeout_s: int = 600):
     return df.sparkSession.table(name), qh
 
 
-@q(
-    "stream_decontaminate_bloom",
-    f"""
-    WITH {_DECON_CHAIN},
-    blb AS (SELECT DISTINCT {_bloom_bit_sql('g', 'i', 16384)} AS bit
-            FROM (SELECT DISTINCT g FROM dc_bg) bgd, range(3) r(i)),
-    blp AS (SELECT doc_id, g, {_bloom_bit_sql('g', 'i', 16384)} AS bit
-            FROM dc_cg, range(3) r(i)),
-    blf AS (SELECT doc_id, g FROM blp JOIN blb USING (bit)
-            GROUP BY doc_id, g HAVING COUNT(*) = 3)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
-    FROM blf GROUP BY doc_id
-    """,
-)
+# the streaming execution is graded by the IDENTICAL relation the batch
+# operator computes — alias the oracle instead of duplicating the SQL
+# (the dedup_cluster_assign_star idiom), so a probe-family or geometry
+# change can never drift the two twins apart
+_ORACLES["stream_decontaminate_bloom"] = _ORACLES["decontaminate_bloom"]
+
+
+@q("stream_decontaminate_bloom", None)
 def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom decontamination AT INGEST: the corpus replays as a file
     stream and every doc is probed against the static broadcast bit
@@ -8556,21 +8457,30 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.streaming.dedup import stream_bloom_flags
 
     d = _t(spark, sf_dir, "documents")
+    # persist: the static side of a stream-static join re-evaluates per
+    # micro-batch — without this the whole benchmark shingle pass would
+    # rerun 3·k times under multi-batch replays (at production scale
+    # this side is the write-once build_bloom_filter artifact)
     bits = bloom_bits(
         _doc_grams(d.filter(F.col("source") == "src0"), "text", "doc_id", 5)
         .select("g"),
         "g", m_bits=16384, k_hashes=3,
-    )
+    ).persist()
     src = _stage_stream_dir(sf_dir, "documents")
     stream = (
         spark.readStream.schema(d.schema)
         .parquet(src)
         .filter(F.col("source") != "src0")
     )
-    landed, _ = _drain_to_memory(
-        stream_bloom_flags(stream, bits, n=5, m_bits=16384, k_hashes=3),
-        "stream_bloom",
-    )
+    try:
+        landed, _ = _drain_to_memory(
+            stream_bloom_flags(stream, bits, n=5, m_bits=16384, k_hashes=3),
+            "stream_bloom",
+        )
+    finally:
+        # the stream is fully drained (or failed); the landed rollup no
+        # longer references bits
+        bits.unpersist()
     return landed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged"))
 
 

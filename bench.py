@@ -189,7 +189,9 @@ def _bench_stream_stream_asof(spark, sf_dir: str) -> None:
     # key must not silently stream a previous fixture
     if os.path.lexists(link):
         os.remove(link)
-    os.symlink(target, link)
+    # abspath: a relative sf_dir would make the link target resolve
+    # against the link's own directory and dangle
+    os.symlink(os.path.abspath(target), link)
     stream = read_event_stream(spark, src_dir)
     lefts = stream.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     rights = stream.filter(F.col("event_type") == "click").select(
