@@ -5732,6 +5732,38 @@ def prof_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "prof_dedup_savings",
+    r"""
+    WITH sv_d AS (SELECT doc_id, source, md5(text) AS th,
+                         len(regexp_split_to_array(trim(text), '\s+')) AS ntok
+                  FROM documents WHERE length(trim(text)) > 0),
+    sv_k AS (SELECT th, MIN(doc_id) AS keep_id FROM sv_d GROUP BY th)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN doc_id != keep_id THEN ntok ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+           CAST(SUM(CASE WHEN doc_id != keep_id THEN ntok ELSE 0 END) * 1000000
+                // SUM(ntok) AS BIGINT) AS savings_ppm
+    FROM sv_d JOIN sv_k USING (th)
+    GROUP BY source
+    """,
+)
+def prof_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-dedup TOKEN savings attributed per source —
+    the budgeting complement to prof_source_report's within-source doc
+    counts: keep the global min-id copy of every text, bill each
+    removed copy's tokens to ITS source.  A text mirrored across three
+    sources contributes its removals to the two sources that lost the
+    election, which is exactly the double-counting a mixture weight
+    must correct for.  One keeper hash-agg + one id-equi join (no pair
+    expansion: duplicates meet only through the 1-row-per-hash keeper
+    table) + one per-source rollup; savings in integer ppm."""
+    from hpaste_spark.operators.profile import dedup_savings_by_source
+
+    return dedup_savings_by_source(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "prof_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -150,7 +150,9 @@ HEADLINE = [
     "stream_decontaminate_bloom",
     "stream_dedup_exact",
     # round 7, third batch: dedup-aware eval split (cluster-keyed cut)
+    # + global-dedup token savings attribution
     "split_leakage_eval",
+    "prof_dedup_savings",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

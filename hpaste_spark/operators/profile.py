@@ -324,3 +324,56 @@ def source_report(
             "n_langs",
         )
     )
+
+
+def dedup_savings_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-level CORPUS-WIDE exact-dedup savings, attributed to the
+    source that carries the removable copies — the complement to
+    source_report's within-source doc counts, and the number a mixture
+    designer actually budgets with: "after global dedup keeping one
+    copy per text, how many TOKENS does each source still contribute,
+    and how many did dedup take away from it?"
+
+    Keep rule: the minimum id per text hash GLOBALLY (the dedup_exact
+    contract), so a text appearing in three sources bills its two
+    removed copies to the sources of the non-keeper ids.  Fractions in
+    integer ppm so cross-partition sums stay order-free.
+
+    Shape: one hash-agg to elect keepers (min id per md5), one id-equi
+    join back (no pair expansion — duplicates meet only through the
+    ≤1-row-per-hash keeper table), one grouped agg per source.  Every
+    step map-side-combines; nothing is ordered."""
+    from hpaste_spark.functions.text import token_count
+
+    d = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col).cast("binary")).alias("_th"),
+        token_count(F.col(text_col)).alias("_ntok"),
+    )
+    keepers = d.groupBy("_th").agg(F.min(id_col).alias("_keep_id"))
+    tagged = d.join(keepers, "_th").withColumn(
+        "_removed", (F.col(id_col) != F.col("_keep_id")).cast("long")
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_removed").cast("long").alias("n_removed_docs"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+            F.sum(F.col("_removed") * F.col("_ntok")).cast("long").alias("n_removed_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed_docs",
+            "n_tokens",
+            "n_removed_tokens",
+            F.expr("n_removed_tokens * 1000000 div n_tokens").alias("savings_ppm"),
+        )
+    )
