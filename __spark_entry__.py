@@ -8517,6 +8517,56 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_tw_tumbling",
+    """
+    WITH stw_b AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    stw_wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 HOUR AS w
+               FROM events)
+    SELECT window_start, event_type, n_events, total_value
+    FROM stw_b, stw_wm WHERE window_start + INTERVAL 1 HOUR <= stw_wm.w
+    """,
+)
+def stream_tw_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation UNDER the correctness
+    gate — the canonical late-data pattern (readStream → withWatermark
+    → window → append) drained over the events replay.  Append mode
+    emits a window only once the watermark passes its end, so the
+    landed set is exactly the batch windows with end ≤ final watermark
+    = ms-floor(max event time) − 2h (Spark tracks watermarks in
+    MILLISECONDS — the oracle mirrors the ms truncation; the trailing
+    2h of windows is structurally withheld, which is the whole point
+    of the pattern: nothing emits until it can no longer change).
+    value sums go through the decimal money path (functions/money) so
+    the streaming partial order can't wiggle the 2-dp total."""
+    from hpaste_spark.streaming.events import read_event_stream
+
+    configure_session(spark)
+    src = _stage_stream_dir(sf_dir, "events")
+    stream = read_event_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    landed, _ = _drain_to_memory(agg, "stream_tw")
+    return landed
+
+
+@q(
     "stream_dedup_exact",
     """
     SELECT DISTINCT md5(text) AS text_hash

@@ -149,6 +149,7 @@ HEADLINE = [
     # timing includes the micro-batch harness (that's the point)
     "stream_decontaminate_bloom",
     "stream_dedup_exact",
+    "stream_tw_tumbling",
     # round 7, third batch: dedup-aware eval split (cluster-keyed cut)
     # + global-dedup token savings attribution
     "split_leakage_eval",
