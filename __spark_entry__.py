@@ -8567,6 +8567,65 @@ def stream_tw_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_session_window",
+    """
+    WITH ssw_t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), ssw_s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ssw_t),
+    ssw_g AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+      FROM ssw_s GROUP BY user_id, sid),
+    ssw_wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 HOUR AS w
+               FROM events)
+    SELECT user_id, session_start, n_events, total_value
+    FROM ssw_g, ssw_wm WHERE session_end <= ssw_wm.w
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native MERGING session windows under the correctness gate — the
+    fourth streaming state shape after the stateless semi-join chain,
+    the dropDuplicates seen-set, and the fixed tumbling window: here
+    the state store MERGES intervals as late events bridge sessions,
+    and a session emits only once the watermark passes its end (last
+    event + 30-min gap), i.e. once no future event can extend it.  The
+    landed set is exactly the batch gaps-and-islands sessions whose
+    end precedes ms-floor(max event time) − 2h; an event at exactly
+    gap seconds starts a NEW session (strict-overlap merge, the
+    tw_session_window contract)."""
+    from hpaste_spark.streaming.events import read_event_stream
+
+    configure_session(spark)
+    src = _stage_stream_dir(sf_dir, "events")
+    stream = read_event_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    landed, _ = _drain_to_memory(agg, "stream_sess")
+    return landed
+
+
+@q(
     "stream_dedup_exact",
     """
     SELECT DISTINCT md5(text) AS text_hash

@@ -150,6 +150,7 @@ HEADLINE = [
     "stream_decontaminate_bloom",
     "stream_dedup_exact",
     "stream_tw_tumbling",
+    "stream_session_window",
     # round 7, third batch: dedup-aware eval split (cluster-keyed cut)
     # + global-dedup token savings attribution
     "split_leakage_eval",
