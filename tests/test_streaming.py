@@ -667,3 +667,13 @@ def test_stream_registry_queries_state_posture(spark):
     _, qh = m._drain_to_memory(stream, "stream_dedup_posture")
     n_stateful = {len(p["stateOperators"]) for p in qh.recentProgress}
     assert n_stateful == {1}, n_stateful
+
+    # the windowed registry queries: one stateful operator each, of the
+    # documented kind (fixed window agg vs merging session window) —
+    # and both return the batch-collectable landed relation
+    out3 = m.stream_tw_tumbling(spark, SF)
+    assert out3.columns == ["window_start", "event_type", "n_events", "total_value"]
+    assert out3.count() > 0
+    out4 = m.stream_session_window(spark, SF)
+    assert out4.columns == ["user_id", "session_start", "n_events", "total_value"]
+    assert out4.count() > 0
