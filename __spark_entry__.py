@@ -6960,7 +6960,12 @@ def decontaminate_bloom_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     path = _bloom_filter_dir(sf_dir)
-    if not os.path.exists(os.path.join(path, "bits", "_SUCCESS")):
+    # guard on meta/_SUCCESS, not bits/_SUCCESS: build_bloom_filter
+    # writes bits FIRST, so a crash between the two writes would leave
+    # an artifact that passes a bits-only guard yet fails the meta
+    # read on every subsequent run until manually deleted — meta is
+    # written last and therefore subsumes bits
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         build_bloom_filter(
             d.filter(F.col("source") == "src0"), path,
             n=5, m_bits=16384, k_hashes=3,
@@ -7386,7 +7391,14 @@ def vec_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole coarse train inside their own subtree (3× n·k1·d·iters —
     # measured 4.9s → this shape is the two_level_centroids algorithm
     # inlined around one shared cents1)
-    cents1 = ivf_centroids(emb, k1, iterations=2).persist()
+    # localCheckpoint (eager), not persist(): it cuts the Lloyd lineage
+    # so the three consumer branches share the materialized k1 rows,
+    # WITHOUT leaving a named cache entry behind — repeated bench/
+    # correctness invocations in one session would otherwise
+    # accumulate never-evicted persisted plans (each call builds a new
+    # plan, so cache entries are never reused); checkpoint RDDs are
+    # GC'd with the DataFrame by the ContextCleaner
+    cents1 = ivf_centroids(emb, k1, iterations=2).localCheckpoint()
     a1 = ivf_assign(emb, cents1, n_dim_rows=k1 * dim).withColumnRenamed(
         "cid", "cid1"
     )

@@ -55,15 +55,20 @@ def leakage_free_split(
     across the cut is structurally ZERO (split_leakage_eval prices the
     naive id-hash split against this).
 
-    Scale shape: connected components over the pair graph (bounded by
-    dedup blocking, O(log d) rounds), then ONE id-equi shuffle join to
-    attach cluster keys — the cluster table is proportional to the
-    near-dup population, far too big to broadcast at 100 TB, so no
-    broadcast hint.  The split itself stays a per-row md5, stable
-    across runs, engines, and partitionings."""
-    from hpaste_spark.operators.graph import connected_components
+    Scale shape: connected components over the pair graph via
+    large-star/small-star (connected_components_star — O(log d) full
+    rounds, so an adversarial long-chain duplicate graph converges in
+    a handful of shuffles where min-label propagation would need
+    O(diameter) rounds and trip its max_iter), then ONE id-equi
+    shuffle join to attach cluster keys — the cluster table is
+    proportional to the near-dup population, far too big to broadcast
+    at 100 TB, so no broadcast hint.  Both CC implementations emit the
+    identical (node, component-minimum) relation, so the split is
+    byte-stable across the swap.  The split itself stays a per-row
+    md5, stable across runs, engines, and partitionings."""
+    from hpaste_spark.operators.graph import connected_components_star
 
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
     out = df.join(comp, df[id_col] == comp["node"], "left").select(
         df["*"], F.coalesce(F.col("cluster_id"), df[id_col]).alias("_ckey")
     )

@@ -118,3 +118,45 @@ def stream_bloom_flags(
             "left_semi",
         )
     return out.select(id_col, "g")
+
+
+def stream_bloom_flags_stored(
+    spark,
+    path: str,
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`stream_bloom_flags` against a write-once
+    :func:`~hpaste_spark.operators.dedup.build_bloom_filter` artifact:
+    reads ``{path}/meta`` and derives n/m_bits/k_hashes FROM THE
+    ARTIFACT instead of trusting the caller — hand-typed geometry that
+    disagrees with the bits yields silent FALSE NEGATIVES, the one
+    failure mode a Bloom filter must never have, which is why the
+    batch twin (dedup.decontaminate_bloom_stored) hard-errors on a
+    probe-family mismatch and this entry point mirrors that check.
+
+    The bits/meta reads are batch reads of the static side of a
+    stream-static join — legal and read once per (re)start, never per
+    micro-batch (persist ``bits`` at scale; at ≤ m_bits rows it
+    broadcasts regardless)."""
+    from hpaste_spark.operators.dedup import BLOOM_FAMILY
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    stored_family = meta["family"] if "family" in meta.__fields__ else 1
+    if stored_family != BLOOM_FAMILY:
+        raise ValueError(
+            f"bloom filter at {path} was built under probe family "
+            f"{stored_family}; this build probes family {BLOOM_FAMILY} — "
+            "rebuild the artifact with build_bloom_filter"
+        )
+    bits = spark.read.parquet(f"{path}/bits")
+    return stream_bloom_flags(
+        stream_docs,
+        bits,
+        text_col=text_col,
+        id_col=id_col,
+        n=meta["n"],
+        m_bits=meta["m_bits"],
+        k_hashes=meta["k_hashes"],
+    )

@@ -82,3 +82,16 @@ def test_oracle_and_spark_column_names_match(spark, duck):
             bad[name] = {"oracle_only": sorted(duck_cols - spark_cols),
                          "spark_only": sorted(spark_cols - duck_cols)}
     assert not bad, f"column-name drift between Spark and oracle: {bad}"
+
+
+def test_survey_registry_count_in_sync():
+    """SURVEY §8's end-state paragraph states the registry size; r7's
+    verdict caught it stale (221 vs 224).  Pin the doc to
+    len(queries()) so the count can never drift again — adding a query
+    means updating SURVEY.md in the same commit."""
+    import re
+
+    text = open("/root/repo/SURVEY.md").read()
+    m = re.search(r"End state: (\d+) registry queries", text)
+    assert m, "SURVEY.md end-state paragraph missing the registry count"
+    assert int(m.group(1)) == len(entry.queries())

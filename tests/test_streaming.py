@@ -627,6 +627,70 @@ def test_stream_bloom_flags_stateless_and_matches_batch(spark, tmp_path):
     bits.unpersist()
 
 
+def test_stream_bloom_flags_stored_derives_geometry_and_pins_family(
+    spark, tmp_path
+):
+    """The stored-artifact entry point must derive n/m_bits/k_hashes
+    from {path}/meta (hand-typed geometry that disagrees with the bits
+    yields silent false negatives — ADVICE r7), emit exactly the batch
+    stored-probe rows, and hard-error on a probe-family mismatch like
+    its batch twin decontaminate_bloom_stored."""
+    import pytest
+
+    from hpaste_spark.operators.dedup import (
+        _doc_grams,
+        bloom_membership,
+        build_bloom_filter,
+    )
+    from hpaste_spark.streaming.dedup import stream_bloom_flags_stored
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    # non-default geometry: the stream side must pick these up from meta
+    path = str(tmp_path / "bloom_art")
+    build_bloom_filter(bench, path, n=4, m_bits=8192, k_hashes=2)
+
+    pdf = corpus.toPandas().sort_values("doc_id")
+    src = _write_event_batches(tmp_path, "bloom_stored_src", [pdf])
+    stream = spark.readStream.schema(corpus.schema).parquet(str(src))
+    flagged = stream_bloom_flags_stored(spark, path, stream)
+
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloom_flags_stored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+
+    got = {
+        (r["doc_id"], r["g"])
+        for r in spark.sql("SELECT * FROM bloom_flags_stored").collect()
+    }
+    bits = spark.read.parquet(f"{path}/bits")
+    want = {
+        (r["doc_id"], r["g"])
+        for r in bloom_membership(
+            _doc_grams(corpus, "text", "doc_id", 4),
+            bits, m_bits=8192, k_hashes=2,
+        ).collect()
+    }
+    assert want, "fixture must flag at least one gram"
+    assert got == want
+
+    # family pinning: an artifact stamped with a foreign probe family
+    # must be rejected before any probe runs
+    bad = str(tmp_path / "bloom_bad_family")
+    bits.write.parquet(f"{bad}/bits")
+    spark.createDataFrame(
+        [(8192, 2, 4, 1)], "m_bits INT, k_hashes INT, n INT, family INT"
+    ).write.parquet(f"{bad}/meta")
+    with pytest.raises(ValueError, match="probe family"):
+        stream_bloom_flags_stored(spark, bad, stream)
+
+
 def test_stream_registry_queries_state_posture(spark):
     """The two streaming REGISTRY queries split exactly as documented:
     stream_decontaminate_bloom runs with zero stateful operators, and
