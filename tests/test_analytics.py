@@ -1707,6 +1707,71 @@ def test_mask_shared_runs_excises_exact_token_spans(spark):
     assert out[4]["clean_text"] == "totally unrelated text here"
 
 
+def test_exact_substr_pairs_detects_train_train_runs_exactly(spark):
+    """Corpus-self ExactSubstr detection: a 12-token quote shared by
+    three training docs surfaces as all three unordered pairs at
+    exactly 12 tokens; sub-threshold overlap is invisible; and the
+    occurrence cap drops ubiquitous grams (max_occ=2 kills a run whose
+    every gram occurs 3×) — the LSH max_bucket guardrail."""
+    from hpaste_spark.operators.dedup import exact_substr_pairs
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {quote} outro words"),
+            (2, f"aa bb {quote} cc dd"),
+            (3, quote),
+            (4, "totally unrelated text padded to ten tokens or more here"),
+            (5, "zz q1 q2 q3 q4 yy and some other filler tokens"),  # 4 < 10
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["lcs_tokens"]
+        for r in exact_substr_pairs(corpus, min_shared_tokens=10).collect()
+    }
+    assert out == {(1, 2): 12, (1, 3): 12, (2, 3): 12}
+    # the 3 interior 10-grams of the quote occur 3× corpus-wide each;
+    # max_occ=2 drops them all, so no candidate survives
+    assert exact_substr_pairs(corpus, min_shared_tokens=10, max_occ=2).count() == 0
+
+
+def test_exact_substr_mask_keeps_first_and_excises_later_copies(spark):
+    """Corpus-self ExactSubstr excision is keep='first' by doc id: the
+    lowest-id holder of a shared run round-trips byte-identical, every
+    later copy is cut token-exact (surrounding text rejoins), a doc
+    that IS the quote collapses to '', and untouched docs pass through
+    with n_masked_tokens = 0.  After masking, no ≥10-token run remains
+    between any pair (the quote survives only in doc 1)."""
+    from hpaste_spark.operators.dedup import exact_substr_mask, exact_substr_pairs
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {quote} outro words"),
+            (2, f"aa bb {quote} cc dd"),
+            (3, quote),
+            (4, "totally unrelated text padded to ten tokens or more here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_mask(corpus, min_shared_tokens=10).collect()
+    }
+    assert out[1]["clean_text"] == f"intro words {quote} outro words"
+    assert out[1]["n_masked_tokens"] == 0
+    assert out[2]["clean_text"] == "aa bb cc dd"
+    assert (out[2]["n_tokens"], out[2]["n_masked_tokens"]) == (16, 12)
+    assert out[3]["clean_text"] == "" and out[3]["n_masked_tokens"] == 12
+    assert out[4]["n_masked_tokens"] == 0
+    # idempotence: the masked corpus carries no qualifying pair
+    masked = spark.createDataFrame(
+        [(k, v["clean_text"]) for k, v in out.items()], "doc_id INT, text STRING"
+    )
+    assert exact_substr_pairs(masked, min_shared_tokens=10).count() == 0
+
+
 def test_dedup_lines_removes_cross_doc_boilerplate_in_order(spark):
     """RefinedWeb-style line dedup semantics: a line in ≥min_df docs
     vanishes from ALL of them; unique lines survive in original order;

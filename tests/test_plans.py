@@ -542,6 +542,31 @@ def test_lcs_and_mask_broadcast_benchmark_and_window_per_diagonal(spark, queries
         assert "Exchange SinglePartition" not in plan, (name, plan)
 
 
+def test_exact_substr_blocked_candidacy_no_cartesian(spark, queries):
+    """dedup_exact_substr_pairs / _mask (corpus-self ExactSubstr): the
+    candidate stage must be an EQUI-join on the 10-gram hash — never a
+    cartesian or nested-loop pass over doc pairs — with the
+    occurrence-cap window riding the same gram-hash partitioning
+    (blocked candidacy: fan-out per gram is capped, so no all-pairs
+    expansion exists anywhere in the plan), and every island window
+    partitioned per (id_a, id_b, diag) — no single-partition stage."""
+    for name in ("dedup_exact_substr_pairs", "dedup_exact_substr_mask"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        # the candidate stage must be a HASH-equi join on the gram key
+        # (at fixture size Catalyst rightly broadcasts the tiny gram
+        # table; at corpus stats the same plan shape shuffles on g —
+        # what's pinned here is that an equi-join EXISTS, i.e. the
+        # blocking key reached Catalyst as a join condition)
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        ), name
+
+
 def test_dedup_lines_two_bounded_shuffles_no_pairs(spark, queries):
     """dedup_lines: boilerplate detection and reassembly are plain
     hash-partitioned aggregations/joins (line key, then doc key) —

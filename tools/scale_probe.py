@@ -177,6 +177,15 @@ BIG_PROBES = [
     # bounded by dedup blocking) plus one id-equi shuffle join; the
     # leakage grader runs the split twice and joins pairs to both
     "split_leakage_eval",
+    # cross-set excision (the r7 mask twin the 30× table lacked)
+    "decontaminate_mask",
+    # round-8: corpus-self ExactSubstr — candidate stage is a self
+    # equi-join on the 10-gram hash with per-gram fan-out capped at
+    # max_occ (boilerplate grams dropped), so hit volume grows with
+    # genuinely-duplicated material, not corpus²; the mask adds the
+    # token-level anti-join + per-doc reassembly
+    "dedup_exact_substr_pairs",
+    "dedup_exact_substr_mask",
 ]
 BIG_MARK = "<!-- big-probe -->"
 
