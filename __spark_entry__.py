@@ -2271,6 +2271,56 @@ def mm_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame_pairs(media, frame_bytes=64)
 
 
+@q(
+    "mm_near_frames",
+    """
+    -- brute-force Hamming oracle: banding with bands = max_hamming+1
+    -- contiguous slices is pigeonhole-LOSSLESS, so the blocked Spark
+    -- plan and this quadratic verify emit the identical relation.
+    -- Fixture is pure ASCII, so ord() == the byte Spark reads via hex
+    WITH nf_f AS (SELECT doc_id, substr(text, CAST(fno*64+1 AS BIGINT), 64) AS f
+                  FROM documents,
+                       unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT))) AS u(fno)
+                  WHERE length(text) > 0),
+    nf_seg AS (SELECT doc_id,
+        list_transform(range(0,32), i -> CAST(CASE
+          WHEN length(f) >= i*2+2 THEN 256*ord(substr(f, CAST(i*2+1 AS BIGINT), 1))
+                                       + ord(substr(f, CAST(i*2+2 AS BIGINT), 1))
+          WHEN length(f) = i*2+1 THEN ord(substr(f, CAST(i*2+1 AS BIGINT), 1))
+          ELSE 0 END AS BIGINT)) AS sv
+      FROM nf_f WHERE length(f) > 0),
+    nf_sig AS (SELECT DISTINCT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0,31), i ->
+              CAST(CASE WHEN sv[i+1] > sv[i+2] THEN 1 ELSE 0 END AS BIGINT))),
+          (acc, x) -> acc*2 + x) AS fsig
+      FROM nf_seg),
+    nf_p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM nf_sig a JOIN nf_sig b
+               ON a.doc_id < b.doc_id
+              AND bit_count(xor(a.fsig, b.fsig)) <= 2)
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_near_frames
+    FROM nf_p GROUP BY doc_a, doc_b
+    """,
+)
+def mm_near_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL (Hamming-tolerant) frame dedup (VERDICT r7 #4):
+    mm_shared_frames' md5 equi-join catches only bit-identical frames;
+    here each 64-byte frame gets a 31-bit dHash (adjacent 2-byte
+    segment comparison — a byte edit perturbs only its own segment,
+    the locality property real image dHash has over brightness cells)
+    and doc pairs are reported per DISTINCT signature pair within
+    Hamming distance 2.  Candidates block on 3 contiguous bit slices
+    (pigeonhole: ≤2 differing bits can't touch all 3 bands, so
+    banding is lossless and the brute-force oracle is exact), expand
+    only through the (band_idx, band_key) equi-join, and verify with
+    one bit_count(xor) — never all-pairs."""
+    from hpaste_spark.operators.multimodal import attach_media, near_frame_pairs
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return near_frame_pairs(media, frame_bytes=64, max_hamming=2)
+
+
 # ---------------------------------------------------------------------------
 # Analytics extensions round 2: percentiles, sessionization, TPC-H Q3
 # shape, conditional/date aggregation, string projections, composite-key
@@ -8628,6 +8678,64 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         # longer references bits
         bits.unpersist()
     return landed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+# the foreachBatch drain lands the IDENTICAL relation the batch
+# operator computes (each doc lives in exactly one micro-batch, so the
+# per-doc band aggregation is complete within its batch) — alias the
+# batch oracle, the stream_decontaminate_bloom idiom
+_ORACLES["stream_incremental_dedup"] = _ORACLES["dedup_incremental_lsh"]
+
+
+@q("stream_incremental_dedup", None)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time LSH dedup UNDER the correctness gate (VERDICT r7
+    #3 — the one streaming shape that was pytest-only): new docs
+    (every 10th id) replay as a file stream; foreachBatch runs the
+    exact batch operator per micro-batch against the standing
+    persisted corpus band index and APPENDS the candidate pairs to a
+    parquet landing dir; the landed union is hash-checked by the SAME
+    DuckDB oracle as dedup_incremental_lsh.  Semantics are
+    batch-identical by construction: each incoming doc signs itself in
+    exactly one micro-batch, the corpus index is never re-signed, and
+    (batch_id, corpus_id, n_bands) aggregates completely within the
+    doc's own batch."""
+    import shutil
+
+    from hpaste_spark.operators.dedup import minhash_band_keys
+    from hpaste_spark.streaming.dedup import stream_incremental_dedup as _sid
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    # persist: the standing index is the static side of every
+    # micro-batch's join — without this the corpus would re-sign per
+    # batch (at production scale this is a stored table read)
+    corpus_bands = minhash_band_keys(
+        docs.filter(F.col("doc_id") % 10 != 0)
+    ).persist()
+    src = _stage_stream_dir(sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    land = os.path.join(
+        here, ".scratch", "stream_inc_dedup",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(land, ignore_errors=True)
+
+    def sink(out: DataFrame, batch_id: int) -> None:
+        out.write.mode("append").parquet(land)
+
+    try:
+        _sid(stream, corpus_bands, sink, max_bucket=2000, timeout_s=600)
+    finally:
+        corpus_bands.unpersist()
+    return spark.read.parquet(land)
 
 
 @q(

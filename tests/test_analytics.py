@@ -111,6 +111,43 @@ def test_frame_sampling_counts(spark):
     assert [r["frame_bytes"] for r in frames] == [64, 64, 44]
 
 
+def test_near_frame_pairs_tolerates_byte_edits_where_md5_cannot(spark):
+    """Perceptual frame dedup: a one-byte frame edit stays within
+    Hamming ≤ 2 of the original's dHash (locality — the edit perturbs
+    only its own 2-byte segment, flipping at most the two adjacent
+    comparison bits), so the pair IS reported; md5 shared_frame_pairs
+    misses it by construction.  A byte-reversed frame (all comparison
+    bits inverted) is NOT reported, and identical frames pair at
+    distance 0."""
+    from hpaste_spark.operators.multimodal import (
+        attach_media,
+        near_frame_pairs,
+        shared_frame_pairs,
+    )
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnopqrstuvwxyz01"
+    assert len(base) == 64
+    edited = base[:30] + "Z" + base[31:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, base[::-1]), (4, base)],
+        "doc_id long, text string",
+    )
+    media = attach_media(df)
+    near = {
+        (r["doc_a"], r["doc_b"]): r["n_near_frames"]
+        for r in near_frame_pairs(media, frame_bytes=64, max_hamming=2).collect()
+    }
+    assert (1, 2) in near, "one-byte edit must stay within hamming 2"
+    assert (1, 4) in near and (2, 4) in near  # identical + edited twin
+    assert (1, 3) not in near and (2, 3) not in near and (3, 4) not in near
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_frame_pairs(media, frame_bytes=64).collect()
+    }
+    assert (1, 2) not in exact, "md5 frames are edit-blind — that's the gap"
+    assert (1, 4) in exact
+
+
 def test_ivf_topk_recall(spark, emb):
     """IVF with nprobe=all centroids IS brute force; with nprobe=2 the
     result is a subset of the data ranked by exact cosine."""

@@ -567,6 +567,23 @@ def test_exact_substr_blocked_candidacy_no_cartesian(spark, queries):
         ), name
 
 
+def test_mm_near_frames_band_blocked_never_all_pairs(spark, queries):
+    """mm_near_frames: candidates must reach the Hamming verify through
+    the (band_idx, band_key) equi-join — no cartesian / nested-loop
+    doc-pair expansion anywhere, no single-partition stage (the
+    signature fold is a narrow projection; banding is an explode +
+    hash join)."""
+    plan = plan_of(queries["mm_near_frames"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
 def test_dedup_lines_two_bounded_shuffles_no_pairs(spark, queries):
     """dedup_lines: boilerplate detection and reassembly are plain
     hash-partitioned aggregations/joins (line key, then doc key) —
