@@ -1297,6 +1297,38 @@ def split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_edit_distance",
+    f"""
+    WITH RECURSIVE {_MINHASH_CC}
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM mc_pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    WHERE levenshtein(da.text, db.text) <= 20
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-VERIFIED near-dup pairs (the RETSim posture:
+    ANN/LSH recall stage, exact verify stage): MinHash-LSH candidates
+    pay one exact Levenshtein each, pairs within 20 character edits
+    survive.  Shingle Jaccard can't see block moves (two swapped
+    halves keep Jaccard ≈ 1 at half-a-document of edits) — the DP
+    distance is character ground truth, affordable only AFTER
+    blocking (O(len²) per pair).  Spark's levenshtein runs with the
+    threshold argument so the DP early-exits past 20; on sf0.01 the
+    25 planted near-dup pairs sit at 2-20 edits with the background
+    ≥ 21 — the same 25 pairs ExactSubstr finds by shared run, agreeing
+    through a completely different distance."""
+    from hpaste_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return edit_distance_pairs(docs, max_edits=20)
+
+
+@q(
     "dedup_ngram_jaccard",
     """
     WITH d AS (
@@ -2269,6 +2301,43 @@ def mm_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media(_t(spark, sf_dir, "documents"))
     return shared_frame_pairs(media, frame_bytes=64)
+
+
+@q(
+    "mm_shared_frame_run",
+    """
+    WITH sfr AS (
+      SELECT doc_id, fno, md5(substr(text, CAST(fno*64+1 AS BIGINT), 64)) AS fh
+      FROM documents,
+           unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT))) AS u(fno)
+      WHERE length(text) > 0
+        AND length(substr(text, CAST(fno*64+1 AS BIGINT), 64)) > 0),
+    sfr_h AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fno AS fa,
+                     a.fno - b.fno AS diag
+              FROM sfr a JOIN sfr b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+    sfr_r AS (SELECT doc_a, doc_b, diag, fa,
+                     fa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY fa) AS grp
+              FROM sfr_h),
+    sfr_s AS (SELECT doc_a, doc_b, COUNT(*) AS run
+              FROM sfr_r GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, CAST(MAX(run) AS BIGINT) AS run_frames
+    FROM sfr_s GROUP BY doc_a, doc_b HAVING MAX(run) >= 2
+    """,
+)
+def mm_shared_frame_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL frame alignment: longest run of CONSECUTIVE identical
+    frames per doc pair (≥2) — the clip-copy signal mm_shared_frames'
+    bag count can't express (40 scattered stock frames ≠ a 40-frame
+    copied segment).  The text ExactSubstr diagonal-island machinery
+    at frame granularity: positions ride the md5 equi-join, shared
+    runs have constant position difference, maximal islands measure
+    the run.  Fixture pairs align at runs 2-8 frames."""
+    from hpaste_spark.operators.multimodal import (attach_media,
+                                                   shared_frame_run_pairs)
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return shared_frame_run_pairs(media, frame_bytes=64, min_run=2)
 
 
 @q(
@@ -8604,15 +8673,28 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
         f"{os.path.basename(os.path.normpath(sf_dir))}_{table}",
     )
     os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, f"{table}.parquet")
     target = os.path.join(sf_dir, f"{table}.parquet")
     # lexists: a dangling symlink must be replaced, and a same-basename
     # key must never silently stream a previous fixture; abspath because
     # a RELATIVE target would be resolved against the link's directory
     # (dangling for every relative sf_dir the batch readers accept)
-    if os.path.lexists(link):
-        os.remove(link)
-    os.symlink(os.path.abspath(target), link)
+    for old in os.listdir(src_dir):
+        os.remove(os.path.join(src_dir, old))
+    if os.path.isdir(target):
+        # Spark-written fixture (the scale-probe synthetics): a
+        # DIRECTORY of part files — the file stream source wants leaf
+        # files directly in its glob dir, so link each part file (a
+        # symlinked subdirectory would trip partition-discovery)
+        for part in sorted(os.listdir(target)):
+            if part.endswith(".parquet"):
+                os.symlink(
+                    os.path.abspath(os.path.join(target, part)),
+                    os.path.join(src_dir, part),
+                )
+    else:
+        os.symlink(
+            os.path.abspath(target), os.path.join(src_dir, f"{table}.parquet")
+        )
     return src_dir
 
 
@@ -8961,6 +9043,11 @@ _SEMANTICS_CHANGED = {
     "decontaminate_bloom_stored": 7,
     "bloom_fp_eval": 7,
     "pipe_export_manifest": 7,
+    # r8: corpus_source_overlap reworked from gram-keyed self-join to
+    # per-gram source-set pair explode — output byte-identical by
+    # construction AND A/B-verified, but the plan is new, so a fresh
+    # green row should confirm it ahead of the stale tail
+    "corpus_source_overlap": 8,
 }
 
 

@@ -479,6 +479,58 @@ def containment_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_edits: int = 20,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs VERIFIED BY EXACT EDIT DISTANCE (the RETSim /
+    SuperMinHash-verify posture): MinHash-LSH blocks the candidates,
+    then each surviving pair pays one exact Levenshtein check and only
+    pairs within ``max_edits`` character edits are reported —
+    (id_a, id_b, edit_distance).
+
+    Why this exists next to the Jaccard stack: shingle Jaccard can't
+    see BLOCK MOVES — a doc with two swapped halves keeps nearly all
+    its shingles (Jaccard ≈ 1) while sitting half-a-document of edits
+    away, and conversely one repeated find-and-replace kills many
+    shingles while costing few edits.  Edit distance is the
+    character-level ground truth, but O(len²) per PAIR — viable only
+    AFTER blocking, never as the candidate metric (which is exactly
+    how RETSim-class systems deploy it: ANN/LSH recall stage, exact
+    verify stage).  The verify joins the candidate ids back to their
+    texts (two id-equi joins), and Spark's ``levenshtein`` takes the
+    threshold so the DP can early-exit rows whose distance already
+    exceeds ``max_edits`` (returns −1, filtered).
+
+    Recall contract is inherited from the blocking stage: a pair
+    missed by every band is not checked (same LSH amplification as
+    dedup_minhash_lsh); at the default 4×4 signature, pairs within a
+    few dozen edits of each other on realistic documents share most
+    shingles and block reliably."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle, max_bucket
+    ).select("id_a", "id_b")
+    t = df.select(F.col(id_col), F.col(text_col))
+    ta = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("_ta"), F.col("_tb"), max_edits).cast("long"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash: per token hash, vote ±1 on each of `bits` bit positions;
     bit set iff the vote sum is positive.  Whole computation is nested

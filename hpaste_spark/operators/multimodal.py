@@ -194,6 +194,68 @@ def extract_features(df: DataFrame, dim: int = 16, use_real_model: bool = False)
     return df.select("doc_id", "media").mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+def shared_frame_run_pairs(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    min_run: int = 2,
+    max_frame_df: int | None = None,
+) -> DataFrame:
+    """TEMPORAL frame alignment — the clip-copy primitive
+    :func:`shared_frame_pairs` can't express: that operator counts a
+    BAG of shared frames, but a re-posted clip / copied intro is a
+    shared CONSECUTIVE RUN, and two videos sharing 40 scattered stock
+    frames are a very different signal from two sharing a 40-frame
+    segment.  Returns (doc_a, doc_b, run_frames) for pairs whose
+    longest run of consecutive identical frames is ≥ ``min_run``.
+
+    Same diagonal-island machinery as the text ExactSubstr stack
+    (dedup.longest_shared_run_pairs) at frame granularity: keep each
+    frame's POSITION through the md5 equi-join; hits of a shared
+    k-frame run have constant (pos_a − pos_b), so group per
+    (doc_a, doc_b, diagonal) and measure maximal position islands.
+    Pairs expand only through the frame-hash join; ``max_frame_df``
+    caps ubiquitous frames (black frames, silence) exactly as in
+    shared_frame_pairs."""
+    from pyspark.sql import Window
+
+    fr = (
+        sample_frames(df, frame_bytes=frame_bytes, every_k=1)
+        .filter(F.col("frame_bytes") > 0)
+        .select("doc_id", "frame_no", F.md5(F.col("frame")).alias("fh"))
+    )
+    if max_frame_df is not None:
+        ok = (
+            fr.select("doc_id", "fh")
+            .distinct()
+            .groupBy("fh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_frame_df)
+        )
+        fr = fr.join(ok.select("fh"), "fh")
+    a = fr.select(
+        F.col("doc_id").alias("doc_a"), F.col("frame_no").alias("fa"), "fh"
+    )
+    b = fr.select(
+        F.col("doc_id").alias("doc_b"), F.col("frame_no").alias("fb"), "fh"
+    )
+    hits = (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", (F.col("fa") - F.col("fb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("fa")
+    runs = (
+        hits.withColumn("grp", F.col("fa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("_run").cast("long").alias("run_frames"))
+        .filter(F.col("run_frames") >= min_run)
+    )
+
+
 #: frame-signature width: 31 bits keeps every intermediate (the packed
 #: signature, shifted band keys, xor) inside BIGINT range on BOTH
 #: engines with no sign-bit wraparound — the SIMHASH_BITS=30 lesson

@@ -148,6 +148,79 @@ def test_near_frame_pairs_tolerates_byte_edits_where_md5_cannot(spark):
     assert (1, 4) in exact
 
 
+def test_edit_distance_pairs_separates_edits_from_block_moves(spark):
+    """Levenshtein verify after LSH blocking: a one-word in-place edit
+    is kept with its exact distance; two SWAPPED HALVES — which keep
+    shingle Jaccard ≈ 1 and therefore block as candidates — are
+    rejected (block moves cost ~half a document of edits, the case
+    Jaccard structurally cannot see); an unrelated doc never reaches
+    the verify."""
+    from hpaste_spark.operators.dedup import edit_distance_pairs
+
+    half_x = "alpha beta gamma delta epsilon zeta eta theta"
+    half_y = "iota kappa lambda mu nu xi omicron pi"
+    base = f"{half_x} {half_y}"
+    edited = base.replace("delta", "felta")  # 1 char edit
+    swapped = f"{half_y} {half_x}"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, edited),
+            (3, swapped),
+            (4, "totally different words about other topics entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, max_edits=20).collect()
+    }
+    assert out == {(1, 2): 1}
+    # raise the bar past the block-move cost and the swapped pair
+    # appears with its true (large) distance — proving it was blocked
+    # as a candidate and rejected by the verify, not missed by LSH
+    loose = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, max_edits=100).collect()
+    }
+    assert (1, 3) in loose and loose[(1, 3)] > 20
+
+
+def test_shared_frame_run_measures_consecutive_alignment(spark):
+    """Temporal frame alignment: two payloads sharing 3 CONSECUTIVE
+    64-byte frames report run_frames=3; a payload containing the same
+    frames SCATTERED (non-consecutive positions, broken diagonals)
+    reports only its longest consecutive run; bag-count
+    shared_frame_pairs sees both as 3 shared frames."""
+    from hpaste_spark.operators.multimodal import (
+        attach_media,
+        shared_frame_pairs,
+        shared_frame_run_pairs,
+    )
+
+    f = [c * 64 for c in "abcdef"]
+    df = spark.createDataFrame(
+        [
+            (1, f[0] + f[1] + f[2]),                    # run abc
+            (2, f[5] + f[0] + f[1] + f[2]),             # x + run abc
+            (3, f[0] + f[3] + f[1] + f[4] + f[2]),      # a.b.c scattered
+        ],
+        "doc_id long, text string",
+    )
+    media = attach_media(df)
+    runs = {
+        (r["doc_a"], r["doc_b"]): r["run_frames"]
+        for r in shared_frame_run_pairs(media, frame_bytes=64, min_run=1).collect()
+    }
+    assert runs[(1, 2)] == 3
+    assert runs[(1, 3)] == 1
+    bags = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_frames"]
+        for r in shared_frame_pairs(media, frame_bytes=64).collect()
+    }
+    assert bags[(1, 2)] == 3 and bags[(1, 3)] == 3  # the signal bags miss
+
+
 def test_ivf_topk_recall(spark, emb):
     """IVF with nprobe=all centroids IS brute force; with nprobe=2 the
     result is a subset of the data ranked by exact cosine."""

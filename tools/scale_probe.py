@@ -262,6 +262,162 @@ def big_probe(spark, qs, factor: int) -> None:
     print("appended big-probe section to SCALE.md")
 
 
+HUNDRED_MARK = "<!-- probe-100x -->"
+
+
+def subset_probe(spark, qs, factor: int, names: list, mark: str, title: str) -> None:
+    """Run an explicit query subset at sf0.1 vs the factor× fixture and
+    replace the ``mark`` section of SCALE.md — the --big harness with a
+    caller-chosen list, used for the 100× rows (running all of
+    BIG_PROBES at 100× would take hours for queries whose 30× rows
+    already pin the growth)."""
+    big_dir = os.path.join(REPO, ".scratch", f"sf{factor}x_probe")
+    if "--regen" in sys.argv or not os.path.isdir(f"{big_dir}/embeddings.parquet"):
+        synthesize(spark, factor, big_dir)
+        print("synthesized", big_dir, flush=True)
+
+    def run(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for name in names:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    lines = [
+        mark,
+        "",
+        f"## {title}",
+        "",
+        f"| query | sf0.1 (s) | {factor}× (s) | alpha | rows sf0.1 | rows {factor}× |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in names:
+        t_small = run(name, SF01)
+        t_big = run(name, big_dir)
+        n_small = qs[name](spark, SF01).count()
+        n_big = qs[name](spark, big_dir).count()
+        alpha = math.log(t_big / t_small) / math.log(factor)
+        lines.append(
+            f"| {name} | {t_small:.2f} | {t_big:.2f} | {alpha:.2f} | {n_small} | {n_big} |"
+        )
+        print(
+            f"{name:28s} sf0.1={t_small:6.2f}s {factor}x={t_big:7.2f}s alpha={alpha:.2f} "
+            f"rows {n_small}->{n_big}",
+            flush=True,
+        )
+    lines.append("")
+    _replace_section(mark, lines)
+    print(f"wrote {mark} section to SCALE.md")
+
+
+def _replace_section(mark: str, lines: list) -> None:
+    """Replace (or append) the SCALE.md block that starts at ``mark``
+    and runs to the next '<!-- ' marker."""
+    path = os.path.join(REPO, "SCALE.md")
+    text = open(path).read() if os.path.exists(path) else "# SCALE\n"
+    if mark in text:
+        head, _, rest = text.partition(mark)
+        nxt = rest.find("<!-- ")
+        text = head.rstrip() + "\n\n" + "\n".join(lines) + "\n\n" + (
+            rest[nxt:] if nxt != -1 else ""
+        )
+    else:
+        text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+STREAM_MARK = "<!-- stream-probe -->"
+
+#: the streaming registry queries: each drains a real Structured
+#: Streaming execution and returns the landed batch relation
+STREAM_PROBES = [
+    "stream_decontaminate_bloom",
+    "stream_dedup_exact",
+    "stream_tw_tumbling",
+    "stream_session_window",
+    "stream_incremental_dedup",
+]
+
+
+def stream_probe(spark, qs, factor: int = 30) -> None:
+    """Drain every streaming registry query against the factor×
+    fixture (VERDICT r7 #6 — the streaming queries had no probe rows at
+    all).  Timing includes the full drain: source listing, micro-batch
+    execution, state store work, and the landed count.  events.parquet
+    is not synthesized by the probe fixture, so the two event-time
+    queries replay the sf0.1 events file replicated via symlinks
+    factor× into the staging dir (same rows, factor× files → factor×
+    the data through the SAME watermark/state machinery; dedup state
+    grows with distinct keys, window state with distinct windows)."""
+    big_dir = os.path.join(REPO, ".scratch", f"sf{factor}x_probe")
+    if "--regen" in sys.argv or not os.path.isdir(f"{big_dir}/documents.parquet"):
+        synthesize(spark, factor, big_dir)
+        print("synthesized", big_dir, flush=True)
+    # the events-based streams replay the sf0.1 file factor× (the doc
+    # fixture has no events table); stage replicated symlinks so the
+    # file source sees factor× distinct input files
+    ev_dir = os.path.join(big_dir, "ev_rep")
+    os.makedirs(ev_dir, exist_ok=True)
+    tgt = os.path.abspath(os.path.join(SF01, "events.parquet"))
+    for i in range(factor):
+        link = os.path.join(ev_dir, f"events_{i}.parquet")
+        if not os.path.lexists(link):
+            os.symlink(tgt, link)
+
+    def run(name: str, sf_dir: str):
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        return time.perf_counter() - t0, n
+
+    lines = [
+        STREAM_MARK,
+        "",
+        f"## Streaming drain probe — full availableNow executions at {factor}×",
+        "",
+        "One drain each (a second run would re-read the same landed",
+        "dir); wall includes source listing + micro-batches + state +",
+        "landed count.  The two event-time rows replay the sf0.1 events",
+        f"file {factor}× via staged symlinks (replicated rows exercise the",
+        "same watermark/state machinery; aggregate state grows with",
+        "distinct windows/keys, not input volume).",
+        "",
+        f"| query | sf0.1 (s) | {factor}× (s) | alpha | rows sf0.1 | rows {factor}× |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in STREAM_PROBES:
+        uses_events = name in ("stream_tw_tumbling", "stream_session_window")
+        t_small, n_small = run(name, SF01)
+        if uses_events:
+            # point the staging at the replicated events dir by running
+            # against a shim sf_dir whose events.parquet IS that dir
+            shim = os.path.join(big_dir, "ev_shim")
+            os.makedirs(shim, exist_ok=True)
+            ln = os.path.join(shim, "events.parquet")
+            if os.path.lexists(ln):
+                os.remove(ln)
+            os.symlink(ev_dir, ln)
+            t_big, n_big = run(name, shim)
+        else:
+            t_big, n_big = run(name, big_dir)
+        alpha = math.log(t_big / t_small) / math.log(factor)
+        lines.append(
+            f"| {name} | {t_small:.2f} | {t_big:.2f} | {alpha:.2f} | {n_small} | {n_big} |"
+        )
+        print(
+            f"{name:28s} sf0.1={t_small:6.2f}s {factor}x={t_big:7.2f}s alpha={alpha:.2f} "
+            f"rows {n_small}->{n_big}",
+            flush=True,
+        )
+    lines.append("")
+    _replace_section(STREAM_MARK, lines)
+    print("wrote stream-probe section to SCALE.md")
+
+
 GATE_MARK = "<!-- gate-probe -->"
 
 
@@ -446,6 +602,24 @@ def main() -> None:
         i = sys.argv.index("--gate")
         factor = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 30
         gate_probe(spark, factor)
+        spark.stop()
+        return
+
+    if "--streaming" in sys.argv:
+        i = sys.argv.index("--streaming")
+        factor = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 30
+        stream_probe(spark, qs, factor)
+        spark.stop()
+        return
+
+    if "--hundred" in sys.argv:
+        # 100× rows for an explicit subset: --hundred name1,name2[,...]
+        i = sys.argv.index("--hundred")
+        names = sys.argv[i + 1].split(",")
+        subset_probe(
+            spark, qs, 100, names, HUNDRED_MARK,
+            "100× probe — r7 sub-document batch past the 30× regime",
+        )
         spark.stop()
         return
 
