@@ -8948,6 +8948,84 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landed
 
 
+# the drained stream-stream as-of lands the identical relation the
+# batch as-of join computes (single availableNow data batch → nothing
+# is late; the no-data batch's event-time timeouts flush every pending
+# left) — alias the batch oracle, the stream_decontaminate_bloom idiom
+_ORACLES["stream_ss_asof_attribution"] = _ORACLES["asof_click_attribution"]
+
+
+@q("stream_ss_asof_attribution", None)
+def stream_ss_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM as-of attribution UNDER the correctness gate — the
+    sixth gated streaming shape, and the first CUSTOM STATEFUL operator
+    (applyInPandasWithState) to be value-hash-checked: purchases and
+    clicks replay as two filtered views of one event stream, each
+    purchase buffers in keyed state until the watermark proves no
+    earlier click can still arrive, and emits its latest-click-at-or-
+    before match exactly once.  A far-future sentinel click (unused
+    key) staged as a second source file pushes the final watermark past
+    every real event, so the no-data micro-batch's event-time timeouts
+    flush ALL pending purchases and the landed relation equals the
+    batch as-of join — the SAME DuckDB ASOF JOIN oracle as
+    asof_click_attribution grades this streaming execution.  (The
+    fixture has no (user_id, ts) click ties at any SF, so the match is
+    unique and the hash deterministic.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hpaste_spark.streaming.events import read_event_stream, stream_stream_asof
+
+    configure_session(spark)
+    src = _stage_stream_dir(sf_dir, "events")
+    # deterministic sentinel: one 2030 click on an unused key — written
+    # AFTER staging (the staging pass clears the dir)
+    fixture_schema = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")
+        if not os.path.isdir(os.path.join(sf_dir, "events.parquet"))
+        else next(
+            os.path.join(sf_dir, "events.parquet", p)
+            for p in sorted(os.listdir(os.path.join(sf_dir, "events.parquet")))
+            if p.endswith(".parquet")
+        )
+    )
+    import pandas as pd
+
+    sentinel = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": [10**9],
+                "ts": [pd.Timestamp("2030-01-01")],
+                "user_id": [-1],
+                "event_type": ["click"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        ),
+        schema=fixture_schema,
+    )
+    pq.write_table(sentinel, os.path.join(src, "zz_sentinel.parquet"))
+
+    stream = read_event_stream(spark, src)
+    lefts = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    rights = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = stream_stream_asof(
+        lefts, rights, on=["user_id"], ts_col="ts",
+        payload_col="click_event_id", watermark="10 minutes",
+    )
+    landed, _ = _drain_to_memory(out, "stream_ss_asof")
+    return landed.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id_right").alias("click_event_id"),
+        (epoch_us(F.col("ts")) - epoch_us(F.col("ts_right"))).alias("gap_us"),
+    )
+
+
 @q(
     "stream_dedup_exact",
     """

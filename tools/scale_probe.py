@@ -341,6 +341,7 @@ STREAM_PROBES = [
     "stream_tw_tumbling",
     "stream_session_window",
     "stream_incremental_dedup",
+    "stream_ss_asof_attribution",
 ]
 
 
