@@ -52,17 +52,44 @@ DIGITS = "0123456789"
 FROM_CHARS = ALPHA + DIGITS
 
 
+#: multipliers coprime with 26 — 12 of them × 26 shifts = 312 distinct
+#: affine letter bijections, so LETTER-ONLY text stays decorrelated to
+#: 312 replicas.  (The original rotation-only map had true period 26
+#: on letter-only tokens: the lcm(26,10)=130 claim held only for
+#: tokens mixing letters and digits, and the fixture vocabulary is
+#: pure letters — at 100× every replica r was BYTE-IDENTICAL to
+#: r±26k, verified 5000/5000 docs, silently turning the probe corpus
+#: into 4-way exact duplicates.  Caught round 8 by
+#: dedup_exact_substr_pairs' 100× row: 1.07M pairs where ~28k were
+#: expected.)
+AFFINE_A26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+AFFINE_A10 = [1, 3, 7, 9]
+
+
+def _replica_map(r: int) -> str:
+    """Target string for translate(): letters through the affine map
+    i → (a·i + b) mod 26 with a = AFFINE_A26[r // 26], b = r % 26
+    (distinct bijection for every r < 312 — two replicas share a map
+    only when both a and b agree); digits through i → (a'·i + b') mod
+    10 with a' = AFFINE_A10[r // 10 % 4], b' = r % 10."""
+    a, b = AFFINE_A26[(r // 26) % len(AFFINE_A26)], r % 26
+    letters = "".join(ALPHA[(a * i + b) % 26] for i in range(26))
+    a2, b2 = AFFINE_A10[(r // 10) % len(AFFINE_A10)], r % 10
+    digits = "".join(DIGITS[(a2 * i + b2) % 10] for i in range(10))
+    return letters + digits
+
+
 def synthesize(spark, factor: int = 10, out_dir: str = SF1) -> None:
     """Replicate the sf0.1 documents/embeddings ``factor``× with
-    per-replica decorrelation.  Text: alphabet rotation r%26 composed
-    with digit rotation r%10 — the combined map repeats with period
-    lcm(26,10)=130, so every replica r < 130 gets a DISTINCT map (no
-    cross-replica shingle collisions up to 100×).  Embeddings: position
-    rotation r%64 composed with a per-replica ±1 sign pattern
-    ((pos·r) % 7 < 4; identity at r=0) — each replica transform is
-    orthogonal (within-replica cosines preserved exactly) and the
-    combination repeats only every lcm(64,7)=448 replicas, where bare
-    rotation would let replicas r and r+64 coincide past 64×."""
+    per-replica decorrelation.  Text: per-replica AFFINE alphabet/digit
+    bijections (see :func:`_replica_map` — distinct for every replica
+    r < 312 even on letter-only tokens, which is what the fixture
+    vocabulary consists of).  Embeddings: position rotation r%64
+    composed with a per-replica ±1 sign pattern ((pos·r) % 7 < 4;
+    identity at r=0) — each replica transform is orthogonal
+    (within-replica cosines preserved exactly) and the combination
+    repeats only every lcm(64,7)=448 replicas, where bare rotation
+    would let replicas r and r+64 coincide past 64×."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
@@ -75,13 +102,7 @@ def synthesize(spark, factor: int = 10, out_dir: str = SF1) -> None:
         *[
             c
             for r in range(factor)
-            for c in (
-                F.lit(r),
-                F.lit(
-                    ALPHA[r % 26:] + ALPHA[:r % 26]
-                    + DIGITS[r % 10:] + DIGITS[:r % 10]
-                ),
-            )
+            for c in (F.lit(r), F.lit(_replica_map(r)))
         ]
     )
     dN = (
