@@ -2383,11 +2383,21 @@ def mm_near_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: ≤2 differing bits can't touch all 3 bands, so
     banding is lossless and the brute-force oracle is exact), expand
     only through the (band_idx, band_key) equi-join, and verify with
-    one bit_count(xor) — never all-pairs."""
+    one bit_count(xor) — never all-pairs.
+
+    max_bucket=4000 is the saturation guardrail: the fixture's 31-word
+    vocabulary gives the signature low per-bit entropy, so band keys
+    concentrate (measured max bucket 315 at sf0.01 / 3145 at sf0.1 —
+    both BELOW the cap, so the gate compares the exact uncapped
+    relation) and in-bucket pair work would grow quadratically past
+    these scales.  With the cap, total candidate work is bounded by
+    cap·bands·n_signatures — linear — at the documented cost of
+    dropping saturated (non-discriminative) buckets; see SCALE.md
+    'Perceptual banding saturation'."""
     from hpaste_spark.operators.multimodal import attach_media, near_frame_pairs
 
     media = attach_media(_t(spark, sf_dir, "documents"))
-    return near_frame_pairs(media, frame_bytes=64, max_hamming=2)
+    return near_frame_pairs(media, frame_bytes=64, max_hamming=2, max_bucket=4000)
 
 
 # ---------------------------------------------------------------------------
@@ -5883,6 +5893,52 @@ def prof_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "prof_length_quantiles",
+    r"""
+    WITH plq AS (SELECT source,
+                        len(regexp_split_to_array(trim(text), '\s+')) AS v
+                 FROM documents WHERE length(trim(text)) > 0),
+    plq_c AS (SELECT source, v, COUNT(*) AS c FROM plq GROUP BY 1, 2),
+    plq_w AS (SELECT source, v,
+                     SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                     SUM(c) OVER (PARTITION BY source) AS n
+              FROM plq_c)
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.25 * n) THEN v END) AS BIGINT) AS q25,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN v END) AS BIGINT) AS q50,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.75 * n) THEN v END) AS BIGINT) AS q75,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN v END) AS BIGINT) AS q95
+    FROM plq_w GROUP BY source
+    """,
+)
+def prof_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source doc-length quantiles (p25/p50/p75/p95 of token
+    counts) — the distribution readout usually surrendered to
+    percentile_approx's nondeterministic sketch.  For a DISCRETE value
+    exactness is affordable at any corpus size: hash-agg counts per
+    (source, length) — bounded by the length domain, not the corpus —
+    then one window over that tiny table; each quantile is the
+    smallest value whose cumulative count reaches ceil(q·n) (type-1
+    sample quantile: a value FROM the data, no interpolation, so the
+    two engines can only agree or disagree, never drift by float
+    epsilon).  The percent_rank-partitioned-by-source plan this
+    replaces funnels each source through one terabyte-sorting task."""
+    from hpaste_spark.functions.text import token_count
+    from hpaste_spark.operators.profile import exact_group_quantiles
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    lens = d.select("source", token_count(F.col("text")).alias("v"))
+    out = exact_group_quantiles(lens, "v", "source", qs=(0.25, 0.5, 0.75, 0.95))
+    return out.select(
+        "source",
+        "n",
+        *[F.col(c).cast("long").alias(c) for c in ("q25", "q50", "q75", "q95")],
+    )
+
+
+@q(
     "prof_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -6923,12 +6979,11 @@ _EXSUB_CHAIN = """
       FROM documents WHERE length(trim(text)) > 0),
     es_th AS (
       SELECT doc_id, t, list_transform(t, tok ->
-          CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS th
+          substr(md5(tok), 1, 13)) AS th
       FROM es_d),
     es_h AS (
       SELECT doc_id, list_transform(range(1, greatest(len(th)-9, 0)+1), i ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+9]),
-            (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+          md5(array_to_string(th[i:i+9], ','))) AS hs
       FROM es_th WHERE len(th) >= 10),
     es_p AS (SELECT doc_id, unnest(hs) AS g, unnest(range(1, len(hs)+1)) AS pos
              FROM es_h),

@@ -155,6 +155,16 @@ HEADLINE = [
     # + global-dedup token savings attribution
     "split_leakage_eval",
     "prof_dedup_savings",
+    # round 8: corpus-self ExactSubstr (detect + excise), edit-distance
+    # verify, perceptual + temporal frame dedup, the set-form source
+    # overlap (already listed above), and two more gated streams
+    "dedup_exact_substr_pairs",
+    "dedup_exact_substr_mask",
+    "dedup_edit_distance",
+    "mm_near_frames",
+    "mm_shared_frame_run",
+    "stream_incremental_dedup",
+    "stream_ss_asof_attribution",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

@@ -1459,14 +1459,37 @@ def _self_run_islands(
     excision's).  The occurrence count rides a window over the SAME
     gram-hash partitioning the self-join shuffles on — one exchange,
     reused by both join sides, no second aggregation pass.
+
+    Gram keys are 128-BIT (md5 over the window's 13-hex-char token
+    hashes), NOT the 30-bit polynomial fold the cross-set gram ops
+    use: here one colliding gram IS a reported pair (n = the
+    threshold), and the fold's mod-1e9+7 space has a birthday floor —
+    measured 21,930 spurious cross-replica pairs at a mere 3.75M
+    grams (30× probe), every one an exactly-n-token 'run', and at
+    corpus scale the floor grows quadratically.  The cross-set ops
+    keep the cheap fold because their run filter (≥ min_shared_tokens
+    consecutive n-grams, n ≪ threshold) already suppresses isolated
+    collisions.  One md5 per token window — the cost class every
+    bloom path already pays per gram.
     """
     from pyspark.sql import Window
 
-    from hpaste_spark.functions.text import shingle_hashes
+    from hpaste_spark.functions.text import tokens
 
-    p = corpus.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col),
-        F.posexplode(shingle_hashes(F.col(text_col), n)).alias("pos", "g"),
+    base = corpus.filter(F.length(F.trim(F.col(text_col))) > 0)
+    th = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.substring(F.md5(t.cast("binary")), 1, 13),
+    )
+    m = F.greatest(F.size("_th") - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(",", F.slice(F.col("_th"), i, n))),
+    )
+    p = (
+        base.select(F.col(id_col), th.alias("_th"))
+        .filter(F.size("_th") >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
     )
     if max_occ is not None:
         p = p.withColumn(

@@ -377,3 +377,50 @@ def dedup_savings_by_source(
             F.expr("n_removed_tokens * 1000000 div n_tokens").alias("savings_ppm"),
         )
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """EXACT per-group quantiles of a DISCRETE value column without a
+    per-group global sort — the distribution readout (doc-length
+    percentiles per source, latency percentiles per service) that at
+    100 TB is usually surrendered to ``percentile_approx``'s
+    nondeterministic sketch.  For discrete values (token counts, byte
+    sizes, ms latencies) exactness is affordable: the same two-phase
+    plan as quality_threshold_filter —
+
+    1. hash-aggregate row counts per (group, value): map-side
+       combinable, and the result is bounded by the value DOMAIN
+       (thousands of distinct lengths), not the corpus;
+    2. one window over that tiny table computes cumulative counts,
+       and each requested q picks the smallest value whose cumulative
+       count reaches ``ceil(q·n)`` — the classic type-1 discontinuous
+       sample quantile, chosen precisely because it is a VALUE FROM
+       THE DATA with no interpolation, so two engines can only agree
+       or disagree, never drift by float epsilon.
+
+    Returns one row per group: (group, n, q25, q50, ...) with columns
+    named q<100·q>.  Deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        # smallest v with cum >= ceil(q*n): min over the qualifying rows
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("v"))
+            ).alias(f"q{int(round(q * 100))}")
+        )
+    return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)

@@ -615,6 +615,20 @@ def test_quality_threshold_is_two_phase_no_corpus_window(spark, queries):
     assert plan.count("Scan parquet") <= 8
 
 
+def test_length_quantiles_window_above_aggregate_only(spark, queries):
+    """prof_length_quantiles: both windows (cumulative + total) must
+    run over the (source, length, count) AGGREGATE — bounded by the
+    length domain — never over the raw corpus, and nothing funnels
+    through a single partition (the percent_rank-per-source plan this
+    replaces would)."""
+    plan = plan_of(queries["prof_length_quantiles"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # one corpus scan only (formatted mode prints tree + detail)
+    assert plan.count("Scan parquet") <= 2, plan
+
+
 def test_rerank_stays_compressed_until_the_shortlist(spark, queries):
     """sim_ivfadc_rerank: the full-precision embedding column must join
     AFTER the shortlist (broadcast/equi join), never a second corpus

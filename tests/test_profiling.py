@@ -220,3 +220,35 @@ def test_group_trend_exact_line(spark):
     out = {r.g: r for r in group_trend(df, "g", "x", "y").collect()}
     assert (out["a"].slope, out["a"].intercept, out["a"].r2) == (2.0, 3.0, 1.0)
     assert out["b"].slope is None
+
+
+def test_exact_group_quantiles_type1_semantics(spark):
+    """Type-1 quantile contract: each q returns the smallest value
+    whose cumulative count reaches ceil(q*n) — cross-checked against a
+    pure-python model on ties, skew, and a singleton group."""
+    import math
+
+    from hpaste_spark.operators.profile import exact_group_quantiles
+
+    groups = {
+        "a": [1, 1, 1, 2, 3, 10, 10, 50, 100, 1000],  # ties + skew
+        "b": [7],                                      # singleton
+        "c": list(range(1, 101)),                      # uniform 1..100
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "source string, v long")
+    out = {
+        r["source"]: r
+        for r in exact_group_quantiles(
+            df, "v", "source", qs=(0.25, 0.5, 0.75, 0.95)
+        ).collect()
+    }
+
+    def type1(vs, q):
+        vs = sorted(vs)
+        return vs[math.ceil(q * len(vs)) - 1]
+
+    for g, vs in groups.items():
+        assert out[g]["n"] == len(vs)
+        for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")]:
+            assert out[g][col] == type1(vs, q), (g, q, out[g][col])

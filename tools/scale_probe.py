@@ -274,13 +274,10 @@ def big_probe(spark, qs, factor: int) -> None:
         "",
     ]
 
-    path = os.path.join(REPO, "SCALE.md")
-    text = open(path).read() if os.path.exists(path) else "# SCALE\n"
-    if BIG_MARK in text:
-        text = text[: text.index(BIG_MARK)].rstrip() + "\n\n"
-    with open(path, "w") as fh:
-        fh.write(text + "\n".join(lines))
-    print("appended big-probe section to SCALE.md")
+    # surgical replace: sections AFTER the big-probe block (stream
+    # probe, 100× rows) must survive a big-probe rerun
+    _replace_section(BIG_MARK, lines)
+    print("wrote big-probe section to SCALE.md")
 
 
 HUNDRED_MARK = "<!-- probe-100x -->"
