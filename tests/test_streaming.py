@@ -692,11 +692,15 @@ def test_stream_bloom_flags_stored_derives_geometry_and_pins_family(
 
 
 def test_stream_registry_queries_state_posture(spark):
-    """The two streaming REGISTRY queries split exactly as documented:
-    stream_decontaminate_bloom runs with zero stateful operators, and
-    stream_dedup_exact runs with exactly one (the dropDuplicates keyed
-    state).  Both return the batch-collectable landed relation the
-    driver hashes against the DuckDB oracle."""
+    """The streaming REGISTRY queries split exactly as documented:
+    stream_decontaminate_bloom runs with zero stateful operators and
+    stream_dedup_exact with exactly one (the dropDuplicates keyed
+    state); the windowed pair carries one stateful operator each.  All
+    return the batch-collectable landed relation the driver hashes
+    against the DuckDB oracle.  (stream_incremental_dedup's parity is
+    pinned by test_stream_incremental_dedup_matches_batch and the
+    gate; stream_ss_asof_attribution's by the four stream-stream as-of
+    tests and the gate.)"""
     import __spark_entry__ as m
 
     out = m.stream_decontaminate_bloom(spark, SF)

@@ -409,7 +409,11 @@ def stream_probe(spark, qs, factor: int = 30) -> None:
         "|---|---|---|---|---|---|",
     ]
     for name in STREAM_PROBES:
-        uses_events = name in ("stream_tw_tumbling", "stream_session_window")
+        uses_events = name in (
+            "stream_tw_tumbling",
+            "stream_session_window",
+            "stream_ss_asof_attribution",
+        )
         t_small, n_small = run(name, SF01)
         if uses_events:
             # point the staging at the replicated events dir by running
