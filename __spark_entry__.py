@@ -8804,35 +8804,34 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as decontaminate_bloom grades the streaming execution
     hash-for-hash (the per-doc rollup happens batch-side on the landed
     table — counting is the one agg an append stream can't do
-    statelessly)."""
-    from hpaste_spark.operators.dedup import _doc_grams, bloom_bits
-    from hpaste_spark.streaming.dedup import stream_bloom_flags
+    statelessly).
+
+    Since round 8 the bit table comes from the WRITE-ONCE
+    build_bloom_filter artifact via stream_bloom_flags_stored — the
+    production posture (geometry and probe family derived from the
+    artifact's meta, never hand-typed), and the benchmark shingle pass
+    drops out of every (re)start; the md5 probes are deterministic, so
+    stored and recomputed bits are identical relations and the oracle
+    is unchanged."""
+    from hpaste_spark.operators.dedup import build_bloom_filter
+    from hpaste_spark.streaming.dedup import stream_bloom_flags_stored
 
     d = _t(spark, sf_dir, "documents")
-    # persist: the static side of a stream-static join re-evaluates per
-    # micro-batch — without this the whole benchmark shingle pass would
-    # rerun 3·k times under multi-batch replays (at production scale
-    # this side is the write-once build_bloom_filter artifact)
-    bits = bloom_bits(
-        _doc_grams(d.filter(F.col("source") == "src0"), "text", "doc_id", 5)
-        .select("g"),
-        "g", m_bits=16384, k_hashes=3,
-    ).persist()
+    path = _bloom_filter_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        build_bloom_filter(
+            d.filter(F.col("source") == "src0"), path,
+            n=5, m_bits=16384, k_hashes=3,
+        )
     src = _stage_stream_dir(sf_dir, "documents")
     stream = (
         spark.readStream.schema(d.schema)
         .parquet(src)
         .filter(F.col("source") != "src0")
     )
-    try:
-        landed, _ = _drain_to_memory(
-            stream_bloom_flags(stream, bits, n=5, m_bits=16384, k_hashes=3),
-            "stream_bloom",
-        )
-    finally:
-        # the stream is fully drained (or failed); the landed rollup no
-        # longer references bits
-        bits.unpersist()
+    landed, _ = _drain_to_memory(
+        stream_bloom_flags_stored(spark, path, stream), "stream_bloom"
+    )
     return landed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged"))
 
 
