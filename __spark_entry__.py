@@ -9002,6 +9002,69 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landed
 
 
+# each micro-batch is enriched by the EXACT batch as-of operator
+# against the full static right side, so the landed union equals the
+# batch join regardless of how the stream splits into batches — alias
+# the batch oracle
+_ORACLES["stream_asof_enrich"] = _ORACLES["asof_click_attribution"]
+
+
+@q("stream_asof_enrich", None)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch as-of ENRICHMENT under the correctness gate — the
+    seventh gated streaming shape, and the foreachBatch complement of
+    stream_ss_asof_attribution's custom keyed state: purchases replay
+    as a file stream and every micro-batch is point-in-time joined
+    against the STATIC click history by the exact batch operator
+    (streaming/events.stream_asof_enrich → operators/asof.asof_join),
+    landing in parquet.  Because each left row is enriched within its
+    own batch against the full right side, the landed union equals the
+    batch as-of join under ANY batch split — no watermark, no state —
+    and the SAME DuckDB ASOF JOIN oracle grades it.  This is the
+    enrich-at-ingest posture when the right side is a slowly-changing
+    stored table (prices, user attributes) rather than a co-moving
+    stream."""
+    import shutil
+
+    from hpaste_spark.streaming.events import read_event_stream
+    from hpaste_spark.streaming.events import stream_asof_enrich as _sae
+
+    configure_session(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    ).persist()
+    src = _stage_stream_dir(sf_dir, "events")
+    stream = read_event_stream(spark, src)
+    lefts = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    land = os.path.join(
+        here, ".scratch", "stream_asof_enrich",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(land, ignore_errors=True)
+
+    def sink(out: DataFrame, batch_id: int) -> None:
+        out.write.mode("append").parquet(land)
+
+    try:
+        _sae(
+            lefts, clicks, on=["user_id"], ts_col="ts",
+            payload_cols=("click_event_id",), sink=sink, timeout_s=600,
+        )
+    finally:
+        clicks.unpersist()
+    landed = spark.read.parquet(land)
+    return landed.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id_right").alias("click_event_id"),
+        (epoch_us(F.col("ts")) - epoch_us(F.col("ts_right"))).alias("gap_us"),
+    )
+
+
 # the drained stream-stream as-of lands the identical relation the
 # batch as-of join computes (single availableNow data batch → nothing
 # is late; the no-data batch's event-time timeouts flush every pending

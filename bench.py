@@ -165,6 +165,7 @@ HEADLINE = [
     "mm_shared_frame_run",
     "stream_incremental_dedup",
     "stream_ss_asof_attribution",
+    "stream_asof_enrich",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

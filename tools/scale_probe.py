@@ -360,6 +360,7 @@ STREAM_PROBES = [
     "stream_session_window",
     "stream_incremental_dedup",
     "stream_ss_asof_attribution",
+    "stream_asof_enrich",
 ]
 
 
@@ -413,6 +414,7 @@ def stream_probe(spark, qs, factor: int = 30) -> None:
             "stream_tw_tumbling",
             "stream_session_window",
             "stream_ss_asof_attribution",
+            "stream_asof_enrich",
         )
         t_small, n_small = run(name, SF01)
         if uses_events:
