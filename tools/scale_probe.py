@@ -235,8 +235,8 @@ def big_probe(spark, qs, factor: int) -> None:
         "",
         f"## {factor}× probe — heaviest paths past the idle-capacity regime",
         "",
-        f"Same synthesis, factor {factor} (alphabet-rotation maps stay",
-        "distinct to 130×; embedding transforms to 448×).  At this factor",
+        f"Same synthesis, factor {factor} (affine letter maps stay",
+        "distinct to 312×; embedding transforms to 448×).  At this factor",
         "the 32 local cores are saturated, so alpha ≈ 1 is the honest",
         "linear signal (the 10× table's alpha≪1 reflects idle slots).",
         "dedup_semantic_autok is the size-derived-k default: k grows with",
