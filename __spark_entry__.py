@@ -7068,6 +7068,68 @@ def dedup_exact_substr_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substr_mask(d, min_shared_tokens=10, max_occ=64)
 
 
+@q(
+    "prof_exact_substr_savings",
+    f"""
+    WITH {_EXSUB_CHAIN},
+    es_isl AS (SELECT id_b AS doc_id, MIN(pb) AS s, COUNT(*) AS c
+               FROM es_runs GROUP BY id_a, id_b, diag, grp),
+    es_mp AS (SELECT DISTINCT doc_id, unnest(range(s, s + c + 9)) AS tpos
+              FROM es_isl),
+    es_msk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+               FROM es_mp GROUP BY doc_id),
+    es_tot AS (SELECT d.doc_id, d.source,
+                      CAST(len(es_d.t) AS BIGINT) AS n_tokens
+               FROM documents d JOIN es_d ON es_d.doc_id = d.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.n_masked IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_masked,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(m.n_masked, 0)) AS BIGINT) AS n_masked_tokens,
+           CAST(SUM(COALESCE(m.n_masked, 0)) * 1000000 // SUM(n_tokens) AS BIGINT)
+             AS savings_ppm
+    FROM es_tot LEFT JOIN es_msk m USING (doc_id)
+    GROUP BY source
+    """,
+)
+def prof_exact_substr_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token savings of SUB-DOCUMENT dedup — the
+    prof_dedup_savings twin at ExactSubstr granularity: how many
+    tokens does keep-first shared-run excision cut from each source,
+    when whole-doc exact dedup would have reported the docs as unique?
+    The two reports side by side are the mixture designer's case for
+    running the more expensive pass (whole-doc savings ≈ 0 on a corpus
+    of lightly-edited near-dups; substring savings is the real
+    number).  Derived from the exact_substr_mask relation: one
+    source-keyed rollup of masked-token counts, integer ppm."""
+    from hpaste_spark.operators.dedup import exact_substr_mask
+
+    d = _t(spark, sf_dir, "documents")
+    masked = exact_substr_mask(d, min_shared_tokens=10, max_occ=64)
+    src = d.select("doc_id", "source")
+    return (
+        masked.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_masked_tokens") > 0).cast("long")).alias(
+                "n_docs_masked"
+            ),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_masked_tokens").alias("n_masked_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_masked",
+            "n_tokens",
+            "n_masked_tokens",
+            F.expr("n_masked_tokens * 1000000 div n_tokens").alias("savings_ppm"),
+        )
+    )
+
+
 #: DuckDB twin of dedup._bloom_h1h2/_bloom_bit — Kirsch-Mitzenmacher
 #: family 2: bit_i = (h1 + i·h2) mod m from TWO 52-bit slices of ONE
 #: md5(value) digest, h2 forced odd; keep in lockstep with the Spark

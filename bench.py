@@ -166,6 +166,7 @@ HEADLINE = [
     "stream_incremental_dedup",
     "stream_ss_asof_attribution",
     "stream_asof_enrich",
+    "prof_exact_substr_savings",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
