@@ -2393,11 +2393,20 @@ def mm_near_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     these scales.  With the cap, total candidate work is bounded by
     cap·bands·n_signatures — linear — at the documented cost of
     dropping saturated (non-discriminative) buckets; see SCALE.md
-    'Perceptual banding saturation'."""
+    'Perceptual banding saturation'.  Because THIS query is graded
+    against an UNCAPPED brute-force oracle, it runs with
+    on_capped='error': if a larger fixture ever pushes a bucket past
+    the cap, the job fails with an explicit message instead of
+    silently hash-mismatching (bucket growth is ~10× per SF step —
+    the next step would cross the cap; prof_band_entropy is the
+    user-facing diagnostic for sizing it)."""
     from hpaste_spark.operators.multimodal import attach_media, near_frame_pairs
 
     media = attach_media(_t(spark, sf_dir, "documents"))
-    return near_frame_pairs(media, frame_bytes=64, max_hamming=2, max_bucket=4000)
+    return near_frame_pairs(
+        media, frame_bytes=64, max_hamming=2, max_bucket=4000,
+        on_capped="error",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6909,7 +6918,7 @@ def decontaminate_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_mask",
     """
     WITH dc_d AS (
-      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      SELECT doc_id, source, text, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0),
     dc_tokh AS (
       SELECT doc_id, source, t, list_transform(t, tok ->
@@ -6940,9 +6949,12 @@ def decontaminate_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
                    COUNT(*) AS n_kept
             FROM kept GROUP BY doc_id),
-    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+    tot AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens
             FROM dc_d WHERE source <> 'src0')
-    SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text, tot.n_tokens,
+    SELECT tot.doc_id,
+           CASE WHEN tot.n_tokens - COALESCE(reb.n_kept, 0) = 0 THEN tot.text
+                ELSE COALESCE(reb.clean_text, '') END AS clean_text,
+           tot.n_tokens,
            CAST(tot.n_tokens - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_masked_tokens
     FROM tot LEFT JOIN reb USING (doc_id)
     """,
@@ -6975,7 +6987,7 @@ def decontaminate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 # island counts are base-invariant)
 _EXSUB_CHAIN = """
     es_d AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0),
     es_th AS (
       SELECT doc_id, t, list_transform(t, tok ->
@@ -7045,8 +7057,11 @@ def dedup_exact_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     es_reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
                       COUNT(*) AS n_kept
                FROM es_kept GROUP BY doc_id),
-    es_tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM es_d)
-    SELECT es_tot.doc_id, COALESCE(es_reb.clean_text, '') AS clean_text,
+    es_tot AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens FROM es_d)
+    SELECT es_tot.doc_id,
+           CASE WHEN es_tot.n_tokens - COALESCE(es_reb.n_kept, 0) = 0
+                THEN es_tot.text
+                ELSE COALESCE(es_reb.clean_text, '') END AS clean_text,
            es_tot.n_tokens,
            CAST(es_tot.n_tokens - COALESCE(es_reb.n_kept, 0) AS BIGINT)
              AS n_masked_tokens

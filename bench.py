@@ -238,6 +238,23 @@ def main() -> None:
     ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
     own_load = ncpu * 1.25  # this bench's own contribution once running
     load1 = round(os.getloadavg()[0], 2)
+
+    # REFUSE-to-start-busy guard (round-8 verdict #4: BENCH_r08 was
+    # recorded at start load 2.62 and a third of the shared rows showed
+    # uniform ~1.3× pure-load "regressions" that cost a by-hand
+    # re-adjudication).  Policy: auto-retry — sample the 1-min load
+    # every 20 s until it drops below the start bar (2.0, or 25% of
+    # the bench cores if that is tighter), up to
+    # $SPARK_GRAFT_BENCH_MAX_WAIT_S (default 900 s).  If the machine
+    # never goes idle, proceed anyway (an artifact flagged
+    # load_warning beats no artifact) and record how long we waited.
+    start_bar = min(2.0, 0.25 * ncpu)
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "900"))
+    waited = 0.0
+    while load1 > start_bar and waited < max_wait:
+        time.sleep(20)
+        waited += 20
+        load1 = round(os.getloadavg()[0], 2)
     load_max = load1
 
     import __spark_entry__ as entry_mod
@@ -323,6 +340,7 @@ def main() -> None:
         "load_avg_1m_at_start": load1,
         "load_avg_1m_max": load_max,
         "load_warning": load_warning,
+        "idle_wait_s": round(waited, 1),
     }
     # full per-query detail always lands in a committed side artifact —
     # the stdout line is capped below and may omit the fastest entries

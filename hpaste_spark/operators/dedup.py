@@ -1354,7 +1354,10 @@ def mask_shared_runs(
     right trade when a long, otherwise-good document quotes one eval
     item.  Returns every corpus doc as (id, clean_text, n_tokens,
     n_masked_tokens); untouched docs pass through with
-    n_masked_tokens = 0.
+    n_masked_tokens = 0 and clean_text = the ORIGINAL text byte-for-
+    byte (whitespace included — only docs that actually lose tokens
+    are rebuilt, and the rebuild is single-space-joined, the same
+    normalization the tokenizer applies).
 
     Same diagonal-island machinery as
     :func:`longest_shared_run_pairs`, carried one step further: each
@@ -1410,15 +1413,23 @@ def mask_shared_runs(
         F.count(F.lit(1)).alias("_n_kept"),
     )
     totals = base.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    masked = (
+        F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+    ).cast("long")
     return totals.join(rebuilt, id_col, "left").select(
         F.col(id_col),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        # untouched docs return the ORIGINAL text (tabs, runs of
+        # spaces, leading/trailing whitespace intact) — only docs
+        # that actually lose tokens are rebuilt space-joined
+        F.when(masked == 0, F.col("_orig"))
+        .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+        .alias("clean_text"),
         F.col("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_masked_tokens"),
+        masked.alias("n_masked_tokens"),
     )
 
 
@@ -1554,7 +1565,10 @@ def exact_substr_mask(
     span survives exactly once per detected pair chain, long documents
     are never dropped wholesale for one repeated quote.  Returns every
     corpus doc as (id, clean_text, n_tokens, n_masked_tokens);
-    untouched docs pass through with n_masked_tokens = 0.
+    untouched docs pass through with n_masked_tokens = 0 and
+    clean_text = the ORIGINAL text byte-for-byte (whitespace
+    included); only docs that actually lose tokens are rebuilt
+    single-space-joined.
 
     Same blocked candidate machinery as :func:`exact_substr_pairs`;
     each qualifying island expands to its covered token positions in
@@ -1589,15 +1603,22 @@ def exact_substr_mask(
         F.count(F.lit(1)).alias("_n_kept"),
     )
     totals = base.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    masked = (
+        F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+    ).cast("long")
     return totals.join(rebuilt, id_col, "left").select(
         F.col(id_col),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        # untouched docs pass the ORIGINAL text through unmodified —
+        # see mask_shared_runs (same contract)
+        F.when(masked == 0, F.col("_orig"))
+        .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+        .alias("clean_text"),
         F.col("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_masked_tokens"),
+        masked.alias("n_masked_tokens"),
     )
 
 

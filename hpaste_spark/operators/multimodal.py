@@ -325,6 +325,7 @@ def near_frame_pairs(
     frame_bytes: int = 64,
     max_hamming: int = 2,
     max_bucket: int | None = None,
+    on_capped: str = "drop",
 ) -> DataFrame:
     """Hamming-tolerant frame-level copy detection (VERDICT r7 #4 —
     :func:`shared_frame_pairs` catches only BIT-IDENTICAL frames): doc
@@ -342,9 +343,21 @@ def near_frame_pairs(
     and the exact bit_count(xor) check prunes in-band false
     candidates.  ``max_bucket`` drops degenerate buckets (black
     frames, silence) at the documented recall bias, the same guardrail
-    as every LSH path."""
+    as every LSH path.
+
+    ``on_capped`` picks what happens when a bucket EXCEEDS the cap:
+    ``'drop'`` (default) silently skips it — the production posture,
+    bounded work at a recall bias — while ``'error'`` raises at
+    runtime (``assert_true`` inside the plan, so the job fails loudly
+    executor-side).  Use ``'error'`` whenever EXACT parity with an
+    uncapped relation is asserted (the mm_near_frames oracle gate):
+    band-key entropy degrades with scale, and a silently-dropped
+    bucket would surface as an inexplicable hash mismatch with no
+    pointer to the cap as the cause."""
     from pyspark.sql import Window
 
+    if on_capped not in ("drop", "error"):
+        raise ValueError(f"on_capped must be 'drop' or 'error': {on_capped}")
     s = frame_signatures(df, frame_bytes)
     bands = max_hamming + 1
     base, extra = divmod(FRAME_SIG_BITS, bands)
@@ -362,7 +375,25 @@ def near_frame_pairs(
     if max_bucket is not None:
         k = k.withColumn(
             "_bn", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key"))
-        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+        )
+        if on_capped == "error":
+            # fail loudly instead of dropping: assert_true evaluates
+            # per row inside the plan (kept alive by the filter), so a
+            # saturated bucket aborts the job with THIS message rather
+            # than silently shrinking the candidate set
+            k = k.filter(
+                F.assert_true(
+                    F.col("_bn") <= F.lit(max_bucket),
+                    F.lit(
+                        f"near_frame_pairs: a (band_idx, band_key) bucket "
+                        f"exceeded max_bucket={max_bucket}; the banded plan "
+                        f"no longer matches an uncapped oracle — raise the "
+                        f"cap or switch on_capped='drop'"
+                    ),
+                ).isNull()
+            ).drop("_bn")
+        else:
+            k = k.filter(F.col("_bn") <= max_bucket).drop("_bn")
     a = k.select(
         F.col("doc_id").alias("doc_a"),
         F.col("fsig").alias("sig_a"),

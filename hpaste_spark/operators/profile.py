@@ -404,7 +404,18 @@ def exact_group_quantiles(
        or disagree, never drift by float epsilon.
 
     Returns one row per group: (group, n, q25, q50, ...) with columns
-    named q<100·q>.  Deterministic under any partitioning."""
+    named q<100·q>.  Deterministic under any partitioning.
+
+    The rank comparison is INTEGER arithmetic: each q becomes the
+    exact rational num/den of its decimal literal (Fraction over the
+    string form, so 0.07 is 7/100, not the binary double
+    0.07000000000000000666…) and the type-1 pick is
+    ``cum·den >= num·n`` — equivalent to ``cum >= ceil(q·n)`` for
+    integer cum but immune to the float-ceil off-by-one
+    (ceil(0.07·100) = ceil(7.000000000000001) = 8 in binary doubles)
+    and engine-independent for ANY decimal q."""
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     counts = (
@@ -417,10 +428,17 @@ def exact_group_quantiles(
     )
     aggs = [F.max("n").cast("long").alias("n")]
     for q in qs:
-        # smallest v with cum >= ceil(q*n): min over the qualifying rows
+        frac = q if isinstance(q, Fraction) else Fraction(str(q))
+        if not 0 < frac <= 1:
+            raise ValueError(f"quantile q must be in (0, 1]: {q}")
+        num, den = frac.numerator, frac.denominator
+        # smallest v with cum >= ceil(q*n) ⇔ cum*den >= num*n (exact)
         aggs.append(
             F.min(
-                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("v"))
-            ).alias(f"q{int(round(q * 100))}")
+                F.when(
+                    F.col("cum") * F.lit(den) >= F.lit(num) * F.col("n"),
+                    F.col("v"),
+                )
+            ).alias(f"q{int(round(float(frac) * 100))}")
         )
     return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)

@@ -2187,3 +2187,69 @@ def test_leakage_free_split_clusters_never_straddle(spark):
     # splitting must not drop or duplicate docs
     assert clus.count() == n
     pairs.unpersist()
+
+
+def test_exact_substr_mask_passthrough_preserves_whitespace(spark):
+    """Untouched docs return the ORIGINAL text byte-for-byte — tabs,
+    newlines, runs of spaces, leading/trailing whitespace — while docs
+    that lose tokens are rebuilt single-space-joined (ADVICE r8: the
+    old path re-tokenized and space-rejoined EVERY doc, silently
+    rewriting whitespace even at n_masked_tokens = 0)."""
+    from hpaste_spark.operators.dedup import exact_substr_mask, mask_shared_runs
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    weird = "  leading\t and\n\n odd   spacing trailing tokens here now ok  "
+    corpus = spark.createDataFrame(
+        [(1, f"intro {quote} outro"), (2, f"aa {quote} bb"), (3, weird)],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_mask(corpus, min_shared_tokens=10).collect()
+    }
+    assert out[3]["clean_text"] == weird and out[3]["n_masked_tokens"] == 0
+    assert out[1]["clean_text"] == f"intro {quote} outro"  # keeper: original
+    assert out[2]["clean_text"] == "aa bb"  # masked: rebuilt
+
+    # the cross-set masker carries the same contract
+    bench = spark.createDataFrame([(100, quote)], "doc_id INT, text STRING")
+    mout = {
+        r["doc_id"]: r
+        for r in mask_shared_runs(
+            corpus, bench, n=3, min_shared_tokens=10
+        ).collect()
+    }
+    assert mout[3]["clean_text"] == weird and mout[3]["n_masked_tokens"] == 0
+    assert mout[1]["clean_text"] == "intro outro"
+    assert mout[2]["clean_text"] == "aa bb"
+
+
+def test_near_frame_pairs_on_capped_error_fails_loudly(spark):
+    """on_capped='error' aborts the job (message naming the cap) when
+    a band bucket exceeds max_bucket, instead of silently dropping the
+    bucket and hash-mismatching an uncapped oracle; 'drop' keeps the
+    bounded-work production behavior (ADVICE r8)."""
+    import pytest
+
+    from hpaste_spark.operators.multimodal import attach_media, near_frame_pairs
+
+    # 5 one-frame payloads with the same signature → every band bucket
+    # holds 5 entries, over a cap of 4
+    df = spark.createDataFrame(
+        [(i, "x" * 64) for i in range(5)], "doc_id INT, text STRING"
+    )
+    media = attach_media(df)
+    with pytest.raises(Exception, match="max_bucket=4"):
+        near_frame_pairs(
+            media, frame_bytes=64, max_hamming=2, max_bucket=4,
+            on_capped="error",
+        ).collect()
+    assert (
+        near_frame_pairs(
+            media, frame_bytes=64, max_hamming=2, max_bucket=4,
+            on_capped="drop",
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        near_frame_pairs(media, on_capped="explode")

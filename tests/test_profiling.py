@@ -252,3 +252,26 @@ def test_exact_group_quantiles_type1_semantics(spark):
         assert out[g]["n"] == len(vs)
         for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")]:
             assert out[g][col] == type1(vs, q), (g, q, out[g][col])
+
+
+def test_exact_group_quantiles_integer_rank_arbitrary_q(spark):
+    """The rank pick is exact rational arithmetic (cum*den >= num*n),
+    not float ceil: q=0.07 over n=100 must select rank 7 — binary
+    doubles give ceil(0.07*100) = ceil(7.000000000000001) = 8 — and a
+    Fraction q with no finite decimal form works too (ADVICE r8)."""
+    from fractions import Fraction
+
+    from hpaste_spark.operators.profile import exact_group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 101)], "g string, v long"
+    )
+    out = exact_group_quantiles(df, "v", "g", qs=(0.07,)).collect()[0]
+    assert out["q7"] == 7  # float ceil would report 8
+    out3 = exact_group_quantiles(df, "v", "g", qs=(Fraction(1, 3),)).collect()[0]
+    assert out3["q33"] == 34  # smallest v with 3*cum >= 100
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_group_quantiles(df, "v", "g", qs=(1.5,))

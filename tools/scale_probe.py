@@ -10,10 +10,17 @@ Synthesis preserves distributions without creating cross-replica
 near-dups (which would inflate pair counts quadratically BY DATA
 construction and mask the algorithmic scaling):
 
-- documents: each replica r applies a per-replica lowercase-alphabet
-  rotation (translate) — every shingle changes, so replicas are
-  mutually dissimilar, while WITHIN a replica lengths, token shapes,
-  and the fixture's planted near-dup structure are preserved exactly.
+- documents: each replica r applies a per-replica AFFINE letter/digit
+  bijection (translate through i → (a·i+b) mod 26 with a coprime to
+  26, see _replica_map — 312 distinct letter maps, so letter-only
+  text stays decorrelated to 312 replicas; the earlier rotation-only
+  scheme had true period 26 on the pure-letter fixture vocabulary and
+  made replicas r and r±26k byte-identical).  Every shingle changes,
+  so replicas are mutually dissimilar, while WITHIN a replica lengths,
+  token shapes, and the fixture's planted near-dup structure are
+  preserved exactly.  (Two distinct affine maps can still agree on up
+  to 2 letters, so single-LETTER tokens are not fully decorrelated
+  across replica blocks — full tokens are.)
 - embeddings: each replica rotates the vector positions by r — norms
   and within-replica neighbor structure preserved, replicas
   decorrelated.
