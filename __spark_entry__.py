@@ -4308,6 +4308,167 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sketch_hdr_quantiles",
+    """
+    WITH shq_v AS (SELECT event_type,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                   FROM events),
+    shq_b AS (SELECT event_type, v >> s << s AS bucket_lo,
+                     (CAST(1 AS BIGINT) << s) AS width
+              FROM (SELECT event_type, v,
+                           greatest(length(bin(v)) - 8, 0) AS s FROM shq_v)),
+    shq_s AS (SELECT event_type, bucket_lo, width, COUNT(*) AS cnt
+              FROM shq_b GROUP BY 1, 2, 3),
+    shq_c AS (SELECT event_type, bucket_lo, width, cnt,
+                     SUM(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY bucket_lo) AS cum,
+                     SUM(cnt) OVER (PARTITION BY event_type) AS n
+              FROM shq_s)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum*2 >= n THEN bucket_lo END) AS BIGINT) AS q50_lo,
+           CAST(MIN(CASE WHEN cum*2 >= n THEN bucket_lo + width - 1 END) AS BIGINT) AS q50_hi,
+           CAST(MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo END) AS BIGINT) AS q95_lo,
+           CAST(MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo + width - 1 END) AS BIGINT) AS q95_hi,
+           CAST(MIN(CASE WHEN cum*100 >= 99*n THEN bucket_lo END) AS BIGINT) AS q99_lo,
+           CAST(MIN(CASE WHEN cum*100 >= 99*n THEN bucket_lo + width - 1 END) AS BIGINT) AS q99_hi
+    FROM shq_c GROUP BY event_type
+    """,
+)
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch over a CONTINUOUS column (round-8
+    verdict ask #2 — the quantile leg HLL/CMS already have for
+    distincts/frequencies): event values quantized to micro-units,
+    bucketed by keeping the top 8 significant bits (HDR-histogram
+    posture, integer bit arithmetic only — no float log, no KLL-style
+    randomized compaction), then per-type p50/p95/p99 read as
+    [lo, hi] BANDS off the ≤ few-hundred-row counter table.  The true
+    type-1 quantile provably lies inside its band and the band is
+    ≤ 2^-7 ≈ 0.8% of the value wide — a hard contract, which is why
+    this query CAN be value-hash-graded while percentile_approx's
+    nondeterministic sketch cannot (the r8 gap this closes:
+    exact_group_quantiles is exact but deliberately scoped to
+    discrete domains; this covers the continuous columns it
+    excludes).  Sketch partials merge cell-wise across shards/days
+    (sketches.hdr_merge) — no raw re-shuffle at any rollup."""
+    from hpaste_spark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+    )
+    sk = hdr_sketch(vals, "v", "event_type", sub_bits=7)
+    return hdr_quantiles(sk, qs=(0.5, 0.95, 0.99), group_col="event_type")
+
+
+@q(
+    "sketch_hdr_band_eval",
+    """
+    WITH she_v AS (SELECT event_type,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                   FROM events),
+    she_b AS (SELECT event_type, v >> s << s AS bucket_lo,
+                     (CAST(1 AS BIGINT) << s) AS width
+              FROM (SELECT event_type, v,
+                           greatest(length(bin(v)) - 8, 0) AS s FROM she_v)),
+    she_s AS (SELECT event_type, bucket_lo, width, COUNT(*) AS cnt
+              FROM she_b GROUP BY 1, 2, 3),
+    she_c AS (SELECT event_type, bucket_lo, width, cnt,
+                     SUM(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY bucket_lo) AS cum,
+                     SUM(cnt) OVER (PARTITION BY event_type) AS n
+              FROM she_s),
+    she_q AS (SELECT event_type,
+           MIN(CASE WHEN cum*2 >= n THEN bucket_lo END) AS q50_lo,
+           MIN(CASE WHEN cum*2 >= n THEN bucket_lo + width - 1 END) AS q50_hi,
+           MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo END) AS q95_lo,
+           MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo + width - 1 END) AS q95_hi,
+           MIN(CASE WHEN cum*100 >= 99*n THEN bucket_lo END) AS q99_lo,
+           MIN(CASE WHEN cum*100 >= 99*n THEN bucket_lo + width - 1 END) AS q99_hi
+      FROM she_c GROUP BY event_type),
+    she_ec AS (SELECT event_type, v, COUNT(*) AS c FROM she_v GROUP BY 1, 2),
+    she_ew AS (SELECT event_type, v,
+                      SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                      SUM(c) OVER (PARTITION BY event_type) AS n
+               FROM she_ec),
+    she_e AS (SELECT event_type,
+           MIN(CASE WHEN cum*2 >= n THEN v END) AS e50,
+           MIN(CASE WHEN cum*20 >= 19*n THEN v END) AS e95,
+           MIN(CASE WHEN cum*100 >= 99*n THEN v END) AS e99
+      FROM she_ew GROUP BY event_type),
+    she_u AS (
+      SELECT event_type, CAST(50 AS INT) AS q_pct, q50_lo AS est_lo,
+             q50_hi AS est_hi, e50 AS exact_v
+      FROM she_q JOIN she_e USING (event_type)
+      UNION ALL
+      SELECT event_type, CAST(95 AS INT), q95_lo, q95_hi, e95
+      FROM she_q JOIN she_e USING (event_type)
+      UNION ALL
+      SELECT event_type, CAST(99 AS INT), q99_lo, q99_hi, e99
+      FROM she_q JOIN she_e USING (event_type))
+    SELECT event_type, q_pct, CAST(est_lo AS BIGINT) AS est_lo,
+           CAST(est_hi AS BIGINT) AS est_hi, CAST(exact_v AS BIGINT) AS exact_v,
+           CAST(exact_v BETWEEN est_lo AND est_hi AS BIGINT) AS in_band
+    FROM she_u
+    """,
+)
+def sketch_hdr_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-band grader for the HDR quantile sketch (the
+    sketch_cms_token_counts idiom — estimate and exact truth side by
+    side, the error contract hash-pinned): per (event_type, q) the
+    sketch's [est_lo, est_hi] band next to the EXACT type-1 quantile
+    of the quantized values, with in_band = 1 REQUIRED by the
+    sketch's construction (bucket counts are exact; only the value is
+    coarsened, so the true quantile cannot escape its bucket).  The
+    oracle recomputes both sides, so a bucketing or rank-arithmetic
+    regression shows up as a hash mismatch, and an in_band = 0 row
+    would flag a broken guarantee at a glance.  The exact side is
+    affordable at fixture scale only — that asymmetry is the point:
+    production reads the sketch, the grader proves it honest."""
+    from hpaste_spark.operators.profile import exact_group_quantiles
+    from hpaste_spark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+    )
+    skq = hdr_quantiles(
+        hdr_sketch(vals, "v", "event_type", sub_bits=7),
+        qs=(0.5, 0.95, 0.99),
+        group_col="event_type",
+    )
+    ex = exact_group_quantiles(
+        vals, "v", "event_type", qs=(0.5, 0.95, 0.99)
+    ).select(
+        "event_type",
+        F.col("q50").alias("e50"),
+        F.col("q95").alias("e95"),
+        F.col("q99").alias("e99"),
+    )
+    un = skq.join(ex, "event_type").select(
+        "event_type",
+        F.expr(
+            "stack(3, 50, q50_lo, q50_hi, e50, 95, q95_lo, q95_hi, e95, "
+            "99, q99_lo, q99_hi, e99) AS (q_pct, est_lo, est_hi, exact_v)"
+        ),
+    )
+    return un.select(
+        "event_type",
+        F.col("q_pct").cast("int").alias("q_pct"),
+        F.col("est_lo").cast("long").alias("est_lo"),
+        F.col("est_hi").cast("long").alias("est_hi"),
+        F.col("exact_v").cast("long").alias("exact_v"),
+        (
+            (F.col("exact_v") >= F.col("est_lo"))
+            & (F.col("exact_v") <= F.col("est_hi"))
+        )
+        .cast("long")
+        .alias("in_band"),
+    )
+
+
 # BPE-ish subword token counting (north star: "token counting —
 # whitespace + a BPE-ish regex").  Whitespace count alongside for the
 # tokens-per-word granularity ratio LLM data budgeting uses.
@@ -5317,6 +5478,75 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus_bands = minhash_band_keys(corpus)
     return incremental_lsh_candidates(corpus_bands, batch, max_bucket=2000)
+
+
+#: bump to invalidate cached LSH index artifacts when the band family
+#: or the build geometry used by the registry queries changes
+_LSH_INDEX_VERSION = 1
+
+
+def _lsh_index_dir(sf_dir: str) -> str:
+    """Same fixture-identity keying as _bloom_filter_dir, separate tree."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_LSH_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_LSH_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "lsh_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the write-once corpus band index (docs with id % 10 != 0,
+    the standing-corpus split every incremental query uses) if absent;
+    returns its path.  Guard on meta/_SUCCESS: build_lsh_index writes
+    bands FIRST and meta LAST, so the meta guard subsumes bands and a
+    crash mid-build can never leave a half-readable artifact."""
+    from hpaste_spark.operators.dedup import build_lsh_index
+
+    path = _lsh_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+        build_lsh_index(
+            docs.filter(F.col("doc_id") % 10 != 0), path,
+            num_hashes=16, bands=4, shingle=3,
+        )
+    return path
+
+
+# the stored probe reads the identical band relation the in-plan form
+# computes (the md5/affine family is deterministic) — same oracle
+_ORACLES["dedup_incremental_lsh_stored"] = _ORACLES["dedup_incremental_lsh"]
+
+
+@q("dedup_incremental_lsh_stored", None)
+def dedup_incremental_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup off the WRITE-ONCE LSH band artifact (round-8
+    verdict ask #1): build_lsh_index persists the corpus band table +
+    a geometry meta row once; every batch then probes by reading those
+    rows — num_hashes/bands/shingle/id_col derived FROM the artifact,
+    so a caller cannot probe with mismatched banding parameters (the
+    silent-false-negative hazard the Bloom stored path closed in r7,
+    now closed for LSH).  The signatures are deterministic, so stored
+    and recomputed bands are identical relations — same oracle as
+    dedup_incremental_lsh."""
+    from hpaste_spark.operators.dedup import incremental_lsh_candidates_stored
+
+    path = _ensure_lsh_index(spark, sf_dir)
+    batch = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return incremental_lsh_candidates_stored(
+        spark, path, batch, max_bucket=2000
+    )
 
 
 # End-to-end training-data preparation (north-star composite, round 3):
@@ -8922,30 +9152,30 @@ _ORACLES["stream_incremental_dedup"] = _ORACLES["dedup_incremental_lsh"]
 @q("stream_incremental_dedup", None)
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time LSH dedup UNDER the correctness gate (VERDICT r7
-    #3 — the one streaming shape that was pytest-only): new docs
-    (every 10th id) replay as a file stream; foreachBatch runs the
-    exact batch operator per micro-batch against the standing
-    persisted corpus band index and APPENDS the candidate pairs to a
-    parquet landing dir; the landed union is hash-checked by the SAME
-    DuckDB oracle as dedup_incremental_lsh.  Semantics are
-    batch-identical by construction: each incoming doc signs itself in
-    exactly one micro-batch, the corpus index is never re-signed, and
-    (batch_id, corpus_id, n_bands) aggregates completely within the
-    doc's own batch."""
+    #3): new docs (every 10th id) replay as a file stream; foreachBatch
+    runs the exact batch operator per micro-batch against the standing
+    corpus band index and APPENDS the candidate pairs to a parquet
+    landing dir; the landed union is hash-checked by the SAME DuckDB
+    oracle as dedup_incremental_lsh.  Semantics are batch-identical by
+    construction: each incoming doc signs itself in exactly one
+    micro-batch, the corpus index is never re-signed, and (batch_id,
+    corpus_id, n_bands) aggregates completely within the doc's own
+    batch.
+
+    Since round 9 the band table comes from the WRITE-ONCE
+    build_lsh_index artifact via stream_incremental_dedup_stored — the
+    production posture (banding geometry and id column derived from
+    the artifact's meta, never hand-typed; a family mismatch
+    hard-errors), the same discipline stream_decontaminate_bloom
+    gained in r8.  The signatures are deterministic, so stored and
+    recomputed bands are identical relations and the oracle is
+    unchanged."""
     import shutil
 
-    from hpaste_spark.operators.dedup import minhash_band_keys
-    from hpaste_spark.streaming.dedup import stream_incremental_dedup as _sid
+    from hpaste_spark.streaming.dedup import stream_incremental_dedup_stored
 
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.length(F.trim(F.col("text"))) > 0
-    )
-    # persist: the standing index is the static side of every
-    # micro-batch's join — without this the corpus would re-sign per
-    # batch (at production scale this is a stored table read)
-    corpus_bands = minhash_band_keys(
-        docs.filter(F.col("doc_id") % 10 != 0)
-    ).persist()
+    docs = _t(spark, sf_dir, "documents")
+    path = _ensure_lsh_index(spark, sf_dir)
     src = _stage_stream_dir(sf_dir, "documents")
     stream = (
         spark.readStream.schema(docs.schema)
@@ -8963,10 +9193,9 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(out: DataFrame, batch_id: int) -> None:
         out.write.mode("append").parquet(land)
 
-    try:
-        _sid(stream, corpus_bands, sink, max_bucket=2000, timeout_s=600)
-    finally:
-        corpus_bands.unpersist()
+    stream_incremental_dedup_stored(
+        spark, path, stream, sink, max_bucket=2000, timeout_s=600
+    )
     return spark.read.parquet(land)
 
 
@@ -9320,6 +9549,19 @@ _SEMANTICS_CHANGED = {
     # construction AND A/B-verified, but the plan is new, so a fresh
     # green row should confirm it ahead of the stale tail
     "corpus_source_overlap": 8,
+    # r9: stream_incremental_dedup rerouted through the write-once
+    # build_lsh_index artifact (geometry from meta) — identical landed
+    # relation, new read path, fresh green row wanted
+    "stream_incremental_dedup": 9,
+    # r9: exact_substr_mask / mask_shared_runs now pass original text
+    # through for untouched docs (identical on the single-spaced
+    # fixture, but the oracle CASE changed with it)
+    "dedup_exact_substr_mask": 9,
+    "decontaminate_mask": 9,
+    # r9: mm_near_frames now runs on_capped='error' (same relation
+    # while unsaturated — the fixture is — but the plan gained the
+    # assert column)
+    "mm_near_frames": 9,
 }
 
 

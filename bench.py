@@ -167,6 +167,11 @@ HEADLINE = [
     "stream_ss_asof_attribution",
     "stream_asof_enrich",
     "prof_exact_substr_savings",
+    # round 9: stored-geometry LSH ingest probe, mergeable quantile
+    # sketch, multi-batch streaming replays, band-entropy diagnostic
+    "dedup_incremental_lsh_stored",
+    "sketch_hdr_quantiles",
+    "sketch_hdr_band_eval",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -178,6 +183,7 @@ PREBUILD = [
     "sim_ivfadc_topk_stored",
     "dedup_semantic_2level_stored",
     "decontaminate_bloom_stored",
+    "dedup_incremental_lsh_stored",
 ]
 
 

@@ -163,6 +163,102 @@ def incremental_lsh_candidates(
     )
 
 
+#: MinHash/LSH probe-family version: 1 = md5-prefix token hashes
+#: (functions.text.token_hash), HASH_BASE polynomial shingle fold mod
+#: HASH_MOD, affine minhash h_i = (MINHASH_A(i)·h + MINHASH_B(i)) mod
+#: HASH_MOD, and minhash_band_keys' poly-31 band combine.  Bump when
+#: ANY of those changes: band keys from two families are disjoint
+#: value spaces, so probing an index built under another family yields
+#: silent FALSE NEGATIVES (nothing collides, everything looks unique)
+#: — the same failure mode the Bloom family pin guards against, at the
+#: dedup layer where a miss means a duplicate ships into training.
+LSH_FAMILY = 1
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Write-once LSH band-index artifact (round-8 verdict ask #1):
+    sign the standing corpus ONCE and persist the band table so every
+    future batch/stream probe is an equi-join against stored parquet —
+    no corpus re-signature per run, and, critically, no caller-typed
+    geometry: ``{path}/meta`` pins (num_hashes, bands, shingle,
+    id_col, family), and the stored probes derive their parameters
+    FROM the artifact.  Hand-typed geometry that disagrees with the
+    stored bands is the LSH analog of probing a Bloom filter with the
+    wrong (m, k): band keys simply never collide and every duplicate
+    sails through as unique — a silent false negative, which is why
+    the stored readers hard-error on a family mismatch instead of
+    falling back.
+
+    Layout: ``{path}/bands`` — the (id, band_idx, band_key) relation
+    of :func:`minhash_band_keys` — then ``{path}/meta`` written LAST,
+    so readers guarding on ``meta/_SUCCESS`` can never see a
+    half-built artifact (the build_bloom_filter discipline).
+    Refreshing with new corpus material is an append of the NEW docs'
+    bands (sign only the delta) — no rebuild of prior signatures."""
+    minhash_band_keys(
+        corpus, text_col, id_col, num_hashes, bands, shingle
+    ).write.mode(mode).parquet(f"{path}/bands")
+    corpus.sparkSession.createDataFrame(
+        [(num_hashes, bands, shingle, id_col, LSH_FAMILY)],
+        "num_hashes INT, bands INT, shingle INT, id_col STRING, family INT",
+    ).write.mode(mode).parquet(f"{path}/meta")
+
+
+def read_lsh_index(spark, path: str):
+    """(bands DataFrame, meta Row) of a :func:`build_lsh_index`
+    artifact, with the family hard-check every stored reader shares.
+    The bands read is a plain parquet scan — at production scale the
+    table is partition-prunable on the band key and read once per
+    (re)start, never per batch."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    stored_family = meta["family"] if "family" in meta.__fields__ else 0
+    if stored_family != LSH_FAMILY:
+        raise ValueError(
+            f"LSH index at {path} was built under probe family "
+            f"{stored_family}; this build probes family {LSH_FAMILY} — "
+            "band keys from different families never collide (silent "
+            "false negatives), rebuild the artifact with build_lsh_index"
+        )
+    return spark.read.parquet(f"{path}/bands"), meta
+
+
+def incremental_lsh_candidates_stored(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`incremental_lsh_candidates` against a write-once
+    :func:`build_lsh_index` artifact: num_hashes/bands/shingle and the
+    id column name come FROM ``{path}/meta`` — the caller supplies
+    only the batch and its text column, so a geometry mismatch between
+    the batch's signature and the stored bands is impossible by
+    construction (the hazard the free-parameter form documents away;
+    here it is closed structurally).  The batch must carry the id
+    column the index was built under (``meta['id_col']``)."""
+    corpus_bands, meta = read_lsh_index(spark, path)
+    return incremental_lsh_candidates(
+        corpus_bands,
+        batch,
+        text_col=text_col,
+        id_col=meta["id_col"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        shingle=meta["shingle"],
+        max_bucket=max_bucket,
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

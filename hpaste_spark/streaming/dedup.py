@@ -42,6 +42,17 @@ def stream_incremental_dedup(
     it at the call site for repeated reuse (at scale it is a stored
     table read, so each batch's join is a broadcast-batch-side or
     shuffle equi-join on the band key, never a corpus rescan).
+
+    GEOMETRY HAZARD (why the production posture is
+    :func:`stream_incremental_dedup_stored`): this form trusts the
+    caller to pass the SAME num_hashes/bands/shingle the corpus_bands
+    table was built under.  A mismatch doesn't error — the batch's
+    band keys simply live in a different value space and never
+    collide, so every duplicate streams through flagged unique
+    (silent false negatives).  Use this form only when bands and
+    geometry come from the same in-scope variables; anything read
+    from storage should go through the stored variant, which derives
+    geometry from the artifact's pinned meta.
     """
     from hpaste_spark.operators.dedup import incremental_lsh_candidates
 
@@ -72,6 +83,47 @@ def stream_incremental_dedup(
             f"stream_incremental_dedup did not drain within {timeout_s}s"
         )
     return q
+
+
+def stream_incremental_dedup_stored(
+    spark,
+    path: str,
+    stream_docs: DataFrame,
+    sink: "Callable[[DataFrame, int], None]",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    timeout_s: int = 120,
+):
+    """:func:`stream_incremental_dedup` against a write-once
+    :func:`~hpaste_spark.operators.dedup.build_lsh_index` artifact —
+    the production ingest posture (round-8 verdict ask #1): band
+    geometry (num_hashes/bands/shingle) and the id column come FROM
+    ``{path}/meta``, never from the caller, closing the
+    silent-false-negative hazard the free-parameter form documents
+    (probing an index with mismatched banding parameters makes every
+    duplicate look unique — exactly the Bloom wrong-geometry failure
+    stream_bloom_flags_stored guards against, at the dedup layer).
+    A family mismatch hard-errors via read_lsh_index.
+
+    The bands/meta reads happen once per (re)start, not per
+    micro-batch; each batch then signs only ITSELF and equi-joins the
+    stored band table — persist the returned bands at scale if the
+    stream is long-lived (stored-table read otherwise)."""
+    from hpaste_spark.operators.dedup import read_lsh_index
+
+    corpus_bands, meta = read_lsh_index(spark, path)
+    return stream_incremental_dedup(
+        stream_docs,
+        corpus_bands,
+        sink,
+        text_col=text_col,
+        id_col=meta["id_col"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        shingle=meta["shingle"],
+        max_bucket=max_bucket,
+        timeout_s=timeout_s,
+    )
 
 
 def stream_bloom_flags(

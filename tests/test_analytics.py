@@ -2253,3 +2253,114 @@ def test_near_frame_pairs_on_capped_error_fails_loudly(spark):
     )
     with pytest.raises(ValueError):
         near_frame_pairs(media, on_capped="explode")
+
+
+def test_lsh_index_artifact_roundtrip_and_family_pin(spark, tmp_path):
+    """build_lsh_index → incremental_lsh_candidates_stored returns the
+    IDENTICAL relation as the in-plan form under the artifact's own
+    geometry (bands are deterministic); the stored reader derives
+    num_hashes/bands/shingle/id_col from meta, and a family mismatch
+    hard-errors instead of silently returning zero candidates (the
+    false-negative failure mode the pin exists for)."""
+    import pytest
+
+    from hpaste_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_lsh_candidates,
+        incremental_lsh_candidates_stored,
+        minhash_band_keys,
+        read_lsh_index,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(docs[:15], "doc_id INT, text STRING")
+    batch = spark.createDataFrame(docs[15:], "doc_id INT, text STRING")
+
+    path = str(tmp_path / "lsh_idx")
+    # non-default geometry: proves the stored probe derives it from
+    # meta rather than using the function defaults
+    build_lsh_index(corpus, path, num_hashes=12, bands=3, shingle=2)
+
+    stored = {
+        (r["batch_id"], r["corpus_id"]): r["n_bands"]
+        for r in incremental_lsh_candidates_stored(spark, path, batch).collect()
+    }
+    inline = {
+        (r["batch_id"], r["corpus_id"]): r["n_bands"]
+        for r in incremental_lsh_candidates(
+            minhash_band_keys(corpus, num_hashes=12, bands=3, shingle=2),
+            batch,
+            num_hashes=12,
+            bands=3,
+            shingle=2,
+        ).collect()
+    }
+    assert stored == inline and len(stored) > 0
+
+    # family mismatch: rewrite meta under a foreign family id
+    spark.createDataFrame(
+        [(12, 3, 2, "doc_id", 999)],
+        "num_hashes INT, bands INT, shingle INT, id_col STRING, family INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="family 999"):
+        read_lsh_index(spark, path)
+    with pytest.raises(ValueError, match="build_lsh_index"):
+        incremental_lsh_candidates_stored(spark, path, batch)
+
+
+def test_stream_incremental_dedup_stored_matches_batch(spark, tmp_path):
+    """The stored streaming probe (geometry from the artifact) lands
+    the same candidate set the batch operator computes, and refuses a
+    foreign-family artifact before starting the stream."""
+    import pytest
+
+    from hpaste_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_lsh_candidates_stored,
+    )
+    from hpaste_spark.streaming.dedup import stream_incremental_dedup_stored
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(docs[:15], "doc_id INT, text STRING")
+    batch_rows = docs[15:]
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(corpus, path, num_hashes=12, bands=3, shingle=2)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(batch_rows, "doc_id INT, text STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id INT, text STRING").parquet(
+        str(src / "b0")
+    )
+
+    landed: list = []
+
+    def sink(out, batch_id):
+        landed.extend(
+            (r["batch_id"], r["corpus_id"], r["n_bands"]) for r in out.collect()
+        )
+
+    stream_incremental_dedup_stored(spark, path, stream, sink, timeout_s=120)
+    batch = spark.createDataFrame(batch_rows, "doc_id INT, text STRING")
+    expected = {
+        (r["batch_id"], r["corpus_id"], r["n_bands"])
+        for r in incremental_lsh_candidates_stored(spark, path, batch).collect()
+    }
+    assert set(landed) == expected and len(expected) > 0
+
+    spark.createDataFrame(
+        [(12, 3, 2, "doc_id", 0)],
+        "num_hashes INT, bands INT, shingle INT, id_col STRING, family INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="family 0"):
+        stream_incremental_dedup_stored(spark, path, stream, sink)

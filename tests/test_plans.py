@@ -701,3 +701,18 @@ def test_fertility_single_keyed_agg(spark, queries):
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_incremental_lsh_stored_probe_reads_stored_bands(spark, queries):
+    """dedup_incremental_lsh_stored: the corpus side of the band join
+    must be the STORED parquet artifact (no corpus re-signature — the
+    whole point of the write-once index), and the only documents scan
+    is the batch side signing itself."""
+    df = queries["dedup_incremental_lsh_stored"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert ".scratch/lsh_index" in plan, "probe must read the stored band table"
+    assert plan.count("documents.parquet") == 1, (
+        "only the batch side may scan documents; the corpus comes from "
+        "the stored bands"
+    )
+    assert "CartesianProduct" not in plan

@@ -28,3 +28,64 @@ def test_hll_rollup_deterministic(spark):
     a = sorted(map(tuple, hll_rollup(o, "o_orderpriority", "o_custkey").collect()))
     b = sorted(map(tuple, hll_rollup(o, "o_orderpriority", "o_custkey").collect()))
     assert a == b
+
+
+def test_hdr_sketch_merge_associativity(spark):
+    """Sketch of the union == cell-wise merge of per-shard sketches,
+    in any merge tree shape (the mergeability contract that lets 100 TB
+    shards ship fixed-size partials)."""
+    import math
+    import random
+
+    from hpaste_spark.operators.sketches import hdr_merge, hdr_sketch
+
+    rnd = random.Random(42)
+    vals = [int(math.exp(rnd.uniform(0, 18))) for _ in range(500)]
+    vals += [0, 1, 2, 3, (1 << 40) + 12345]
+    shards = [vals[i::3] for i in range(3)]
+    dfs = [
+        spark.createDataFrame([(v,) for v in s], "v long") for s in shards
+    ]
+    whole = spark.createDataFrame([(v,) for v in vals], "v long")
+
+    def cells(df):
+        return {(r["bucket_lo"], r["width"]): r["cnt"] for r in df.collect()}
+
+    expected = cells(hdr_sketch(whole))
+    flat = hdr_merge(*[hdr_sketch(d) for d in dfs])
+    nested = hdr_merge(
+        hdr_merge(hdr_sketch(dfs[0]), hdr_sketch(dfs[1])), hdr_sketch(dfs[2])
+    )
+    assert cells(flat) == expected
+    assert cells(nested) == expected
+
+
+def test_hdr_quantile_band_guarantee_and_negative_rejection(spark):
+    """The true type-1 quantile always lies inside its [lo, hi] band
+    and the band is ≤ 2^-sub_bits of the value wide; negative values
+    abort loudly instead of bucketing as garbage."""
+    import math
+    import random
+
+    import pytest
+
+    from hpaste_spark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    rnd = random.Random(7)
+    vals = [int(math.exp(rnd.uniform(0, 18))) for _ in range(800)] + [0, 1]
+    whole = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = (0.1, 0.5, 0.9, 0.99)
+    out = hdr_quantiles(hdr_sketch(whole, sub_bits=7), qs=qs).collect()[0]
+    svals = sorted(vals)
+    assert out["n"] == len(vals)
+    for q in qs:
+        true_q = svals[math.ceil(q * len(svals)) - 1]
+        p = f"q{int(round(q * 100))}"
+        lo, hi = out[f"{p}_lo"], out[f"{p}_hi"]
+        assert lo <= true_q <= hi, (q, lo, true_q, hi)
+        assert (hi - lo + 1) <= max(1, lo >> 7), (q, lo, hi)
+
+    with pytest.raises(Exception, match="negative value"):
+        hdr_sketch(
+            spark.createDataFrame([(-5,)], "v long")
+        ).collect()
