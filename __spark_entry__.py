@@ -2340,14 +2340,12 @@ def mm_shared_frame_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame_run_pairs(media, frame_bytes=64, min_run=2)
 
 
-@q(
-    "mm_near_frames",
-    """
-    -- brute-force Hamming oracle: banding with bands = max_hamming+1
-    -- contiguous slices is pigeonhole-LOSSLESS, so the blocked Spark
-    -- plan and this quadratic verify emit the identical relation.
-    -- Fixture is pure ASCII, so ord() == the byte Spark reads via hex
-    WITH nf_f AS (SELECT doc_id, substr(text, CAST(fno*64+1 AS BIGINT), 64) AS f
+# frame dHash signature chain shared by the perceptual-frame oracles
+# (mm_near_frames brute-force verify + prof_band_entropy): the
+# DISTINCT (doc_id, fsig) relation of multimodal.frame_signatures.
+# Fixture is pure ASCII, so ord() == the byte Spark reads via hex.
+_NF_SIG_CHAIN = """
+    nf_f AS (SELECT doc_id, substr(text, CAST(fno*64+1 AS BIGINT), 64) AS f
                   FROM documents,
                        unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT))) AS u(fno)
                   WHERE length(text) > 0),
@@ -2363,7 +2361,17 @@ def mm_shared_frame_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             list_transform(range(0,31), i ->
               CAST(CASE WHEN sv[i+1] > sv[i+2] THEN 1 ELSE 0 END AS BIGINT))),
           (acc, x) -> acc*2 + x) AS fsig
-      FROM nf_seg),
+      FROM nf_seg)
+"""
+
+
+@q(
+    "mm_near_frames",
+    f"""
+    -- brute-force Hamming oracle: banding with bands = max_hamming+1
+    -- contiguous slices is pigeonhole-LOSSLESS, so the blocked Spark
+    -- plan and this quadratic verify emit the identical relation.
+    WITH {_NF_SIG_CHAIN},
     nf_p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM nf_sig a JOIN nf_sig b
                ON a.doc_id < b.doc_id
@@ -2406,6 +2414,61 @@ def mm_near_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_frame_pairs(
         media, frame_bytes=64, max_hamming=2, max_bucket=4000,
         on_capped="error",
+    )
+
+
+@q(
+    "prof_band_entropy",
+    f"""
+    WITH {_NF_SIG_CHAIN},
+    pbe_b AS (
+      SELECT b.band_idx,
+             CASE b.band_idx WHEN 0 THEN fsig % 2048
+                             WHEN 1 THEN (fsig >> 11) % 1024
+                             ELSE (fsig >> 21) % 1024 END AS k
+      FROM nf_sig, (VALUES (0),(1),(2)) b(band_idx)),
+    pbe_c AS (SELECT band_idx, k, COUNT(*) AS c FROM pbe_b GROUP BY 1, 2),
+    pbe_st AS (SELECT band_idx, SUM(c) AS n_rows, COUNT(*) AS n_buckets,
+                      MAX(c) AS max_bucket, SUM(c * log2(c)) AS clogc
+               FROM pbe_c GROUP BY 1),
+    pbe_sc AS (SELECT band_idx, c, COUNT(*) AS nb FROM pbe_c GROUP BY 1, 2),
+    pbe_cw AS (SELECT band_idx, c,
+                      SUM(nb) OVER (PARTITION BY band_idx ORDER BY c) AS cum,
+                      SUM(nb) OVER (PARTITION BY band_idx) AS tot
+               FROM pbe_sc),
+    pbe_p AS (SELECT band_idx,
+                     MIN(CASE WHEN cum*100 >= 99*tot THEN c END) AS p99_bucket
+              FROM pbe_cw GROUP BY 1)
+    SELECT band_idx, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(max_bucket AS BIGINT) AS max_bucket,
+           CAST(p99_bucket AS BIGINT) AS p99_bucket,
+           CAST(FLOOR((log2(n_rows) - clogc / n_rows) * 1000.0) AS BIGINT)
+             AS entropy_millibits
+    FROM pbe_st JOIN pbe_p USING (band_idx)
+    """,
+)
+def prof_band_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-key concentration diagnostic (round-8 verdict ask #5),
+    run over the SAME banded frame-signature table mm_near_frames
+    joins on (multimodal.frame_band_keys — one shared code path, so
+    the diagnostic measures exactly what the join will see): per band,
+    bucket-count extremes (max / exact type-1 p99) and the Shannon
+    entropy of the key distribution in milli-bits.  This is the
+    measurement behind SCALE.md 'Perceptual banding saturation',
+    promoted from by-hand prose to a query a user runs on THEIR data
+    to size max_bucket: entropy far below the band's key width (11 or
+    10 bits here) means keys are concentrating and the banded join is
+    approaching its quadratic regime — on the 31-word fixture the
+    measured ~5-6 bits against 10-11-bit keys is the saturation the
+    cap guards.  Generic over any banded table (MinHash bands,
+    hyperplane bands) via profile.band_entropy."""
+    from hpaste_spark.operators.multimodal import attach_media, frame_band_keys
+    from hpaste_spark.operators.profile import band_entropy
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return band_entropy(
+        frame_band_keys(media, frame_bytes=64, max_hamming=2)
     )
 
 

@@ -172,6 +172,7 @@ HEADLINE = [
     "dedup_incremental_lsh_stored",
     "sketch_hdr_quantiles",
     "sketch_hdr_band_eval",
+    "prof_band_entropy",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

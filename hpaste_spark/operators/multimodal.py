@@ -320,6 +320,33 @@ def frame_signatures(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
     return sv.select(F.col("doc_id"), sig.alias("fsig")).distinct()
 
 
+def frame_band_keys(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(doc_id, fsig, band_idx, band_key) — the banded-signature table
+    behind :func:`near_frame_pairs`, exposed so diagnostics
+    (profile.band_entropy) and stored-index builds can see the SAME
+    banding the candidate join uses.  ``max_hamming + 1`` contiguous
+    bit slices of the 31-bit dHash, wider slices first when the split
+    is uneven (divmod remainder goes to the low bands)."""
+    s = frame_signatures(df, frame_bytes)
+    bands = max_hamming + 1
+    base, extra = divmod(FRAME_SIG_BITS, bands)
+    entries, offset = [], 0
+    for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        key = F.shiftright(F.col("fsig"), offset) % (2 ** width)
+        entries.append(
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
+        )
+        offset += width
+    return s.select(
+        "doc_id", "fsig", F.explode(F.array(*entries)).alias("band")
+    ).select("doc_id", "fsig", "band.band_idx", "band.band_key")
+
+
 def near_frame_pairs(
     df: DataFrame,
     frame_bytes: int = 64,
@@ -358,20 +385,7 @@ def near_frame_pairs(
 
     if on_capped not in ("drop", "error"):
         raise ValueError(f"on_capped must be 'drop' or 'error': {on_capped}")
-    s = frame_signatures(df, frame_bytes)
-    bands = max_hamming + 1
-    base, extra = divmod(FRAME_SIG_BITS, bands)
-    entries, offset = [], 0
-    for b in range(bands):
-        width = base + (1 if b < extra else 0)
-        key = F.shiftright(F.col("fsig"), offset) % (2 ** width)
-        entries.append(
-            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
-        )
-        offset += width
-    k = s.select(
-        "doc_id", "fsig", F.explode(F.array(*entries)).alias("band")
-    ).select("doc_id", "fsig", "band.band_idx", "band.band_key")
+    k = frame_band_keys(df, frame_bytes, max_hamming)
     if max_bucket is not None:
         k = k.withColumn(
             "_bn", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key"))

@@ -442,3 +442,75 @@ def exact_group_quantiles(
             ).alias(f"q{int(round(float(frac) * 100))}")
         )
     return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)
+
+
+def band_entropy(
+    banded: DataFrame,
+    band_idx_col: str = "band_idx",
+    key_col: str = "band_key",
+) -> DataFrame:
+    """Band-key concentration diagnostic for ANY banded signature
+    table (MinHash bands, hyperplane bands, frame-dHash bands) —
+    round-8 verdict ask #5: the measurement SCALE.md's 'Perceptual
+    banding saturation' analysis did by hand, exposed as a query a
+    user can run on THEIR data to size ``max_bucket`` before a banded
+    join saturates.  Per band_idx:
+
+    (band_idx, n_rows, n_buckets, max_bucket, p99_bucket,
+    entropy_millibits) — max/p99 bucket sizes bound the candidate
+    fan-out (a banded join does |bucket|²-ish work per bucket), and
+    entropy_millibits is the Shannon entropy of the key distribution
+    in 1/1000 bit units: a band whose entropy is far below its key
+    width is concentrating — the signal that banding has stopped
+    discriminating and the cap (or a wider signature) is about to
+    matter.
+
+    Shape: one hash-agg to bucket counts (bounded by the KEY domain),
+    one window over the tiny (band, size) table for the exact type-1
+    p99 (integer rank math — the exact_group_quantiles rule), one
+    log2 sum for entropy (H = log2(n) − Σ c·log2(c)/n, so the
+    per-bucket terms are map-side partials; quantized to integer
+    milli-bits by FLOOR — coarse enough that last-ulp libm
+    differences between engines cannot flip the value).  Raw rows are
+    scanned once, everything after is domain-bounded."""
+    from pyspark.sql import Window
+
+    b = banded.groupBy(
+        F.col(band_idx_col).alias("band_idx"), F.col(key_col).alias("_k")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    stats = b.groupBy("band_idx").agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("_c").cast("long").alias("max_bucket"),
+        F.sum(
+            F.col("_c").cast("double") * F.log2(F.col("_c").cast("double"))
+        ).alias("_clogc"),
+    )
+    sc = b.groupBy("band_idx", "_c").agg(F.count(F.lit(1)).alias("_nb"))
+    w = Window.partitionBy("band_idx").orderBy("_c")
+    cum = sc.withColumn("_cum", F.sum("_nb").over(w)).withColumn(
+        "_tot", F.sum("_nb").over(Window.partitionBy("band_idx"))
+    )
+    p99 = cum.groupBy("band_idx").agg(
+        F.min(
+            F.when(F.col("_cum") * 100 >= 99 * F.col("_tot"), F.col("_c"))
+        )
+        .cast("long")
+        .alias("p99_bucket")
+    )
+    return stats.join(p99, "band_idx").select(
+        "band_idx",
+        "n_rows",
+        "n_buckets",
+        "max_bucket",
+        "p99_bucket",
+        F.floor(
+            (
+                F.log2(F.col("n_rows").cast("double"))
+                - F.col("_clogc") / F.col("n_rows")
+            )
+            * F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("entropy_millibits"),
+    )

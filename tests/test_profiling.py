@@ -275,3 +275,28 @@ def test_exact_group_quantiles_integer_rank_arbitrary_q(spark):
 
     with pytest.raises(ValueError):
         exact_group_quantiles(df, "v", "g", qs=(1.5,))
+
+
+def test_band_entropy_counts_and_millibits(spark):
+    """band_entropy on a hand-computable banded table: exact bucket
+    extremes, type-1 p99, and floor-millibit Shannon entropy (a
+    uniform band reads exactly its key-width bits)."""
+    import math
+
+    from hpaste_spark.operators.profile import band_entropy
+
+    rows = [(0, k) for k in ["a", "a", "a", "b"]] + [
+        (1, k) for k in ["x", "y", "z", "w"]
+    ]
+    df = spark.createDataFrame(rows, "band_idx int, band_key string")
+    out = {r["band_idx"]: r for r in band_entropy(df).collect()}
+
+    # band 0: buckets {a:3, b:1} → H = 2 − (3·log2 3)/4 ≈ 0.811278
+    h0 = math.floor((2.0 - (3 * math.log2(3)) / 4) * 1000)
+    assert out[0]["n_rows"] == 4 and out[0]["n_buckets"] == 2
+    assert out[0]["max_bucket"] == 3 and out[0]["p99_bucket"] == 3
+    assert out[0]["entropy_millibits"] == h0 == 811
+
+    # band 1: uniform over 4 keys → exactly 2 bits
+    assert out[1]["max_bucket"] == 1 and out[1]["p99_bucket"] == 1
+    assert out[1]["entropy_millibits"] == 2000
