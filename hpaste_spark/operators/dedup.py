@@ -1672,6 +1672,17 @@ def exact_substr_mask(
     material, not corpus size), positions union across partners and
     diagonals, and the doc is rebuilt from its surviving tokens in
     order — the :func:`mask_shared_runs` reassembly, turned self-wise.
+
+    Chain/overlap semantics (pinned by
+    test_exact_substr_mask_chain_topologies_fixpoint): keep-first is
+    PER PAIR, so in a–b/b–c chains the middle doc keeps the run it is
+    the lower id for; when the two runs OVERLAP inside the middle doc,
+    its kept copy of the later run is clipped where the overlap was
+    cut by the lower-id pair — a contiguous span can then survive
+    nowhere in full (its pieces remain across the lower-id docs).
+    Either way ONE pass is a fixpoint: re-running detection on the
+    masked output finds no qualifying run, so no iterative excision
+    loop is ever needed.
     """
     from hpaste_spark.functions.text import tokens
 

@@ -2364,3 +2364,89 @@ def test_stream_incremental_dedup_stored_matches_batch(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="family 0"):
         stream_incremental_dedup_stored(spark, path, stream, sink)
+
+
+def test_exact_substr_mask_chain_topologies_fixpoint(spark):
+    """Chain topologies (r8 verdict ask #6).  (i) Disjoint chain a–b /
+    b–c: each run is cut exactly once from its higher-id holder, the
+    middle doc keeps the run it is the LOWER id for, and one pass is a
+    fixpoint.  (ii) Three-way shared quote: survives exactly in the
+    lowest id.  (iii) OVERLAPPING runs through a middle doc: keep-first
+    is PER PAIR, so the middle doc's kept copy of run Y is clipped
+    where Y overlaps the run X it loses to a lower id — contiguous Y
+    then survives nowhere in full (its pieces live in a and b).  That
+    clip is the documented semantics (per-pair excision, the Lee et
+    al. posture), and crucially the output is STILL a fixpoint: no
+    qualifying run remains, so no second pass is ever needed."""
+    from hpaste_spark.operators.dedup import exact_substr_mask, exact_substr_pairs
+
+    X = " ".join(f"x{i}" for i in range(12))
+    Y = " ".join(f"y{i}" for i in range(12))
+
+    def rerun_is_fixpoint(out_rows):
+        masked = spark.createDataFrame(
+            [(r["doc_id"], r["clean_text"]) for r in out_rows],
+            "doc_id INT, text STRING",
+        )
+        assert exact_substr_pairs(masked, min_shared_tokens=10).count() == 0
+
+    # (i) disjoint chain: a–b share X, b–c share Y, a–c nothing
+    chain = spark.createDataFrame(
+        [
+            (1, f"pre {X} post"),
+            (2, f"{X} mid1 mid2 mid3 {Y}"),
+            (3, f"{Y} tail1 tail2"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_mask(chain, min_shared_tokens=10).collect()
+    }
+    assert out[1]["n_masked_tokens"] == 0  # lowest id of its only pair
+    assert out[2]["clean_text"] == f"mid1 mid2 mid3 {Y}"  # lost X, KEPT Y
+    assert out[2]["n_masked_tokens"] == 12
+    assert out[3]["clean_text"] == "tail1 tail2"  # lost Y
+    assert out[3]["n_masked_tokens"] == 12
+    rerun_is_fixpoint(out.values())
+
+    # (ii) three-way shared quote: survives exactly once, in doc 1
+    tri = spark.createDataFrame(
+        [(1, f"aa {X} bb"), (2, f"cc {X} dd"), (3, f"{X} ee")],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_mask(tri, min_shared_tokens=10).collect()
+    }
+    assert out[1]["n_masked_tokens"] == 0
+    assert out[2]["clean_text"] == "cc dd" and out[3]["clean_text"] == "ee"
+    rerun_is_fixpoint(out.values())
+
+    # (iii) overlapping runs: b = w0..w29, a = w0..w14 (X'), c = w10..w24
+    # (Y'); a–c share only 5 tokens (no pair).  b loses X' (including
+    # the w10..w14 overlap) and keeps only w15..w29; c loses all of Y'.
+    ws = [f"w{i}" for i in range(30)]
+    ovl = spark.createDataFrame(
+        [
+            (1, " ".join(ws[0:15])),
+            (2, " ".join(ws)),
+            (3, " ".join(ws[10:25])),
+        ],
+        "doc_id INT, text STRING",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in exact_substr_pairs(ovl, min_shared_tokens=10).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}  # the 5-token a–c overlap is no pair
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_mask(ovl, min_shared_tokens=10).collect()
+    }
+    assert out[1]["n_masked_tokens"] == 0
+    assert out[2]["clean_text"] == " ".join(ws[15:30])  # X' clipped Y'
+    assert out[3]["clean_text"] == "" and out[3]["n_masked_tokens"] == 15
+    # contiguous Y' survives nowhere in full — pieces in docs 1 and 2 —
+    # yet the pass is already a fixpoint
+    rerun_is_fixpoint(out.values())
