@@ -173,6 +173,8 @@ HEADLINE = [
     "sketch_hdr_quantiles",
     "sketch_hdr_band_eval",
     "prof_band_entropy",
+    "stream_tw_tumbling_multibatch",
+    "stream_ss_asof_multibatch",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

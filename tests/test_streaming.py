@@ -745,3 +745,23 @@ def test_stream_registry_queries_state_posture(spark):
     out4 = m.stream_session_window(spark, SF)
     assert out4.columns == ["user_id", "session_start", "n_events", "total_value"]
     assert out4.count() > 0
+
+
+def test_multibatch_replays_run_real_micro_batches(spark):
+    """The multibatch registry queries pin batch count STRUCTURALLY:
+    each callable raises unless >= 3 (tumbling) / >= 4 (as-of, incl.
+    sentinel) DATA micro-batches actually ran, so the gate can never
+    silently regress to a single-batch drain.  Executing them here at
+    the tiny SF is the pytest pin (r8 verdict ask #3) — a run that
+    collapsed to one batch would raise, not pass."""
+    import __spark_entry__ as m
+
+    out = m._QUERIES["stream_tw_tumbling_multibatch"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.count() > 0
+
+    out2 = m._QUERIES["stream_ss_asof_multibatch"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out2.count() > 0
