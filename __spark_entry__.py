@@ -4532,6 +4532,122 @@ def sketch_hdr_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sketch_hdr_rollup",
+    """
+    WITH shr_v AS (SELECT event_type,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                   FROM events),
+    shr_b AS (SELECT event_type, v >> s << s AS bucket_lo,
+                     (CAST(1 AS BIGINT) << s) AS width
+              FROM (SELECT event_type, v,
+                           greatest(length(bin(v)) - 8, 0) AS s FROM shr_v)),
+    shr_s AS (SELECT event_type, bucket_lo, width, COUNT(*) AS cnt
+              FROM shr_b GROUP BY 1, 2, 3),
+    shr_u AS (SELECT * FROM shr_s
+              UNION ALL
+              SELECT 'ALL' AS event_type, bucket_lo, width,
+                     SUM(cnt) AS cnt
+              FROM shr_s GROUP BY bucket_lo, width),
+    shr_c AS (SELECT event_type, bucket_lo, width, cnt,
+                     SUM(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY bucket_lo) AS cum,
+                     SUM(cnt) OVER (PARTITION BY event_type) AS n
+              FROM shr_u)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum*2 >= n THEN bucket_lo END) AS BIGINT) AS q50_lo,
+           CAST(MIN(CASE WHEN cum*2 >= n THEN bucket_lo + width - 1 END) AS BIGINT) AS q50_hi,
+           CAST(MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo END) AS BIGINT) AS q95_lo,
+           CAST(MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo + width - 1 END) AS BIGINT) AS q95_hi
+    FROM shr_c GROUP BY event_type
+    """,
+)
+def sketch_hdr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY payoff under the gate (the hll_rollup posture
+    for quantiles): per-type HDR sketches are built in ONE scan and
+    the corpus-wide 'ALL' row comes from MERGING those sketches
+    cell-wise (sketches.hdr_merge) — the raw values are never touched
+    again for the coarser rollup, which is the whole point of a
+    mergeable quantile partial at 100 TB (any regional/daily/source
+    rollup is a tiny counter sum, not a re-shuffle).  The oracle
+    rebuilds both levels and the hash gate pins that merged-ALL
+    quantile bands equal direct-ALL bands exactly — cell-wise integer
+    addition is associative, so they cannot differ."""
+    from hpaste_spark.operators.sketches import (hdr_merge, hdr_quantiles,
+                                                 hdr_sketch)
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+    )
+    sk = hdr_sketch(vals, "v", "event_type", sub_bits=7)
+    u = sk.unionByName(
+        sk.select(
+            F.lit("ALL").alias("event_type"), "bucket_lo", "width", "cnt"
+        )
+    )
+    return hdr_quantiles(hdr_merge(u), qs=(0.5, 0.95), group_col="event_type")
+
+
+# each micro-batch ships a fixed-size HDR partial and cell-wise
+# addition is associative, so the merged landed partials ARE the batch
+# sketch regardless of how the stream split into batches — alias the
+# batch oracle (the stream_decontaminate_bloom idiom)
+_ORACLES["stream_sketch_hdr"] = _ORACLES["sketch_hdr_quantiles"]
+
+
+@q("stream_sketch_hdr", None)
+def stream_sketch_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile telemetry UNDER the gate — the TENTH gated
+    streaming shape: events replay as THREE real micro-batches (the
+    multibatch staging), each batch folds into a fixed-size HDR
+    partial via foreachBatch running the exact batch operator
+    (streaming/events.stream_hdr_partials), partials land in parquet,
+    and the reader merges them cell-wise and reads quantile bands.
+    No state store, no watermark, and batch boundaries provably can't
+    change the answer (integer addition is associative) — so the SAME
+    DuckDB oracle as sketch_hdr_quantiles grades the streaming
+    execution hash-for-hash.  This is the always-on ingest-telemetry
+    posture: the stream maintains the sketch; dashboards and gates
+    read quantiles without ever touching raw history.  Hard-errors
+    unless >= 3 data micro-batches ran."""
+    import shutil
+
+    from hpaste_spark.operators.sketches import hdr_merge, hdr_quantiles
+    from hpaste_spark.streaming.events import (read_event_stream,
+                                               stream_hdr_partials)
+
+    configure_session(spark)
+    src = _stage_multibatch_events(sf_dir)
+    stream = read_event_stream(spark, src)
+    vals = stream.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    land = os.path.join(
+        here, ".scratch", "stream_hdr",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(land, ignore_errors=True)
+
+    def sink(partial: DataFrame, batch_id: int) -> None:
+        partial.write.mode("append").parquet(land)
+
+    qh = stream_hdr_partials(
+        vals, sink, "v", "event_type", sub_bits=7, timeout_s=600
+    )
+    data_batches = sum(1 for p in qh.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 3:
+        raise RuntimeError(
+            f"stream_sketch_hdr ran {data_batches} data micro-batches; "
+            "expected >= 3 (one per staged file)"
+        )
+    merged = hdr_merge(spark.read.parquet(land))
+    return hdr_quantiles(merged, qs=(0.5, 0.95, 0.99), group_col="event_type")
+
+
 # BPE-ish subword token counting (north star: "token counting —
 # whitespace + a BPE-ish regex").  Whitespace count alongside for the
 # tokens-per-word granularity ratio LLM data budgeting uses.

@@ -175,6 +175,8 @@ HEADLINE = [
     "prof_band_entropy",
     "stream_tw_tumbling_multibatch",
     "stream_ss_asof_multibatch",
+    "sketch_hdr_rollup",
+    "stream_sketch_hdr",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

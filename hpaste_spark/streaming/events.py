@@ -584,3 +584,41 @@ def stream_asof_enrich(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def stream_hdr_partials(
+    stream_df: DataFrame,
+    sink,
+    value_col: str = "v",
+    group_col: "str | None" = None,
+    sub_bits: int = 7,
+    timeout_s: int = 120,
+):
+    """Ship a FIXED-SIZE HDR quantile partial per micro-batch — the
+    ingest-telemetry shape at 100 TB: each arriving batch folds into a
+    ≤ few-thousand-row (group, bucket_lo, width, cnt) counter table
+    (operators/sketches.hdr_sketch — the exact batch operator, run by
+    foreachBatch, so streamed telemetry and batch backfills agree by
+    construction), ``sink(partial_df, batch_id)`` lands it, and any
+    reader answers any quantile at any rollup by MERGING partials
+    cell-wise (hdr_merge) — no raw re-shuffle, no state store, no
+    watermark: integer addition is associative and commutative, so
+    batch boundaries cannot change the merged sketch, which is what
+    lets the streaming execution be graded by the SAME oracle as the
+    batch sketch."""
+    from hpaste_spark.operators.sketches import hdr_sketch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sink(hdr_sketch(batch_df, value_col, group_col, sub_bits), batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_hdr_partials did not drain within {timeout_s}s"
+        )
+    return q

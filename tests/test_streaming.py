@@ -765,3 +765,11 @@ def test_multibatch_replays_run_real_micro_batches(spark):
         spark, "/root/testdata/sf0.001"
     )
     assert out2.count() > 0
+
+    # the per-batch HDR partials merge to the identical batch sketch
+    # regardless of the 3-way split (associativity under the gate)
+    out3 = m._QUERIES["stream_sketch_hdr"](spark, "/root/testdata/sf0.001")
+    batch = m._QUERIES["sketch_hdr_quantiles"](spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, out3.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
