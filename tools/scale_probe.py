@@ -368,6 +368,10 @@ STREAM_PROBES = [
     "stream_incremental_dedup",
     "stream_ss_asof_attribution",
     "stream_asof_enrich",
+    # round 9: multi-batch replays + per-batch HDR quantile partials
+    "stream_tw_tumbling_multibatch",
+    "stream_ss_asof_multibatch",
+    "stream_sketch_hdr",
 ]
 
 
@@ -422,6 +426,9 @@ def stream_probe(spark, qs, factor: int = 30) -> None:
             "stream_session_window",
             "stream_ss_asof_attribution",
             "stream_asof_enrich",
+            "stream_tw_tumbling_multibatch",
+            "stream_ss_asof_multibatch",
+            "stream_sketch_hdr",
         )
         t_small, n_small = run(name, SF01)
         if uses_events:
