@@ -4563,31 +4563,29 @@ def sketch_hdr_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sketch_hdr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MERGEABILITY payoff under the gate (the hll_rollup posture
-    for quantiles): per-type HDR sketches are built in ONE scan and
-    the corpus-wide 'ALL' row comes from MERGING those sketches
-    cell-wise (sketches.hdr_merge) — the raw values are never touched
-    again for the coarser rollup, which is the whole point of a
-    mergeable quantile partial at 100 TB (any regional/daily/source
-    rollup is a tiny counter sum, not a re-shuffle).  The oracle
-    rebuilds both levels and the hash gate pins that merged-ALL
-    quantile bands equal direct-ALL bands exactly — cell-wise integer
-    addition is associative, so they cannot differ."""
-    from hpaste_spark.operators.sketches import (hdr_merge, hdr_quantiles,
-                                                 hdr_sketch)
+    """Two-level quantile rollup from ONE scan (the hll_rollup posture
+    for quantiles): each event contributes its bucket to BOTH its own
+    type's sketch and the corpus-wide 'ALL' sketch via an
+    explode-to-two-rows Expand (exactly what GROUPING SETS plans
+    physically; the naive union-of-sketch-relabels form was measured
+    to rescan events twice — no ReusedExchange, since the relabeled
+    branch's projection differs), then a single hash-agg builds every
+    level map-side-combined.  The hash gate pins that the ALL bands
+    equal what cell-wise merging per-type sketches would give —
+    integer addition is associative, so the two formulations cannot
+    differ (hdr_merge remains the cross-SHARD path, gate-proven by
+    stream_sketch_hdr's per-batch partials)."""
+    from hpaste_spark.operators.sketches import hdr_quantiles, hdr_sketch
 
     ev = _t(spark, sf_dir, "events")
     vals = ev.select(
-        "event_type",
+        F.explode(
+            F.array(F.col("event_type"), F.lit("ALL"))
+        ).alias("event_type"),
         F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
     )
     sk = hdr_sketch(vals, "v", "event_type", sub_bits=7)
-    u = sk.unionByName(
-        sk.select(
-            F.lit("ALL").alias("event_type"), "bucket_lo", "width", "cnt"
-        )
-    )
-    return hdr_quantiles(hdr_merge(u), qs=(0.5, 0.95), group_col="event_type")
+    return hdr_quantiles(sk, qs=(0.5, 0.95), group_col="event_type")
 
 
 # each micro-batch ships a fixed-size HDR partial and cell-wise

@@ -716,3 +716,13 @@ def test_incremental_lsh_stored_probe_reads_stored_bands(spark, queries):
         "the stored bands"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_hdr_rollup_single_scan_expand(spark, queries):
+    """sketch_hdr_rollup builds the per-type AND the ALL sketch from
+    ONE events scan (explode-to-two-rows Expand + a single partial/
+    final hash-agg) — the union-of-relabeled-sketches form silently
+    rescanned events twice (no ReusedExchange; measured round 9)."""
+    plan = plan_of(queries["sketch_hdr_rollup"](spark, SF_DIR))
+    assert plan.count("events.parquet") == 1, "ALL level must not rescan"
+    assert "CartesianProduct" not in plan
