@@ -38,9 +38,18 @@ def hll_rollup(
     estimate comes from UNIONING the per-group sketches — one scan of
     the data, the total never touches the raw values again.  ``lg_k``
     = log2 of the sketch size (12 → 4 KiB, ~2% relative error).
-    Estimates are rounded to whole longs."""
-    sk = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
+    Estimates are rounded to whole longs.
+
+    The per-group sketch table is eagerly ``localCheckpoint``-ed so
+    "one scan" is physically true: the per-group and union branches
+    both consume the checkpointed (#groups)-row table instead of
+    re-running the aggregation lineage (measured round 9: without the
+    cut, the two branches planned FOUR raw scans — Catalyst reuses no
+    exchange because the downstream projections differ)."""
+    sk = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk"))
+        .localCheckpoint()
     )
     per_group = sk.select(
         "grp",
