@@ -295,7 +295,13 @@ def subset_probe(spark, qs, factor: int, names: list, mark: str, title: str) -> 
     replace the ``mark`` section of SCALE.md — the --big harness with a
     caller-chosen list, used for the 100× rows (running all of
     BIG_PROBES at 100× would take hours for queries whose 30× rows
-    already pin the growth)."""
+    already pin the growth).
+
+    ACCUMULATES: existing table rows for queries NOT in this run are
+    carried over, so a partial re-run can never silently discard
+    earlier rounds' evidence (round 9 lost the r8 batch this way and
+    had to restore it from git)."""
+    carried = _existing_rows(mark, set(names))
     big_dir = os.path.join(REPO, ".scratch", f"sf{factor}x_probe")
     if "--regen" in sys.argv or not os.path.isdir(f"{big_dir}/embeddings.parquet"):
         synthesize(spark, factor, big_dir)
@@ -317,9 +323,13 @@ def subset_probe(spark, qs, factor: int, names: list, mark: str, title: str) -> 
         "",
         f"## {title}",
         "",
+        "Rows accumulate across rounds (a partial re-run carries over",
+        "rows it did not re-measure; same harness, idle box).",
+        "",
         f"| query | sf0.1 (s) | {factor}× (s) | alpha | rows sf0.1 | rows {factor}× |",
         "|---|---|---|---|---|---|",
     ]
+    lines += carried
     for name in names:
         t_small = run(name, SF01)
         t_big = run(name, big_dir)
@@ -337,6 +347,30 @@ def subset_probe(spark, qs, factor: int, names: list, mark: str, title: str) -> 
     lines.append("")
     _replace_section(mark, lines)
     print(f"wrote {mark} section to SCALE.md")
+
+
+def _existing_rows(mark: str, exclude: set) -> list:
+    """Table rows already in the ``mark`` section whose first cell
+    (query name) is NOT in ``exclude`` — the carry-over set for an
+    accumulating partial re-run."""
+    path = os.path.join(REPO, "SCALE.md")
+    if not os.path.exists(path):
+        return []
+    text = open(path).read()
+    if mark not in text:
+        return []
+    section = text.partition(mark)[2]
+    nxt = section.find("<!-- ")
+    if nxt != -1:
+        section = section[:nxt]
+    rows = []
+    for line in section.splitlines():
+        if line.startswith("| ") and not line.startswith("| query") \
+                and not line.startswith("|--"):
+            name = line.split("|")[1].strip()
+            if name and name not in exclude and name != "---":
+                rows.append(line)
+    return rows
 
 
 def _replace_section(mark: str, lines: list) -> None:
@@ -657,7 +691,7 @@ def main() -> None:
         names = sys.argv[i + 1].split(",")
         subset_probe(
             spark, qs, 100, names, HUNDRED_MARK,
-            "100× probe — r7 sub-document batch past the 30× regime",
+            "100× probe — sub-document batch past the 30× regime",
         )
         spark.stop()
         return
