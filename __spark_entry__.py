@@ -4646,6 +4646,151 @@ def stream_sketch_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(merged, qs=(0.5, 0.95, 0.99), group_col="event_type")
 
 
+#: bump to invalidate cached HDR baseline artifacts when the bucket
+#: rule or the registry build window changes
+_HDR_BASELINE_VERSION = 1
+
+
+def _hdr_baseline_dir(sf_dir: str) -> str:
+    """Same fixture-identity keying as _bloom_filter_dir, separate tree."""
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_HDR_BASELINE_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_HDR_BASELINE_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "hdr_baseline",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+@q(
+    "sketch_hdr_drift",
+    """
+    WITH shd_e AS (SELECT event_type,
+                          CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+                          epoch_us(ts) AS us
+                   FROM events),
+    shd_m AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM shd_e),
+    shd_b AS (SELECT event_type, side, v >> s << s AS bucket_lo,
+                     (CAST(1 AS BIGINT) << s) AS width
+              FROM (SELECT event_type, v,
+                           greatest(length(bin(v)) - 8, 0) AS s,
+                           CASE WHEN us <= mid THEN 0 ELSE 1 END AS side
+                    FROM shd_e, shd_m)),
+    shd_s AS (SELECT side, event_type, bucket_lo, width, COUNT(*) AS cnt
+              FROM shd_b GROUP BY 1, 2, 3, 4),
+    shd_c AS (SELECT side, event_type, bucket_lo, width,
+                     SUM(cnt) OVER (PARTITION BY side, event_type
+                                    ORDER BY bucket_lo) AS cum,
+                     SUM(cnt) OVER (PARTITION BY side, event_type) AS n
+              FROM shd_s),
+    shd_q AS (SELECT side, event_type,
+                 MIN(CASE WHEN cum*2 >= n THEN bucket_lo END) AS q50_lo,
+                 MIN(CASE WHEN cum*2 >= n THEN bucket_lo + width - 1 END) AS q50_hi,
+                 MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo END) AS q95_lo,
+                 MIN(CASE WHEN cum*20 >= 19*n THEN bucket_lo + width - 1 END) AS q95_hi
+              FROM shd_c GROUP BY 1, 2),
+    shd_j AS (SELECT b.event_type,
+                     b.q50_lo AS b50_lo, b.q50_hi AS b50_hi,
+                     b.q95_lo AS b95_lo, b.q95_hi AS b95_hi,
+                     c.q50_lo AS c50_lo, c.q50_hi AS c50_hi,
+                     c.q95_lo AS c95_lo, c.q95_hi AS c95_hi
+              FROM (SELECT * FROM shd_q WHERE side = 0) b
+              JOIN (SELECT * FROM shd_q WHERE side = 1) c
+                USING (event_type)),
+    shd_u AS (
+      SELECT event_type, CAST(50 AS INT) AS q_pct, b50_lo AS base_lo,
+             b50_hi AS base_hi, c50_lo AS cur_lo, c50_hi AS cur_hi
+      FROM shd_j
+      UNION ALL
+      SELECT event_type, CAST(95 AS INT), b95_lo, b95_hi, c95_lo, c95_hi
+      FROM shd_j)
+    SELECT event_type, q_pct,
+           CAST(base_lo AS BIGINT) AS base_lo,
+           CAST(base_hi AS BIGINT) AS base_hi,
+           CAST(cur_lo AS BIGINT) AS cur_lo,
+           CAST(cur_hi AS BIGINT) AS cur_hi,
+           CAST(cur_lo > base_hi OR cur_hi < base_lo AS BIGINT) AS shifted
+    FROM shd_u
+    """,
+)
+def sketch_hdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile drift against a WRITE-ONCE HDR baseline — the monitor
+    the sketch family exists for: the reference window (older half of
+    the event-time range, standing in for "yesterday") is sketched
+    once into a build_hdr_baseline artifact (counter rows + meta
+    pinning sub_bits/group/family, meta LAST); every later run
+    sketches only the CURRENT window, reads the baseline's few
+    hundred rows, and compares p50/p95 BANDS per type — reference
+    history is never re-scanned, and the bucket rule the bands are
+    read under comes FROM the artifact, not the caller (the
+    Bloom/LSH geometry-pin discipline applied to telemetry).
+    ``shifted`` = 1 when the bands are disjoint — a deterministic
+    drift verdict the gate can hash (drift beyond the sketch's own
+    ≤ 0.8% resolution; PSI stays the distribution-shape monitor,
+    this is the tail-latency/score one).  The drift-direction math
+    is band arithmetic on ≤ (types × 2) rows."""
+    from hpaste_spark.operators.sketches import (build_hdr_baseline,
+                                                 hdr_quantiles, hdr_sketch,
+                                                 read_hdr_baseline)
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(epoch_us(F.col("ts"))), F.max(epoch_us(F.col("ts")))
+    ).first()
+    mid = lo + (hi - lo) // 2
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+        epoch_us(F.col("ts")).alias("_us"),
+    )
+    path = _hdr_baseline_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        build_hdr_baseline(
+            vals.filter(F.col("_us") <= mid).select("event_type", "v"),
+            path, "v", "event_type", sub_bits=7,
+        )
+    base_sk, meta = read_hdr_baseline(spark, path)
+    cur_sk = hdr_sketch(
+        vals.filter(F.col("_us") > mid).select("event_type", "v"),
+        "v",
+        meta["group_col"] or None,
+        sub_bits=meta["sub_bits"],
+    )
+    qb = hdr_quantiles(base_sk, qs=(0.5, 0.95), group_col="event_type").select(
+        "event_type",
+        F.col("q50_lo").alias("b50_lo"), F.col("q50_hi").alias("b50_hi"),
+        F.col("q95_lo").alias("b95_lo"), F.col("q95_hi").alias("b95_hi"),
+    )
+    qc = hdr_quantiles(cur_sk, qs=(0.5, 0.95), group_col="event_type").select(
+        "event_type",
+        F.col("q50_lo").alias("c50_lo"), F.col("q50_hi").alias("c50_hi"),
+        F.col("q95_lo").alias("c95_lo"), F.col("q95_hi").alias("c95_hi"),
+    )
+    un = qb.join(qc, "event_type").select(
+        "event_type",
+        F.expr(
+            "stack(2, 50, b50_lo, b50_hi, c50_lo, c50_hi, "
+            "95, b95_lo, b95_hi, c95_lo, c95_hi) "
+            "AS (q_pct, base_lo, base_hi, cur_lo, cur_hi)"
+        ),
+    )
+    return un.select(
+        "event_type",
+        F.col("q_pct").cast("int").alias("q_pct"),
+        "base_lo", "base_hi", "cur_lo", "cur_hi",
+        (
+            (F.col("cur_lo") > F.col("base_hi"))
+            | (F.col("cur_hi") < F.col("base_lo"))
+        )
+        .cast("long")
+        .alias("shifted"),
+    )
+
+
 # BPE-ish subword token counting (north star: "token counting —
 # whitespace + a BPE-ish regex").  Whitespace count alongside for the
 # tokens-per-word granularity ratio LLM data budgeting uses.

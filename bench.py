@@ -177,6 +177,7 @@ HEADLINE = [
     "stream_ss_asof_multibatch",
     "sketch_hdr_rollup",
     "stream_sketch_hdr",
+    "sketch_hdr_drift",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the

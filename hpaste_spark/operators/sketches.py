@@ -260,3 +260,53 @@ def hdr_quantiles(
         )
     key = [F.col(group_col)] if group_col else []
     return cum.groupBy(*key).agg(*aggs)
+
+
+#: HDR bucket-rule version: 1 = top (1 + sub_bits) significant bits of
+#: a non-negative int64 (shift derived from base-2 bitlen).  Bump if
+#: the bucket rule ever changes: quantile bands read under a different
+#: rule than the counters were built with are silently wrong — the
+#: same class of hazard as the Bloom/LSH family pins.
+HDR_FAMILY = 1
+
+
+def build_hdr_baseline(
+    df: DataFrame,
+    path: str,
+    value_col: str = "v",
+    group_col: str | None = None,
+    sub_bits: int = 7,
+    mode: str = "overwrite",
+) -> None:
+    """Write-once HDR quantile BASELINE artifact — the telemetry
+    posture: a nightly/weekly job sketches the reference window ONCE
+    (``{path}/sketch`` = the counter table, then ``{path}/meta``
+    written LAST pinning (sub_bits, group_col, family)), and every
+    later monitor reads quantile bands from those few rows instead of
+    re-scanning reference history.  Readers derive sub_bits FROM the
+    artifact (bands computed under a different bucket rule than the
+    counters is the silent-wrong-answer analog of probing a Bloom
+    filter with the wrong geometry — hence the family pin and the
+    meta-last build order shared with build_bloom_filter /
+    build_lsh_index).  Refreshing the window is hdr_merge-additive."""
+    hdr_sketch(df, value_col, group_col, sub_bits).write.mode(mode).parquet(
+        f"{path}/sketch"
+    )
+    df.sparkSession.createDataFrame(
+        [(sub_bits, group_col or "", HDR_FAMILY)],
+        "sub_bits INT, group_col STRING, family INT",
+    ).write.mode(mode).parquet(f"{path}/meta")
+
+
+def read_hdr_baseline(spark, path: str):
+    """(sketch DataFrame, meta Row) of a :func:`build_hdr_baseline`
+    artifact, with the family hard-check every stored reader shares."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    stored_family = meta["family"] if "family" in meta.__fields__ else 0
+    if stored_family != HDR_FAMILY:
+        raise ValueError(
+            f"HDR baseline at {path} was built under bucket rule "
+            f"{stored_family}; this build reads rule {HDR_FAMILY} — "
+            "rebuild the artifact with build_hdr_baseline"
+        )
+    return spark.read.parquet(f"{path}/sketch"), meta

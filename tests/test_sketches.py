@@ -89,3 +89,36 @@ def test_hdr_quantile_band_guarantee_and_negative_rejection(spark):
         hdr_sketch(
             spark.createDataFrame([(-5,)], "v long")
         ).collect()
+
+
+def test_hdr_baseline_artifact_family_pin(spark, tmp_path):
+    """build_hdr_baseline → read_hdr_baseline round-trips the counter
+    table + pinned geometry; a foreign bucket-rule family hard-errors
+    instead of silently reading bands under the wrong rule."""
+    import pytest
+
+    from hpaste_spark.operators.sketches import (
+        build_hdr_baseline,
+        hdr_sketch,
+        read_hdr_baseline,
+    )
+
+    df = spark.createDataFrame([("a", v) for v in range(1, 200)], "g string, v long")
+    path = str(tmp_path / "hdr_base")
+    build_hdr_baseline(df, path, "v", "g", sub_bits=5)
+    sk, meta = read_hdr_baseline(spark, path)
+    assert (meta["sub_bits"], meta["group_col"]) == (5, "g")
+    direct = {
+        (r["g"], r["bucket_lo"], r["width"]): r["cnt"]
+        for r in hdr_sketch(df, "v", "g", sub_bits=5).collect()
+    }
+    stored = {
+        (r["g"], r["bucket_lo"], r["width"]): r["cnt"] for r in sk.collect()
+    }
+    assert stored == direct and len(stored) > 0
+
+    spark.createDataFrame(
+        [(5, "g", 99)], "sub_bits INT, group_col STRING, family INT"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="rule 99"):
+        read_hdr_baseline(spark, path)
