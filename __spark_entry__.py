@@ -7697,6 +7697,41 @@ def prof_exact_substr_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "prof_ngram_novelty",
+    """
+    WITH nov_t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                   FROM documents WHERE length(trim(text)) > 0),
+    nov_g AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(w)-4, 0)+1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                 || w[i+3] || ' ' || w[i+4])) AS g
+        FROM nov_t)),
+    nov_f AS (SELECT doc_id, g, MIN(doc_id) OVER (PARTITION BY g) AS fdoc
+              FROM nov_g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(1000000 * SUM(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM nov_f GROUP BY doc_id
+    """,
+)
+def prof_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence 5-gram novelty per document in curriculum
+    (doc_id) order — profile.ngram_novelty over the documents table:
+    what fraction of each arriving document's distinct 5-grams has the
+    training run never seen before?  The decaying tail of this curve
+    is the live measurement behind the dedup-savings reports
+    (prof_dedup_savings / prof_exact_substr_savings): gram mass that
+    is not novel is mass a dedup pass could have cut."""
+    from hpaste_spark.operators.profile import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=5)
+
+
 #: DuckDB twin of dedup._bloom_h1h2/_bloom_bit — Kirsch-Mitzenmacher
 #: family 2: bit_i = (h1 + i·h2) mod m from TWO 52-bit slices of ONE
 #: md5(value) digest, h2 forced odd; keep in lockstep with the Spark

@@ -514,3 +514,70 @@ def band_entropy(
         .cast("long")
         .alias("entropy_millibits"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty in CURRICULUM ORDER (ascending
+    ``id_col``): of a document's distinct word n-grams, how many occur
+    here FIRST — i.e. in no document with a smaller id?  (doc_id,
+    n_grams, n_novel, novelty_ppm), novelty in exact integer ppm.
+
+    The temporal complement of ``dedup_savings_by_source``: a
+    training-order curriculum reads documents in id order, so
+    ``n_grams − n_novel`` is exactly the gram mass the model has
+    already seen when this document arrives.  A tail of near-zero
+    novelty_ppm is the data-curator's signal that later shards are
+    re-serving earlier content (crawl snapshots, boilerplate) and a
+    dedup pass will pay for itself; a flat high curve means the corpus
+    keeps delivering new text.  Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") measure the same
+    first-occurrence statistic to size their ExactSubstr savings.
+
+    Shape at 100 TB: one tokens scan exploded to (doc, gram), a
+    partial-agg distinct on (doc, gram) — map-side combine absorbs
+    within-doc repetition before the shuffle — then a window MIN over
+    the gram partitioning (same key the distinct already shuffled on)
+    and a final per-doc hash-agg.  No joins, no driver state; the gram
+    shuffle is the same shape dedup.exact_substr_pairs already probes
+    sub-linear at 100×.  Docs shorter than n tokens contribute no
+    grams and are absent from the output (novelty is undefined for
+    them).  Reference analog: none (training-pipeline scope; the
+    reference's nearest surface is the MR aggregation job chain,
+    ExampleSchema.scala:139-410)."""
+    from pyspark.sql import Window
+
+    from ..functions import text as X
+
+    g = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(X.word_shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .groupBy("doc_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    first = F.min("doc_id").over(Window.partitionBy("_g"))
+    return (
+        g.withColumn("_first", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("1000000 * n_novel div n_grams").cast("long").alias(
+                "novelty_ppm"
+            ),
+        )
+    )

@@ -300,3 +300,43 @@ def test_band_entropy_counts_and_millibits(spark):
     # band 1: uniform over 4 keys → exactly 2 bits
     assert out[1]["max_bucket"] == 1 and out[1]["p99_bucket"] == 1
     assert out[1]["entropy_millibits"] == 2000
+
+
+def test_ngram_novelty_hand_fixture(spark):
+    """First doc is 100% novel; an exact repeat is 0% novel; a doc
+    sharing half its grams with an earlier doc scores the exact ppm;
+    short docs (< n tokens) are absent."""
+    from hpaste_spark.operators.profile import ngram_novelty
+
+    rows = [
+        (1, "a b c d e f"),          # grams: abcde, bcdef  -> both novel
+        (2, "a b c d e f"),          # exact repeat         -> 0 novel
+        (3, "a b c d e x y z w v"),  # abcde seen; 5 others novel
+        (4, "too short"),            # < 5 tokens           -> absent
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_grams"], out[1]["n_novel"]) == (2, 2)
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert (out[2]["n_grams"], out[2]["n_novel"]) == (2, 0)
+    assert (out[3]["n_grams"], out[3]["n_novel"]) == (6, 5)
+    assert out[3]["novelty_ppm"] == 5_000_000 // 6
+
+
+def test_ngram_novelty_counts_distinct_grams_once(spark):
+    """Within-doc gram repetition collapses before counting: a doc
+    that is one phrase repeated has exactly its distinct grams."""
+    from hpaste_spark.operators.profile import ngram_novelty
+
+    text = " ".join(["p q r s t"] * 3)  # 15 tokens, 11 gram positions
+    out = ngram_novelty(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"), n=5
+    ).collect()[0]
+    # distinct grams of the repeated phrase: the 5 rotations of p q r s t
+    assert out["n_grams"] == 5
+    assert out["n_novel"] == 5
