@@ -8744,6 +8744,47 @@ def mix_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mix_kcenter_coreset",
+    """
+    WITH RECURSIVE
+    kc_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    kc_it AS (
+      SELECT 1 AS sel_rank, s.vec_id AS vec_id, CAST(NULL AS DOUBLE) AS d2,
+             [s.e] AS cs, [s.vec_id] AS ids
+      FROM (SELECT vec_id, e FROM kc_v ORDER BY vec_id LIMIT 1) s
+      UNION ALL
+      SELECT sel_rank + 1, n.vec_id, n.d2,
+             list_append(cs, n.e), list_append(ids, n.vec_id)
+      FROM kc_it,
+      LATERAL (
+        SELECT v.vec_id, v.e,
+               list_min(list_transform(kc_it.cs, c ->
+                 list_sum(list_transform(list_zip(v.e, c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))))) AS d2
+        FROM kc_v v
+        WHERE NOT list_contains(kc_it.ids, v.vec_id)
+        ORDER BY d2 DESC, v.vec_id LIMIT 1
+      ) n
+      WHERE sel_rank < 12
+    )
+    SELECT sel_rank, vec_id, ROUND(d2, 6) + 0.0 AS dist2 FROM kc_it
+    """,
+)
+def mix_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity coreset (k=12) over the embeddings
+    table — sampling.kcenter_select: the deterministic farthest-point
+    prototypes a curator uses to seed a diverse eval panel or audit
+    sample, with the selection-radius curve as coverage telemetry.
+    The DuckDB twin replays the greedy recurrence as a recursive CTE
+    (min-dist via list_min over the carried center list — exact-equal
+    to Spark's running least(), since min is order-free and each
+    pairwise distance is the same sequential double fold)."""
+    from hpaste_spark.operators.sampling import kcenter_select
+
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=12)
+
+
+@q(
     "dedup_cross_source_matrix",
     """
     WITH xk AS (SELECT source,

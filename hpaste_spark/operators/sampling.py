@@ -560,3 +560,85 @@ def token_budget_mixture(
             "capped",
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985) diversity selection over an
+    embedding column: seed with the smallest id, then repeatedly pick
+    the point FARTHEST (squared L2) from everything selected so far.
+    Returns (sel_rank, vec_id, dist2) — dist2 is the selection radius,
+    i.e. the chosen point's distance² to the previously selected set,
+    rounded to 6 dp (NULL for the seed).  The radius sequence is the
+    coverage telemetry: dist2 at rank k is a 2-approximation bound on
+    the best achievable k-center radius, so a curator reads the curve
+    to size a diverse coreset / eval panel ("how many prototypes until
+    the corpus is covered to radius r?").
+
+    Deterministic end to end: the seed is the global min id, distances
+    are sequential-fold double sums (the vec_kmeans_lloyd cross-engine
+    contract), and argmax ties break toward the smaller id via a
+    struct max — no RNG, so the DuckDB recursive-CTE twin reproduces
+    the selection exactly.
+
+    Scale shape: the working set carries a RUNNING min-distance column
+    (least() against each new center), so the total distance work is
+    n·k — never n·k² recomputation and never an all-pairs join.  Each
+    round is one map stage plus a single-row struct-max aggregate; the
+    1-row collect per round is the irreducible sequential dependency
+    of greedy selection (the corpus.bpe_merges posture), and the
+    working set is localCheckpoint'ed per round so round t+1 reads
+    materialized rows instead of re-executing t chained projections
+    (the kmeans centroid lesson).  At 100 TB the per-round cost is one
+    scan of (id, vec, d2) — embarrassingly parallel, no shuffle.
+    Reference analog: none (training-pipeline scope)."""
+    spark = df.sparkSession
+
+    def dist2(vec) -> "F.Column":
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        diff = F.zip_with(F.col("_e"), c, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    w = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    )
+    seed = w.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(1, int(seed["vec_id"]), None)]
+    cand = (
+        w.filter(F.col("vec_id") != seed["vec_id"])
+        .withColumn("_d2", dist2(seed["_e"]))
+        .localCheckpoint()
+    )
+    for rank in range(2, k + 1):
+        row = cand.select(
+            F.max(
+                F.struct(
+                    F.col("_d2").alias("d2"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("_e").alias("e"),
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        if row is None:
+            break  # fewer than k points
+        vid = -int(row["nid"])
+        picked.append((rank, vid, float(row["d2"])))
+        if rank < k:
+            cand = (
+                cand.filter(F.col("vec_id") != vid)
+                .withColumn("_d2", F.least(F.col("_d2"), dist2(row["e"])))
+                .localCheckpoint()
+            )
+    out = spark.createDataFrame(
+        picked, "sel_rank long, vec_id long, _raw double"
+    )
+    return out.select(
+        "sel_rank",
+        "vec_id",
+        (F.round(F.col("_raw"), 6) + F.lit(0.0)).alias("dist2"),
+    )

@@ -340,3 +340,37 @@ def test_ngram_novelty_counts_distinct_grams_once(spark):
     # distinct grams of the repeated phrase: the 5 rotations of p q r s t
     assert out["n_grams"] == 5
     assert out["n_novel"] == 5
+
+
+def test_kcenter_select_hand_fixture(spark):
+    """On a line of 1-D points {0, 1, 10, 11, 30}, greedy k-center
+    seeded at id-min (value 0) picks 30 (d2=900), then 11
+    (min(121, 361)=121 beats 10's min(100, 400)=100), then the d2=1
+    tie between values 1 and 10 resolves to the smaller id; radii
+    non-increasing."""
+    from hpaste_spark.operators.sampling import kcenter_select
+
+    pts = [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [30.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = {r["sel_rank"]: r for r in kcenter_select(df, k=4).collect()}
+    assert [out[t]["vec_id"] for t in (1, 2, 3, 4)] == [1, 5, 4, 2]
+    assert out[1]["dist2"] is None
+    assert out[2]["dist2"] == 900.0
+    assert out[3]["dist2"] == 121.0
+    assert out[4]["dist2"] == 1.0
+    radii = [out[t]["dist2"] for t in (2, 3, 4)]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_select_stops_short_and_breaks_ties_low_id(spark):
+    """k beyond the point count stops at n rows; equidistant argmax
+    candidates resolve to the smaller id."""
+    from hpaste_spark.operators.sampling import kcenter_select
+
+    pts = [(7, [0.0]), (9, [4.0]), (8, [-4.0])]  # 8 and 9 tie at d2=16
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = kcenter_select(df, k=10).collect()
+    assert [r["vec_id"] for r in sorted(rows, key=lambda r: r["sel_rank"])] == [
+        7, 8, 9,
+    ]
+    assert len(rows) == 3
