@@ -1571,6 +1571,55 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_weighted_jaccard",
+    """
+    WITH wj_d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    wj_s AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shs
+      FROM wj_d WHERE len(t) >= 3
+    ),
+    wj_td AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 13)) AS BIGINT) AS sk
+      FROM (SELECT doc_id, unnest(shs) AS sh FROM wj_s)
+    ),
+    wj_df AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS df FROM wj_td GROUP BY sk),
+    wj_n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM wj_td),
+    wj_tw AS (SELECT t.doc_id, t.sk,
+                     CAST(length(bin(n // df)) AS BIGINT) AS w
+              FROM wj_td t JOIN wj_df USING (sk), wj_n),
+    wj_dw AS (SELECT doc_id, SUM(w) AS wd FROM wj_tw GROUP BY doc_id),
+    wj_i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w) AS inter_w
+             FROM wj_tw a JOIN wj_tw b ON a.sk = b.sk AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(inter_w AS BIGINT) AS inter_w,
+           CAST(wa.wd + wb.wd - inter_w AS BIGINT) AS union_w,
+           CAST(1000000 * inter_w // (wa.wd + wb.wd - inter_w) AS BIGINT)
+             AS wj_ppm
+    FROM wj_i JOIN wj_dw wa ON wa.doc_id = wj_i.id_a
+              JOIN wj_dw wb ON wb.doc_id = wj_i.id_b
+    WHERE 2 * inter_w >= wa.wd + wb.wd - inter_w
+    """,
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs at θ=1/2 —
+    dedup.weighted_jaccard_pairs: integer bit-length idf weights per
+    3-gram shingle, lossless weighted prefix filtering for candidates,
+    exact integer verify.  The oracle is the naive all-pairs weighted
+    formulation over the same md5-52bit shingle keys; the Spark path
+    must reproduce it exactly from prefix candidates only."""
+    from hpaste_spark.operators.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold_num=1, threshold_den=2
+    )
+
+
+@q(
     "dedup_lsh_eval",
     """
     WITH d AS (

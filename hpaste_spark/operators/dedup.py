@@ -1232,6 +1232,128 @@ def prefix_jaccard_pairs(
     )
 
 
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """LOSSLESS prefix-filtered IDF-WEIGHTED Jaccard pairs: like
+    :func:`prefix_jaccard_pairs`, but every shingle carries an integer
+    rarity weight w = bit_length(N // df) (an idf in whole bits —
+    log2 via binary-digit count, the sketches.hdr_sketch integer-only
+    idiom, so no libm and no float anywhere), and a pair qualifies
+    when  Σ_{shared} w  /  Σ_{union} w  ≥  threshold_num/threshold_den
+    — rare shared shingles count for much more than boilerplate.  This
+    is the weighted set-similarity posture of Chaudhuri et al. 2006
+    (SSJoin) / Xiao et al. 2008 (PPJoin) with integer weights; vs the
+    unweighted Jaccard it stops a pair of docs that share only a
+    common template from qualifying while two docs sharing a rare
+    paragraph still do.
+
+    Completeness of the prefix filter (proved on the weighted form):
+    order shingles by the global rarity order (df, key); a doc's
+    PREFIX is every position i whose tail weight rem(i) = Σ_{j≥i} w
+    satisfies rem(i)·den ≥ num·w(doc).  If WJ(A,B) ≥ θ, let t* be the
+    first shared shingle in the global order; were t* beyond A's
+    prefix, ALL shared shingles would sit in A's tail (they order
+    after t*), so Σ_shared w ≤ rem < θ·w(A) ≤ θ·w(A∪B) — contradiction;
+    hence t* is in BOTH prefixes and the prefix self-join sees every
+    qualifying pair.  No df cap: prefixes are the globally rarest
+    shingles, so their postings are short by construction.
+
+    Shingle keys are 52-bit md5 prefixes (functions.text.token_hash) —
+    the SAME digest DuckDB computes, so a key collision (≈ m²/2⁵³)
+    perturbs both engines identically and the output stays exactly
+    integer: (id_a, id_b, inter_w, union_w, wj_ppm).
+
+    Shuffles at 100 TB: one (id, key) distinct, one df hash-agg, one
+    per-doc rank window (bounded by doc shingle count), one prefix
+    self-join on the key, and one pair-keyed verify agg — every stage
+    an equi-join/agg on a bounded key, no all-pairs anywhere."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    from hpaste_spark.functions.text import token_hash, word_shingles
+
+    sets = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), n))
+            ).alias("_sh"),
+        )
+        .select("_id", token_hash(F.col("_sh")).alias("_sk"))
+        .distinct()  # md5-52bit collisions inside one doc collapse
+    )
+    dfreq = sets.groupBy("_sk").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = sets.agg(F.countDistinct("_id").alias("_n"))
+    tw = (
+        sets.join(dfreq, "_sk")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "_w",
+            F.length(
+                F.conv(F.expr("_n div _df").cast("string"), 10, 2)
+            ).cast("long"),
+        )
+        .select("_id", "_sk", "_df", "_w")
+    )
+    wdoc = Window.partitionBy("_id")
+    worder = Window.partitionBy("_id").orderBy("_df", "_sk")
+    ranked = tw.withColumn("_wd", F.sum("_w").over(wdoc)).withColumn(
+        "_rem",
+        F.col("_wd")
+        - F.coalesce(
+            F.sum("_w").over(
+                worder.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_rem") * threshold_den >= threshold_num * F.col("_wd")
+    ).select("_id", "_sk")
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "_sk")
+        .filter(F.col("pa._id") < F.col("pb._id"))
+        .select(
+            F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tw.select(
+        F.col("_id").alias("id_a"), "_sk", F.col("_w").alias("_wa")
+    )
+    tb = tw.select(F.col("_id").alias("id_b"), "_sk")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_sk"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_wa").alias("inter_w"))
+    )
+    dw = tw.groupBy("_id").agg(F.sum("_w").alias("_wd"))
+    return (
+        inter.join(dw.select(F.col("_id").alias("id_a"), F.col("_wd").alias("_wda")), "id_a")
+        .join(dw.select(F.col("_id").alias("id_b"), F.col("_wd").alias("_wdb")), "id_b")
+        .withColumn("union_w", F.col("_wda") + F.col("_wdb") - F.col("inter_w"))
+        .filter(
+            F.col("inter_w") * threshold_den >= threshold_num * F.col("union_w")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_w").cast("long").alias("inter_w"),
+            F.col("union_w").cast("long").alias("union_w"),
+            F.expr("1000000 * inter_w div union_w").cast("long").alias("wj_ppm"),
+        )
+    )
+
+
 def semantic_dedup_two_level(
     df: DataFrame,
     k1: "int | None" = None,

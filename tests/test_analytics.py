@@ -2450,3 +2450,85 @@ def test_exact_substr_mask_chain_topologies_fixpoint(spark):
     # contiguous Y' survives nowhere in full — pieces in docs 1 and 2 —
     # yet the pass is already a fixpoint
     rerun_is_fixpoint(out.values())
+
+
+def test_weighted_jaccard_rare_overlap_beats_template(spark):
+    """The reason to weight: doc pairs sharing only a common TEMPLATE
+    (shingles present in every doc, weight 1) must not qualify, while
+    a pair sharing a RARE paragraph on top of the template must."""
+    from hpaste_spark.operators.dedup import weighted_jaccard_pairs
+
+    template = "standard header boilerplate text common to every single document here"
+    rare = "unique quantum flux capacitor paragraph shared by just two docs"
+    rows = [
+        (1, template + " " + rare),
+        (2, template + " " + rare),
+        (3, template + " alpha beta gamma delta epsilon zeta eta theta"),
+        (4, template + " one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in weighted_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    # 3 and 4 share ONLY the ubiquitous template: weighted overlap
+    # stays below 1/2 even though they share many raw shingles
+    assert (3, 4) not in pairs
+    p = pairs[(1, 2)]
+    assert p.inter_w == p.union_w and p.wj_ppm == 1_000_000  # identical docs
+
+
+def test_weighted_jaccard_prefix_filter_lossless(spark):
+    """Prefix-filtered output == brute-force weighted truth on the
+    sf0.001 fixture at two thresholds (the completeness lemma,
+    exercised end to end)."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.functions.text import token_hash, word_shingles
+    from hpaste_spark.operators.dedup import weighted_jaccard_pairs
+    from hpaste_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sets = (
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), 3))
+            ).alias("_sh"),
+        )
+        .select("_id", token_hash(F.col("_sh")).alias("_sk"))
+        .distinct()
+    )
+    dfreq = sets.groupBy("_sk").agg(F.count(F.lit(1)).alias("_df"))
+    n = sets.select("_id").distinct().count()
+    tw = sets.join(dfreq, "_sk").withColumn(
+        "_w",
+        F.length(F.conv(F.expr(f"{n} div _df").cast("string"), 10, 2)).cast("long"),
+    )
+    dw = {r["_id"]: r["wd"] for r in tw.groupBy("_id").agg(F.sum("_w").alias("wd")).collect()}
+    a = tw.select(F.col("_id").alias("ia"), "_sk", F.col("_w").alias("w"))
+    b = tw.select(F.col("_id").alias("ib"), "_sk")
+    inter = {
+        (r.ia, r.ib): r.iw
+        for r in a.join(b, "_sk")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum("w").alias("iw"))
+        .collect()
+    }
+    for num, den in ((1, 2), (3, 10)):
+        truth = {
+            (ia, ib)
+            for (ia, ib), iw in inter.items()
+            if iw * den >= num * (dw[ia] + dw[ib] - iw)
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in weighted_jaccard_pairs(
+                docs, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == truth and len(truth) > 0, (num, den)
