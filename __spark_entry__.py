@@ -10142,6 +10142,125 @@ def stream_ss_asof_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_session_window_multibatch",
+    """
+    WITH mss_e AS (SELECT ts, user_id, value, event_id, epoch_us(ts) AS us
+                   FROM events),
+    mss_r AS (SELECT MIN(us) AS mn, (MAX(us) - MIN(us)) // 3 AS third
+              FROM mss_e),
+    mss_a AS (SELECT ts, user_id, value,
+                     CASE WHEN event_id % 97 = 0 AND nb < 3 THEN 3
+                          ELSE nb END AS ab
+              FROM (SELECT e.*, 1 + CAST(us >= mn + third AS INT)
+                               + CAST(us >= mn + 2*third AS INT) AS nb
+                    FROM mss_e e, mss_r)),
+    mss_wla AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 HOUR AS w
+                FROM mss_a WHERE ab = 1),
+    mss_t1 AS (SELECT user_id, ts, value,
+                      CASE WHEN LAG(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                           THEN 1 ELSE 0 END AS new_s
+               FROM mss_a WHERE ab <= 2
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    mss_s1 AS (SELECT user_id, ts, value,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM mss_t1),
+    mss_g1 AS (SELECT user_id, sid, MIN(ts) AS session_start,
+                      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                      COUNT(*) AS n_events,
+                      ROUND(SUM(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+               FROM mss_s1 GROUP BY user_id, sid),
+    mss_e1 AS (SELECT g.user_id, g.session_start, g.n_events, g.total_value
+               FROM mss_g1 g, mss_wla WHERE g.session_end <= mss_wla.w),
+    mss_rr AS (SELECT s.user_id, s.ts, s.value
+               FROM mss_s1 s JOIN mss_g1 g USING (user_id, sid), mss_wla
+               WHERE g.session_end > mss_wla.w),
+    mss_k3 AS (SELECT user_id, ts, value FROM mss_a, mss_wla
+               WHERE ab = 3 AND ts + INTERVAL 30 MINUTE > mss_wla.w),
+    mss_u AS (SELECT * FROM mss_rr UNION ALL SELECT * FROM mss_k3),
+    mss_t2 AS (SELECT user_id, ts, value,
+                      CASE WHEN LAG(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                           THEN 1 ELSE 0 END AS new_s
+               FROM mss_u
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    mss_s2 AS (SELECT user_id, ts, value,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM mss_t2),
+    mss_g2 AS (SELECT user_id, sid, MIN(ts) AS session_start,
+                      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                      COUNT(*) AS n_events,
+                      ROUND(SUM(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+               FROM mss_s2 GROUP BY user_id, sid),
+    mss_wg AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 HOUR AS w
+               FROM mss_e),
+    mss_l2 AS (SELECT g.user_id, g.session_start, g.n_events, g.total_value
+               FROM mss_g2 g, mss_wg WHERE g.session_end <= mss_wg.w)
+    SELECT user_id, session_start, n_events, total_value FROM mss_e1
+    UNION ALL
+    SELECT user_id, session_start, n_events, total_value FROM mss_l2
+    """,
+)
+def stream_session_window_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGING session windows across REAL micro-batch boundaries —
+    the state shape the tumbling/as-of multibatch replays don't cover:
+    session state must merge, evict, and survive late rows between
+    genuine batches.  Same three-file replay as
+    stream_tw_tumbling_multibatch (every 97th event_id delayed into
+    batch 3).  Semantics pinned by this round's boundary experiments
+    (exp at ±1 s around each watermark, /tmp discarded, rules below):
+
+    1. the late filter of batch 3 drops a row iff its INITIAL window
+       end  ts + gap <= wm_A  (INCLUSIVE; wm_A = ms-floor(max ts of
+       batch 1) − 2 h) — the window-END rule of tumbling aggregates,
+       not the row-level ts rule of stateful ops;
+    2. eviction is merge-THEN-evict: a session in state is extended by
+       a kept late row BEFORE the batch's eviction check, so it emits
+       merged (one row), never split;
+    3. a kept late row that overlaps a session ALREADY emitted in an
+       earlier batch starts a fresh session — the landed multiset may
+       contain OVERLAPPING session rows for one user (state is gone;
+       append mode never retracts).
+
+    The oracle replays exactly that: E1 = sessions over batches 1–2
+    with end <= wm_A (emitted at batch 2's eviction), then the
+    leftover rows union the kept batch-3 rows re-sessionize and land
+    those with end <= the global watermark.  Hard-errors unless >= 3
+    data micro-batches ran."""
+    from hpaste_spark.streaming.events import read_event_stream
+
+    configure_session(spark)
+    src = _stage_multibatch_events(sf_dir)
+    stream = read_event_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    landed, qh = _drain_to_memory(agg, "stream_sess_mb")
+    data_batches = sum(
+        1 for p in qh.recentProgress if p["numInputRows"] > 0
+    )
+    if data_batches < 3:
+        raise RuntimeError(
+            f"multibatch session replay ran {data_batches} data "
+            "micro-batches; expected >= 3 (one per staged file)"
+        )
+    return landed
+
+
+@q(
     "stream_dedup_exact",
     """
     SELECT DISTINCT md5(text) AS text_hash

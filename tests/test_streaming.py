@@ -766,6 +766,13 @@ def test_multibatch_replays_run_real_micro_batches(spark):
     )
     assert out2.count() > 0
 
+    # merging session state across batches (raises unless >= 3 data
+    # batches; landed set includes E1 sessions evicted at batch 2)
+    out_sess = m._QUERIES["stream_session_window_multibatch"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out_sess.count() > 0
+
     # the per-batch HDR partials merge to the identical batch sketch
     # regardless of the 3-way split (associativity under the gate)
     out3 = m._QUERIES["stream_sketch_hdr"](spark, "/root/testdata/sf0.001")

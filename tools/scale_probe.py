@@ -405,6 +405,7 @@ STREAM_PROBES = [
     # round 9: multi-batch replays + per-batch HDR quantile partials
     "stream_tw_tumbling_multibatch",
     "stream_ss_asof_multibatch",
+    "stream_session_window_multibatch",
     "stream_sketch_hdr",
 ]
 
