@@ -1279,6 +1279,11 @@ def weighted_jaccard_pairs(
 
     from hpaste_spark.functions.text import token_hash, word_shingles
 
+    # the (doc, key) set table feeds df-counts, N, the prefix window,
+    # BOTH verify sides, and the per-doc weights — materialize it once
+    # (and the weighted table once more): re-deriving the lineage per
+    # branch re-scanned + re-shingled the corpus 18× (the hll_rollup
+    # two-branch lesson; measured in this query's first plan audit)
     sets = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -1288,6 +1293,7 @@ def weighted_jaccard_pairs(
         )
         .select("_id", token_hash(F.col("_sh")).alias("_sk"))
         .distinct()  # md5-52bit collisions inside one doc collapse
+        .localCheckpoint()
     )
     dfreq = sets.groupBy("_sk").agg(F.count(F.lit(1)).alias("_df"))
     ndocs = sets.agg(F.countDistinct("_id").alias("_n"))
@@ -1301,6 +1307,7 @@ def weighted_jaccard_pairs(
             ).cast("long"),
         )
         .select("_id", "_sk", "_df", "_w")
+        .localCheckpoint()
     )
     wdoc = Window.partitionBy("_id")
     worder = Window.partitionBy("_id").orderBy("_df", "_sk")

@@ -726,3 +726,29 @@ def test_hdr_rollup_single_scan_expand(spark, queries):
     plan = plan_of(queries["sketch_hdr_rollup"](spark, SF_DIR))
     assert plan.count("events.parquet") == 1, "ALL level must not rescan"
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_one_scan_no_join(spark, queries):
+    """prof_ngram_novelty: one documents scan; the first-occurrence
+    attribution is a window over the SAME gram-keyed shuffle the
+    distinct already paid for, plus the final doc-keyed agg — never a
+    join back onto the corpus."""
+    plan = plan_of(queries["prof_ngram_novelty"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_jaccard_materializes_shared_set_table(spark, queries):
+    """dedup_weighted_jaccard: the (doc, key) set table and the
+    weighted table are localCheckpoint'ed, so the FINAL plan contains
+    ZERO corpus scans (first audit measured 18 re-derivations of the
+    shingle explode across the df/prefix/verify branches) and no
+    cartesian anywhere."""
+    plan = plan_of(queries["dedup_weighted_jaccard"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 0, (
+        "all branches must read the materialized set tables"
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
