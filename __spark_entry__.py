@@ -8834,6 +8834,61 @@ def mix_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mix_kcenter_assign",
+    """
+    WITH RECURSIVE
+    kca_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    kca_it AS (
+      SELECT 1 AS sel_rank, s.vec_id AS vec_id, CAST(NULL AS DOUBLE) AS d2,
+             [s.e] AS cs, [s.vec_id] AS ids
+      FROM (SELECT vec_id, e FROM kca_v ORDER BY vec_id LIMIT 1) s
+      UNION ALL
+      SELECT sel_rank + 1, n.vec_id, n.d2,
+             list_append(cs, n.e), list_append(ids, n.vec_id)
+      FROM kca_it,
+      LATERAL (
+        SELECT v.vec_id, v.e,
+               list_min(list_transform(kca_it.cs, c ->
+                 list_sum(list_transform(list_zip(v.e, c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))))) AS d2
+        FROM kca_v v
+        WHERE NOT list_contains(kca_it.ids, v.vec_id)
+        ORDER BY d2 DESC, v.vec_id LIMIT 1
+      ) n
+      WHERE sel_rank < 12
+    ),
+    kca_f AS (SELECT cs, ids FROM kca_it WHERE sel_rank = 12),
+    kca_d AS (SELECT v.vec_id, r.i AS sel_rank,
+                     list_sum(list_transform(list_zip(v.e, f.cs[r.i]),
+                       p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+              FROM kca_v v, kca_f f, range(1, 13) r(i)),
+    kca_b AS (SELECT vec_id, sel_rank, d2,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, sel_rank) AS rn
+              FROM kca_d),
+    kca_g AS (SELECT sel_rank, CAST(COUNT(*) AS BIGINT) AS n_members,
+                     ROUND(MAX(d2), 6) + 0.0 AS max_d2
+              FROM kca_b WHERE rn = 1 GROUP BY sel_rank)
+    SELECT g.sel_rank, f.ids[g.sel_rank] AS center_id, g.n_members, g.max_d2
+    FROM kca_g g, kca_f f
+    """,
+)
+def mix_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage rollup of the k=12 greedy k-center prototypes —
+    sampling.kcenter_assign: every embedding assigned to its nearest
+    prototype (ties to the lower sel_rank), reported as (sel_rank,
+    center_id, n_members, max_d2).  max — not mean — because a
+    cross-row double SUM is summation-order-dependent between engines
+    while max is order-free; it is also the operative number (the
+    cluster's realized coverage radius).  The assignment is one map
+    stage (array_min over k literal (d2, rank) structs — no join) plus
+    a k-row hash-agg."""
+    from hpaste_spark.operators.sampling import kcenter_assign
+
+    return kcenter_assign(_t(spark, sf_dir, "embeddings"), k=12)
+
+
+@q(
     "dedup_cross_source_matrix",
     """
     WITH xk AS (SELECT source,

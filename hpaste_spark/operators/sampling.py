@@ -597,21 +597,38 @@ def kcenter_select(
     scan of (id, vec, d2) — embarrassingly parallel, no shuffle.
     Reference analog: none (training-pipeline scope)."""
     spark = df.sparkSession
+    picked = _kcenter_greedy(df, k, id_col, vec_col)
+    out = spark.createDataFrame(
+        [(r, vid, d2) for r, vid, d2, _ in picked],
+        "sel_rank long, vec_id long, _raw double",
+    )
+    return out.select(
+        "sel_rank",
+        "vec_id",
+        (F.round(F.col("_raw"), 6) + F.lit(0.0)).alias("dist2"),
+    )
 
-    def dist2(vec) -> "F.Column":
-        c = F.array(*[F.lit(float(x)) for x in vec])
-        diff = F.zip_with(F.col("_e"), c, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
+def _vec_dist2(col, vec) -> "F.Column":
+    """Squared L2 of an array<double> column against a driver-side
+    vector, as a sequential left fold (the vec_kmeans_lloyd
+    cross-engine contract: both engines sum in index order)."""
+    c = F.array(*[F.lit(float(x)) for x in vec])
+    diff = F.zip_with(col, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _kcenter_greedy(df, k, id_col, vec_col):
+    """Shared greedy loop: [(sel_rank, vec_id, dist2|None, vector)]."""
     w = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_e"),
     )
     seed = w.orderBy("vec_id").limit(1).collect()[0]
-    picked = [(1, int(seed["vec_id"]), None)]
+    picked = [(1, int(seed["vec_id"]), None, list(seed["_e"]))]
     cand = (
         w.filter(F.col("vec_id") != seed["vec_id"])
-        .withColumn("_d2", dist2(seed["_e"]))
+        .withColumn("_d2", _vec_dist2(F.col("_e"), seed["_e"]))
         .localCheckpoint()
     )
     for rank in range(2, k + 1):
@@ -626,19 +643,70 @@ def kcenter_select(
         ).collect()[0]["s"]
         if row is None:
             break  # fewer than k points
-        vid = -int(row["nid"])
-        picked.append((rank, vid, float(row["d2"])))
+        picked.append((rank, -int(row["nid"]), float(row["d2"]), list(row["e"])))
         if rank < k:
             cand = (
-                cand.filter(F.col("vec_id") != vid)
-                .withColumn("_d2", F.least(F.col("_d2"), dist2(row["e"])))
+                cand.filter(F.col("vec_id") != -int(row["nid"]))
+                .withColumn(
+                    "_d2", F.least(F.col("_d2"), _vec_dist2(F.col("_e"), row["e"]))
+                )
                 .localCheckpoint()
             )
-    out = spark.createDataFrame(
-        picked, "sel_rank long, vec_id long, _raw double"
+    return picked
+
+
+def kcenter_assign(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coverage report for the greedy k-center prototypes: run
+    :func:`kcenter_select`'s greedy loop, then assign EVERY point to
+    its nearest prototype (squared L2, ties to the lower sel_rank) and
+    roll up (sel_rank, center_id, n_members, max_d2) — max, not mean,
+    because a cross-row float SUM is summation-order-dependent between
+    engines while max is order-free; max_d2 is also the operative
+    number (the cluster's true coverage radius).
+
+    A skewed n_members histogram says the corpus is concentrated (the
+    prototypes aren't where the mass is — consider kmeans for
+    representation instead); a max_d2 far above the selection radius
+    curve says k is too small.  Shape: the k centers ride into ONE map
+    stage as literal vectors (an array_min over k (d2, rank) structs —
+    no join, no shuffle for the assignment), then one k-row hash-agg."""
+    spark = df.sparkSession
+    picked = _kcenter_greedy(df, k, id_col, vec_col)
+    w = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
     )
-    return out.select(
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _vec_dist2(F.col("_e"), vec).alias("d2"),
+                    F.lit(rank).cast("long").alias("r"),
+                )
+                for rank, _, _, vec in picked
+            ]
+        )
+    )
+    centers = spark.createDataFrame(
+        [(r, vid) for r, vid, _, _ in picked], "sel_rank long, center_id long"
+    )
+    per = (
+        w.select(best.alias("_b"))
+        .select(F.col("_b.r").alias("sel_rank"), F.col("_b.d2").alias("_d2"))
+        .groupBy("sel_rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("_d2").alias("_m"),
+        )
+    )
+    return per.join(F.broadcast(centers), "sel_rank").select(
         "sel_rank",
-        "vec_id",
-        (F.round(F.col("_raw"), 6) + F.lit(0.0)).alias("dist2"),
+        "center_id",
+        "n_members",
+        (F.round(F.col("_m"), 6) + F.lit(0.0)).alias("max_d2"),
     )

@@ -374,3 +374,27 @@ def test_kcenter_select_stops_short_and_breaks_ties_low_id(spark):
         7, 8, 9,
     ]
     assert len(rows) == 3
+
+
+def test_kcenter_assign_partitions_all_points(spark):
+    """Assignment covers every point exactly once (Σ n_members = n);
+    each point lands at its true nearest prototype; max_d2 of each
+    cluster is bounded by the NEXT selection radius (a point farther
+    than the rank-t radius from every selected center would itself
+    have been selected at rank t)."""
+    from hpaste_spark.operators.sampling import kcenter_assign, kcenter_select
+
+    pts = [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [30.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = {r["sel_rank"]: r for r in kcenter_assign(df, k=3).collect()}
+    # selection: 1 (seed), 5 (900), 4 (121); assignment:
+    #   center 1 <- {1, 2}; center 4 <- {3, 4}; center 5 <- {5}
+    assert {(r["center_id"], r["n_members"]) for r in out.values()} == {
+        (1, 2), (4, 2), (5, 1),
+    }
+    assert out[1]["max_d2"] == 1.0   # point 2 at dist2 1
+    assert out[3]["max_d2"] == 1.0   # point 10 -> center 11
+    assert out[2]["max_d2"] == 0.0   # center 5 alone
+    sel = kcenter_select(df, k=3).collect()
+    assert sum(r["n_members"] for r in out.values()) == 5
+    assert len(sel) == 3
