@@ -4840,6 +4840,185 @@ def sketch_hdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared shingle→52-bit-hash CTE for the KMV sketch oracles (the
+#: deterministic md5 family: DuckDB rebuilds the identical sketch)
+_KMV_SETS = """
+    kv_d AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+             FROM documents WHERE length(trim(text)) > 0),
+    kv_s AS (SELECT DISTINCT source,
+                    CAST(('0x' || substr(md5(sh), 1, 13)) AS BIGINT) AS h
+             FROM (SELECT source, unnest(list_transform(
+                     range(1, greatest(len(t)-2, 0)+1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+                   FROM kv_d)),
+    kv_k AS (SELECT source, h,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM kv_s),
+    kv_sk AS (SELECT source, h FROM kv_k WHERE rn <= 256)
+"""
+
+_KMV_H = 1 << 52
+
+
+@q(
+    "sketch_kmv_distinct",
+    f"""
+    WITH {_KMV_SETS},
+    kv_est AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                      MAX(h) AS hk
+               FROM kv_sk GROUP BY source),
+    kv_ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+              FROM kv_s GROUP BY source)
+    SELECT e.source,
+           n_sketch,
+           CAST(CASE WHEN n_sketch < 256 THEN n_sketch
+                     ELSE 255 * {_KMV_H} // hk END AS BIGINT) AS est_distinct,
+           exact_distinct,
+           CAST(CASE WHEN ABS((CASE WHEN n_sketch < 256 THEN n_sketch
+                                    ELSE 255 * {_KMV_H} // hk END)
+                              - exact_distinct) * 1000
+                          <= 250 * exact_distinct
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_band
+    FROM kv_est e JOIN kv_ex USING (source)
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-shingle estimate per source, graded
+    in-band against the exact count — sketches.kmv_sketch/kmv_estimate
+    at k=256 over 3-gram shingles.  Band = 25% (≈ 4× the estimator's
+    1/√(k−2) RSE; worst fixture error measured 12.5%).  The exact
+    column is the GRADER's truth — a production rollup ships only the
+    sketch rows and estimates.  Unlike HLL (engine-specific encoding →
+    rows-only check), the md5-deterministic KMV sample hash-gates
+    exactly."""
+    from hpaste_spark.functions.text import token_hash, word_shingles
+    from hpaste_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
+    )
+    est = kmv_estimate(kmv_sketch(sh, "source", "_sh", k=256), k=256)
+    exact = (
+        sh.select("source", token_hash(F.col("_sh")).alias("_h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.withColumnRenamed("grp", "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_distinct")) * 1000
+                <= 250 * F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("in_band"),
+        )
+    )
+
+
+@q(
+    "sketch_kmv_overlap",
+    f"""
+    WITH {_KMV_SETS},
+    kv_th AS (SELECT source,
+                     CASE WHEN COUNT(*) < 256 THEN {_KMV_H}
+                          ELSE MAX(h) END AS theta
+              FROM kv_sk GROUP BY source),
+    kv_j AS (SELECT a.source AS src_a, b.source AS src_b,
+                    LEAST(ta.theta, tb.theta) AS th, a.h
+             FROM kv_sk a JOIN kv_sk b ON a.h = b.h AND a.source < b.source
+             JOIN kv_th ta ON ta.source = a.source
+             JOIN kv_th tb ON tb.source = b.source),
+    kv_i AS (SELECT src_a, src_b, th, CAST(COUNT(*) AS BIGINT) AS n_common
+             FROM kv_j WHERE h < th GROUP BY 1, 2, 3),
+    kv_x AS (SELECT a.source AS src_a, b.source AS src_b,
+                    CAST(COUNT(*) AS BIGINT) AS exact_inter
+             FROM kv_s a JOIN kv_s b ON a.h = b.h AND a.source < b.source
+             GROUP BY 1, 2),
+    kv_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+             FROM kv_s GROUP BY source)
+    SELECT i.src_a, i.src_b, n_common,
+           CAST(n_common * {_KMV_H} // th AS BIGINT) AS est_inter,
+           exact_inter,
+           CAST(CASE WHEN ABS(n_common * {_KMV_H} // th - exact_inter) * 1000
+                          <= 60 * (na.nd + nb.nd - exact_inter)
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_band
+    FROM kv_i i
+    JOIN kv_x x ON x.src_a = i.src_a AND x.src_b = i.src_b
+    JOIN kv_n na ON na.source = i.src_a
+    JOIN kv_n nb ON nb.source = i.src_b
+    """,
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source distinct-shingle OVERLAP from one
+    standing KMV sketch table — the theta-sketch intersection
+    (sketches.kmv_intersect): common sampled hashes below
+    θ = min(θ_A, θ_B) scale up by 2^52/θ, all integer.  Graded in-band
+    against the exact intersection with a UNION-scaled band (6% of
+    |A∪B| ≈ 2× the worst fixture error; intersection RSE is
+    union-relative, so an intersection-relative band would be
+    meaningless for small overlaps).  The estimate itself touches only
+    the ≤ k-row-per-source sketch — any number of overlap questions
+    without rescanning the corpus; exact columns are the grader's."""
+    from hpaste_spark.functions.text import token_hash, word_shingles
+    from hpaste_spark.operators.sketches import kmv_intersect, kmv_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
+    )
+    # the hashed distinct table serves the exact grader; the sketch
+    # hashes the raw shingles itself (same md5 family, same rows)
+    hs = sh.select(
+        "source", token_hash(F.col("_sh")).alias("_h")
+    ).distinct().localCheckpoint()
+    sk = kmv_sketch(sh, "source", "_sh", k=256)
+    est = kmv_intersect(sk, k=256)
+    exact = (
+        hs.alias("xa")
+        .join(hs.alias("xb"), "_h")
+        .filter(F.col("xa.source") < F.col("xb.source"))
+        .groupBy(
+            F.col("xa.source").alias("src_a"), F.col("xb.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    nd = hs.groupBy("source").agg(F.count(F.lit(1)).alias("_nd"))
+    return (
+        est.withColumnRenamed("grp_a", "src_a")
+        .withColumnRenamed("grp_b", "src_b")
+        .join(exact, ["src_a", "src_b"])
+        .join(
+            F.broadcast(nd.select(F.col("source").alias("src_a"), F.col("_nd").alias("_na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(nd.select(F.col("source").alias("src_b"), F.col("_nd").alias("_nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "est_inter",
+            "exact_inter",
+            (
+                F.abs(F.col("est_inter") - F.col("exact_inter")) * 1000
+                <= 60 * (F.col("_na") + F.col("_nb") - F.col("exact_inter"))
+            )
+            .cast("long")
+            .alias("in_band"),
+        )
+    )
+
+
 # BPE-ish subword token counting (north star: "token counting —
 # whitespace + a BPE-ish regex").  Whitespace count alongside for the
 # tokens-per-word granularity ratio LLM data budgeting uses.

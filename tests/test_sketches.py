@@ -122,3 +122,56 @@ def test_hdr_baseline_artifact_family_pin(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="rule 99"):
         read_hdr_baseline(spark, path)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly — the
+    mergeability contract (both are 'the k smallest distinct hashes
+    of the union'), here with k small enough that the bottom-k rule
+    actually bites."""
+    from hpaste_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = spark.createDataFrame(
+        [("g", f"tok{i}") for i in range(200)], "grp string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"tok{i}") for i in range(100, 300)], "grp string, v string"
+    )
+    sa, sb = kmv_sketch(a, "grp", "v", k=64), kmv_sketch(b, "grp", "v", k=64)
+    merged = sorted(r.h for r in kmv_merge(sa, sb, k=64).collect())
+    direct = sorted(
+        r.h for r in kmv_sketch(a.unionAll(b), "grp", "v", k=64).collect()
+    )
+    assert merged == direct and len(direct) == 64
+
+
+def test_kmv_underfull_is_exact_and_estimator_in_band(spark):
+    """Under-full sketch (distinct < k) returns the EXACT distinct
+    count; past k the estimator lands within 4×RSE of truth."""
+    from hpaste_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    small = spark.createDataFrame(
+        [("g", f"t{i}") for i in range(40)] * 3, "grp string, v string"
+    )
+    est = kmv_estimate(kmv_sketch(small, "grp", "v", k=256), k=256).collect()[0]
+    assert (est.n_sketch, est.est_distinct) == (40, 40)
+
+    big = spark.createDataFrame(
+        [("g", f"t{i}") for i in range(5000)], "grp string, v string"
+    )
+    est2 = kmv_estimate(kmv_sketch(big, "grp", "v", k=256), k=256).collect()[0]
+    assert est2.n_sketch == 256
+    assert abs(est2.est_distinct - 5000) <= 0.25 * 5000
+
+
+def test_kmv_registry_graders_all_in_band(spark):
+    """Every source's distinct estimate and every pair's intersection
+    estimate is in its stated band on the sf0.001 fixture."""
+    import __spark_entry__ as m
+
+    d = m._QUERIES["sketch_kmv_distinct"](spark, "/root/testdata/sf0.001")
+    rows = d.collect()
+    assert rows and all(r.in_band == 1 for r in rows)
+    o = m._QUERIES["sketch_kmv_overlap"](spark, "/root/testdata/sf0.001")
+    orows = o.collect()
+    assert orows and all(r.in_band == 1 for r in orows)
