@@ -5019,6 +5019,126 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_multibatch_documents(sf_dir: str) -> str:
+    """Split the documents fixture into THREE parquet files by
+    doc_id % 3 (mtimes ascending) so a maxFilesPerTrigger=1 file
+    stream replays them as three REAL micro-batches.  No timestamps
+    involved — used by order-insensitive sketch folds whose batch
+    invariance is algebraic (bottom-k over set union), not
+    watermark-driven."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(
+        here, ".scratch", "stream_src_mb",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_documents",
+    )
+    os.makedirs(out, exist_ok=True)
+    for old in os.listdir(out):
+        os.remove(os.path.join(out, old))
+    target = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(target):
+        parts = [
+            os.path.join(target, p)
+            for p in sorted(os.listdir(target))
+            if p.endswith(".parquet")
+        ]
+        tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+    else:
+        tbl = pq.read_table(target)
+    ids = tbl.column("doc_id").combine_chunks().to_numpy()
+    now = _time.time()
+    for b in (0, 1, 2):
+        path = os.path.join(out, f"0{b + 1}_batch.parquet")
+        pq.write_table(tbl.filter(pa.array(ids % 3 == b)), path)
+        os.utime(path, (now - 60 + 20 * b,) * 2)
+    return out
+
+
+# per-batch bottom-k partials merge to the identical corpus sketch
+# (bottom-k is associative over set union), so the landed merge is the
+# SAME relation the batch query computes — alias the batch oracle
+_ORACLES["stream_sketch_kmv"] = _ORACLES["sketch_kmv_distinct"]
+
+
+@q("stream_sketch_kmv", None)
+def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality telemetry UNDER the gate — the 12th gated
+    streaming shape: documents replay as THREE real micro-batches
+    (doc_id % 3 staging), each batch folds its 3-gram shingles into a
+    ≤ k-rows-per-source KMV partial via foreachBatch running the exact
+    batch operator (streaming/events.stream_kmv_partials), partials
+    land in parquet, and the reader re-bottom-k's them (kmv_merge) and
+    estimates.  bottom-k over set union is associative, so batch
+    boundaries provably cannot change the merged sketch — the SAME
+    DuckDB oracle as sketch_kmv_distinct grades the streaming
+    execution hash-for-hash.  This is the ingest posture for 'how many
+    distinct grams has each source contributed so far': the stream
+    maintains the sample; distinct counts, unions, and theta-overlaps
+    read off it without touching raw history.  Hard-errors unless
+    >= 3 data micro-batches ran."""
+    import shutil
+
+    from hpaste_spark.functions.text import token_hash, word_shingles
+    from hpaste_spark.operators.sketches import kmv_estimate, kmv_merge
+    from hpaste_spark.streaming.events import stream_kmv_partials
+
+    d = _t(spark, sf_dir, "documents")
+    src = _stage_multibatch_documents(sf_dir)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh"))
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    land = os.path.join(
+        here, ".scratch", "stream_kmv",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(land, ignore_errors=True)
+
+    def sink(partial: DataFrame, batch_id: int) -> None:
+        partial.write.mode("append").parquet(land)
+
+    qh = stream_kmv_partials(stream, sink, "source", "_sh", k=256, timeout_s=600)
+    data_batches = sum(1 for p in qh.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 3:
+        raise RuntimeError(
+            f"stream_sketch_kmv ran {data_batches} data micro-batches; "
+            "expected >= 3 (one per staged file)"
+        )
+    est = kmv_estimate(kmv_merge(spark.read.parquet(land), k=256), k=256)
+    sh = d.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
+    )
+    exact = (
+        sh.select("source", token_hash(F.col("_sh")).alias("_h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.withColumnRenamed("grp", "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_distinct")) * 1000
+                <= 250 * F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("in_band"),
+        )
+    )
+
+
 # BPE-ish subword token counting (north star: "token counting —
 # whitespace + a BPE-ish regex").  Whitespace count alongside for the
 # tokens-per-word granularity ratio LLM data budgeting uses.

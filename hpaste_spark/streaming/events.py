@@ -622,3 +622,39 @@ def stream_hdr_partials(
             f"stream_hdr_partials did not drain within {timeout_s}s"
         )
     return q
+
+
+def stream_kmv_partials(
+    stream_df: DataFrame,
+    sink,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    timeout_s: int = 120,
+):
+    """Ship a bottom-k KMV distinct partial per micro-batch — the
+    stream_hdr_partials posture for CARDINALITY: each arriving batch
+    folds into a ≤ k-rows-per-group (grp, h) hash sample
+    (operators/sketches.kmv_sketch — the exact batch operator, run by
+    foreachBatch), ``sink(partial_df, batch_id)`` lands it, and any
+    reader answers distinct counts, unions, and theta-intersections by
+    re-bottom-k'ing the landed rows (kmv_merge).  bottom-k is
+    associative over set union, so batch boundaries provably cannot
+    change the merged sketch — the streaming execution is graded by
+    the SAME oracle as the batch sketch."""
+    from hpaste_spark.operators.sketches import kmv_sketch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sink(kmv_sketch(batch_df, group_col, value_col, k), batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_kmv_partials did not drain within {timeout_s}s"
+        )
+    return q

@@ -773,6 +773,14 @@ def test_multibatch_replays_run_real_micro_batches(spark):
     )
     assert out_sess.count() > 0
 
+    # per-batch KMV bottom-k partials re-bottom-k to the identical
+    # corpus sketch (bottom-k associative over set union)
+    out_kmv = m._QUERIES["stream_sketch_kmv"](spark, "/root/testdata/sf0.001")
+    batch_kmv = m._QUERIES["sketch_kmv_distinct"](spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, out_kmv.collect())) == sorted(
+        map(tuple, batch_kmv.collect())
+    )
+
     # the per-batch HDR partials merge to the identical batch sketch
     # regardless of the 3-way split (associativity under the gate)
     out3 = m._QUERIES["stream_sketch_hdr"](spark, "/root/testdata/sf0.001")

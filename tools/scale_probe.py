@@ -407,6 +407,7 @@ STREAM_PROBES = [
     "stream_ss_asof_multibatch",
     "stream_session_window_multibatch",
     "stream_sketch_hdr",
+    "stream_sketch_kmv",
 ]
 
 
