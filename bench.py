@@ -178,6 +178,17 @@ HEADLINE = [
     "sketch_hdr_rollup",
     "stream_sketch_hdr",
     "sketch_hdr_drift",
+    # round 9, second batch: curriculum novelty, weighted near-dup,
+    # k-center coreset + coverage, KMV set-algebra sketches (batch +
+    # streamed), merging session state across real micro-batches
+    "prof_ngram_novelty",
+    "dedup_weighted_jaccard",
+    "mix_kcenter_coreset",
+    "mix_kcenter_assign",
+    "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
+    "stream_sketch_kmv",
+    "stream_session_window_multibatch",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
