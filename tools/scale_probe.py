@@ -464,6 +464,7 @@ def stream_probe(spark, qs, factor: int = 30) -> None:
             "stream_asof_enrich",
             "stream_tw_tumbling_multibatch",
             "stream_ss_asof_multibatch",
+            "stream_session_window_multibatch",
             "stream_sketch_hdr",
         )
         t_small, n_small = run(name, SF01)
