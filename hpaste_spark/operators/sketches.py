@@ -403,7 +403,14 @@ def kmv_intersect(sk: DataFrame, k: int = 256) -> DataFrame:
     n_common, est_inter) for pairs sharing ≥ 1 sampled hash.  All
     work happens on the tiny sketch table (≤ k rows per group) — the
     corpus is never rescanned, which is the whole point: any number of
-    pairwise (or k-way) overlap questions off one standing artifact."""
+    pairwise (or k-way) overlap questions off one standing artifact.
+    The sketch input is consumed three times (thresholds + both join
+    sides), so it is localCheckpoint'ed here — without the cut each
+    branch re-derives the sketch's full lineage back to the corpus
+    (the weighted-jaccard 18-scan lesson; a stored-artifact caller
+    reading parquet is already materialized and the cut is a no-op
+    cost on ≤ k·groups rows)."""
+    sk = sk.localCheckpoint()
     th = (
         sk.groupBy("grp")
         .agg(F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk"))

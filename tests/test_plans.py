@@ -752,3 +752,13 @@ def test_weighted_jaccard_materializes_shared_set_table(spark, queries):
     )
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_kmv_overlap_never_rescans_corpus(spark, queries):
+    """sketch_kmv_overlap: the sketch and grader tables are
+    materialized once, so the FINAL plan contains zero corpus scans —
+    every intersection branch reads the ≤ k-rows-per-group sketch
+    (first audit measured 8 corpus re-derivations)."""
+    plan = plan_of(queries["sketch_kmv_overlap"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 0
+    assert "CartesianProduct" not in plan
