@@ -624,7 +624,10 @@ def _kcenter_greedy(df, k, id_col, vec_col):
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_e"),
     )
-    seed = w.orderBy("vec_id").limit(1).collect()[0]
+    head = w.orderBy("vec_id").limit(1).collect()
+    if not head:
+        raise ValueError("kcenter selection needs a non-empty input")
+    seed = head[0]
     picked = [(1, int(seed["vec_id"]), None, list(seed["_e"]))]
     cand = (
         w.filter(F.col("vec_id") != seed["vec_id"])
