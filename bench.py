@@ -187,6 +187,7 @@ HEADLINE = [
     "mix_kcenter_assign",
     "sketch_kmv_distinct",
     "sketch_kmv_overlap",
+    "sketch_kmv_union",
     "stream_sketch_kmv",
     "stream_session_window_multibatch",
 ]

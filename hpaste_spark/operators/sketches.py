@@ -442,3 +442,44 @@ def kmv_intersect(sk: DataFrame, k: int = 256) -> DataFrame:
             F.expr(f"n_common * {KMV_H} div _th").cast("long").alias("est_inter"),
         )
     )
+
+
+def kmv_union(sk: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise UNION-cardinality estimates from one sketch table —
+    the third set-algebra leg next to :func:`kmv_estimate` (|A|) and
+    :func:`kmv_intersect` (|A∩B|): for each group pair, the distinct
+    union of the two hash samples re-bottom-k'd is EXACTLY the sketch
+    of A ∪ B (bottom-k commutes with set union), so the same estimator
+    applies with the same 1/√(k−2) guarantee.  Returns (grp_a, grp_b,
+    n_sketch, est_union).  Work is (pairs × 2k) rows off the ≤ k-per-
+    group sketch — the corpus is never rescanned."""
+    from pyspark.sql import Window
+
+    sk = sk.localCheckpoint()  # consumed twice (both pair sides)
+    a = sk.select(F.col("grp").alias("grp_a"), "h")
+    b = sk.select(F.col("grp").alias("grp_b"), "h")
+    pairs = (
+        a.select("grp_a").distinct()
+        .join(b.select("grp_b").distinct(), F.col("grp_a") < F.col("grp_b"))
+    )
+    u = (
+        pairs.join(a, "grp_a")
+        .select("grp_a", "grp_b", "h")
+        .unionAll(pairs.join(b, "grp_b").select("grp_a", "grp_b", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    topk = u.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return (
+        topk.groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("_hk"))
+        .select(
+            "grp_a",
+            "grp_b",
+            F.col("n_sketch").cast("long").alias("n_sketch"),
+            F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+            .otherwise(F.expr(f"({k} - 1) * {KMV_H} div _hk"))
+            .cast("long")
+            .alias("est_union"),
+        )
+    )

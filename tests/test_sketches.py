@@ -175,3 +175,34 @@ def test_kmv_registry_graders_all_in_band(spark):
     o = m._QUERIES["sketch_kmv_overlap"](spark, "/root/testdata/sf0.001")
     orows = o.collect()
     assert orows and all(r.in_band == 1 for r in orows)
+
+
+def test_kmv_union_matches_direct_union_sketch(spark):
+    """kmv_union's pair estimate == kmv_estimate over the two groups'
+    values relabeled into one group (bottom-k commutes with union),
+    and inclusion-exclusion telemetry is consistent in the exact
+    (under-full) regime: |A∪B| + |A∩B| = |A| + |B|."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.operators.sketches import (kmv_estimate,
+                                                 kmv_intersect, kmv_sketch,
+                                                 kmv_union)
+
+    rows = [("a", f"t{i}") for i in range(150)] + [
+        ("b", f"t{i}") for i in range(100, 250)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    sk = kmv_sketch(df, "grp", "v", k=64)
+    pair = kmv_union(sk, k=64).collect()[0]
+    direct = kmv_estimate(
+        kmv_sketch(df.withColumn("grp", F.lit("u")), "grp", "v", k=64), k=64
+    ).collect()[0]
+    assert pair.est_union == direct.est_distinct
+
+    # exact regime: all three sketches under-full -> exact set algebra
+    sk256 = kmv_sketch(df, "grp", "v", k=256)
+    est = {r.grp: r.est_distinct for r in kmv_estimate(sk256, k=256).collect()}
+    inter = kmv_intersect(sk256, k=256).collect()[0].est_inter
+    union = kmv_union(sk256, k=256).collect()[0].est_union
+    assert union + inter == est["a"] + est["b"] == 300
+    assert (union, inter) == (250, 50)
