@@ -5035,11 +5035,18 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     kvu_e AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_sketch,
                      MAX(h) AS hk
               FROM kvu_k WHERE rn <= 256 GROUP BY 1, 2),
-    kvu_x AS (SELECT p.src_a, p.src_b, CAST(COUNT(DISTINCT s.h) AS BIGINT)
-                       AS exact_union
-              FROM kvu_p p JOIN kv_s s
-                ON s.source = p.src_a OR s.source = p.src_b
-              GROUP BY 1, 2)
+    kvu_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+              FROM kv_s GROUP BY source),
+    kvu_i AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS ni
+              FROM kv_s a JOIN kv_s b ON a.h = b.h AND a.source < b.source
+              GROUP BY 1, 2),
+    kvu_x AS (SELECT p.src_a, p.src_b,
+                     na.nd + nb.nd - COALESCE(i.ni, 0) AS exact_union
+              FROM kvu_p p
+              JOIN kvu_n na ON na.source = p.src_a
+              JOIN kvu_n nb ON nb.source = p.src_b
+              LEFT JOIN kvu_i i ON i.src_a = p.src_a AND i.src_b = p.src_b)
     SELECT e.src_a, e.src_b, n_sketch,
            CAST(CASE WHEN n_sketch < 256 THEN n_sketch
                      ELSE 255 * {_KMV_H} // hk END AS BIGINT) AS est_union,
@@ -5071,16 +5078,34 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", token_hash(F.col("_sh")).alias("_h")
     ).distinct().localCheckpoint()
     est = kmv_union(kmv_sketch(sh, "source", "_sh", k=256), k=256)
-    ha = hs.select(F.col("source").alias("src_a"), "_h")
-    hb = hs.select(F.col("source").alias("src_b"), "_h")
+    # exact union via inclusion-exclusion on equi-joins only: the
+    # direct (source = a OR source = b) pair join is a nested loop
+    # over the full hash table (measured 183 s at the 100× probe vs
+    # ~13 s for the equi-join form)
+    nd = hs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    inter = (
+        hs.alias("ua")
+        .join(hs.alias("ub"), "_h")
+        .filter(F.col("ua.source") < F.col("ub.source"))
+        .groupBy(
+            F.col("ua.source").alias("src_a"), F.col("ub.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    )
     exact = (
-        ha.select("src_a").distinct()
-        .join(hb.select("src_b").distinct(), F.col("src_a") < F.col("src_b"))
-        .join(hs, (F.col("source") == F.col("src_a")) | (F.col("source") == F.col("src_b")))
-        .select("src_a", "src_b", "_h")
-        .distinct()
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        nd.select(F.col("source").alias("src_a"), F.col("_nd").alias("_na"))
+        .join(
+            nd.select(F.col("source").alias("src_b"), F.col("_nd").alias("_nb")),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_ni"), F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+        )
     )
     return (
         est.withColumnRenamed("grp_a", "src_a")
