@@ -4697,7 +4697,7 @@ def stream_sketch_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: bump to invalidate cached HDR baseline artifacts when the bucket
 #: rule or the registry build window changes
-_HDR_BASELINE_VERSION = 1
+_HDR_BASELINE_VERSION = 2  # r10: meta gained a version column
 
 
 def _hdr_baseline_dir(sf_dir: str) -> str:
@@ -5125,6 +5125,122 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_band"),
         )
     )
+
+
+@q(
+    "sketch_kmv_union_kway",
+    f"""
+    WITH {_KMV_SETS},
+    kw_m AS (SELECT * FROM (VALUES ('src0'), ('src1'), ('src2'), ('src3'),
+                                   ('src4')) AS t(source)),
+    kw_s AS (SELECT s.* FROM kv_s s JOIN kw_m USING (source)),
+    kw_sk AS (SELECT s.* FROM kv_sk s JOIN kw_m USING (source)),
+    kw_u AS (SELECT DISTINCT h FROM kw_sk),
+    kw_k AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM kw_u),
+    kw_e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS hk
+             FROM kw_k WHERE rn <= 256),
+    kw_xu AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_union FROM kw_s),
+    kw_th AS (SELECT source,
+                     CASE WHEN COUNT(*) < 256 THEN {_KMV_H} ELSE MAX(h) END AS th
+              FROM kw_sk GROUP BY source),
+    kw_t AS (SELECT MIN(th) AS theta, CAST(COUNT(*) AS BIGINT) AS n_groups
+             FROM kw_th),
+    kw_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM (
+               SELECT s.h FROM kw_sk s JOIN kw_t t ON s.h < t.theta
+               GROUP BY s.h HAVING COUNT(*) = (SELECT n_groups FROM kw_t))),
+    kw_xi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+               SELECT h FROM kw_s
+               GROUP BY h HAVING COUNT(*) = (SELECT n_groups FROM kw_t)))
+    SELECT 'union' AS op, n_sketch AS n_sample,
+           CAST(CASE WHEN n_sketch < 256 THEN n_sketch
+                     ELSE 255 * {_KMV_H} // hk END AS BIGINT) AS est,
+           exact_union AS exact,
+           CAST(CASE WHEN ABS((CASE WHEN n_sketch < 256 THEN n_sketch
+                                    ELSE 255 * {_KMV_H} // hk END)
+                              - exact_union) * 1000
+                          <= 250 * exact_union
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_band
+    FROM kw_e, kw_xu
+    UNION ALL
+    SELECT 'inter', c.n_common,
+           CAST(c.n_common * {_KMV_H} // t.theta AS BIGINT),
+           x.exact_inter,
+           CAST(CASE WHEN ABS(c.n_common * {_KMV_H} // t.theta - x.exact_inter)
+                          * 1000
+                          <= 60 * u.exact_union
+                     THEN 1 ELSE 0 END AS BIGINT)
+    FROM kw_c c, kw_t t, kw_xi x, kw_xu u
+    """,
+)
+def sketch_kmv_union_kway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-WAY KMV set algebra off one standing sketch table (round-9
+    verdict ask #5): "how many distinct grams across THESE five
+    sources" (union = one re-bottom-k over the merged member sketches,
+    sketches.kmv_union_subsets) and "how many grams do ALL five share"
+    (intersection via the GLOBAL min-theta, kmv_intersect_subsets) —
+    the two questions a mixture designer asks about a candidate source
+    bundle, answered without rescanning the corpus.  Two rows
+    (op in {union, inter}), each with the md5-deterministic estimate,
+    the exact grader truth, and an in_band flag (25% of exact for the
+    union — the sketch_kmv_union posture — and 6% of the union size
+    for the intersection, which is union-relative like
+    sketch_kmv_overlap's band).  Estimator work is bounded by the
+    ≤ k·|subset| sketch rows (plan-tested: zero corpus scans in the
+    final plan — both the sketch and the exact-grader hash table are
+    materialized once)."""
+    from hpaste_spark.functions.text import token_hash, word_shingles
+    from hpaste_spark.operators.sketches import (
+        kmv_intersect_subsets,
+        kmv_sketch,
+        kmv_union_subsets,
+    )
+
+    subset = ["src0", "src1", "src2", "src3", "src4"]
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
+    )
+    hs = (
+        sh.filter(F.col("source").isin(subset))
+        .select("source", token_hash(F.col("_sh")).alias("_h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sk = kmv_sketch(sh, "source", "_sh", k=256).localCheckpoint()
+    uni = kmv_union_subsets(sk, {"k5": subset}, k=256)
+    inter = kmv_intersect_subsets(sk, {"k5": subset}, k=256)
+    eu = hs.agg(F.countDistinct("_h").cast("long").alias("exact_union"))
+    ei = (
+        hs.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .filter(F.col("_ns") == len(subset))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    u_row = uni.crossJoin(eu).select(
+        F.lit("union").alias("op"),
+        F.col("n_sketch").cast("long").alias("n_sample"),
+        F.col("est_union").alias("est"),
+        F.col("exact_union").alias("exact"),
+        (
+            F.abs(F.col("est_union") - F.col("exact_union")) * 1000
+            <= 250 * F.col("exact_union")
+        )
+        .cast("long")
+        .alias("in_band"),
+    )
+    i_row = inter.crossJoin(ei).crossJoin(eu).select(
+        F.lit("inter").alias("op"),
+        F.col("n_common").cast("long").alias("n_sample"),
+        F.col("est_inter").alias("est"),
+        F.col("exact_inter").alias("exact"),
+        (
+            F.abs(F.col("est_inter") - F.col("exact_inter")) * 1000
+            <= 60 * F.col("exact_union")
+        )
+        .cast("long")
+        .alias("in_band"),
+    )
+    return u_row.unionAll(i_row)
 
 
 def _stage_multibatch_documents(sf_dir: str) -> str:
@@ -6260,7 +6376,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: bump to invalidate cached LSH index artifacts when the band family
 #: or the build geometry used by the registry queries changes
-_LSH_INDEX_VERSION = 1
+_LSH_INDEX_VERSION = 2  # r10: meta gained a version column
 
 
 def _lsh_index_dir(sf_dir: str) -> str:
@@ -6317,6 +6433,87 @@ def dedup_incremental_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.operators.dedup import incremental_lsh_candidates_stored
 
     path = _ensure_lsh_index(spark, sf_dir)
+    batch = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return incremental_lsh_candidates_stored(
+        spark, path, batch, max_bucket=2000
+    )
+
+
+def _lsh_appended_dir(sf_dir: str) -> str:
+    """Separate tree from _lsh_index_dir: this artifact is built in two
+    steps (build on the old corpus, append the delta) and must never be
+    confused with the one-shot index the _stored query reads."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_LSH_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_LSH_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "lsh_index_appended",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+def _ensure_lsh_index_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Two-step artifact for the append-equivalence gate: build the
+    index on PART of the standing corpus (doc_id % 7 != 3 — 'the index
+    as of yesterday'), then append_lsh_index the remainder ('today's
+    ingest').  Guard on meta version == 2: version 1 means a crash
+    landed between build and append, so the artifact is rebuilt from
+    scratch (re-appending onto a maybe-partial append would duplicate
+    band rows and inflate n_bands — the idempotence caveat the
+    append_lsh_index docstring documents)."""
+    import shutil
+
+    from hpaste_spark.operators.dedup import append_lsh_index, build_lsh_index
+
+    path = _lsh_appended_dir(sf_dir)
+    if os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        meta = spark.read.parquet(os.path.join(path, "meta")).first()
+        if ("version" in meta.__fields__) and meta["version"] == 2:
+            return path
+        shutil.rmtree(path, ignore_errors=True)
+    corpus = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .filter(F.col("doc_id") % 10 != 0)
+    )
+    build_lsh_index(
+        corpus.filter(F.col("doc_id") % 7 != 3), path,
+        num_hashes=16, bands=4, shingle=3,
+    )
+    append_lsh_index(spark, path, corpus.filter(F.col("doc_id") % 7 == 3))
+    return path
+
+
+# append(A, B) ≡ build(A ∪ B) by construction (band rows are per-doc and
+# geometry is pinned), so the probe result is the SAME relation the
+# one-shot index yields — same oracle as dedup_incremental_lsh
+_ORACLES["dedup_incremental_lsh_appended"] = _ORACLES["dedup_incremental_lsh"]
+
+
+@q("dedup_incremental_lsh_appended", None)
+def dedup_incremental_lsh_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup off an APPEND-refreshED LSH band artifact
+    (round-9 verdict ask #1): the index is built on 'yesterday's'
+    corpus slice (doc_id % 7 != 3), then append_lsh_index signs ONLY
+    the remaining slice under the artifact's pinned geometry and
+    appends its band rows — the pre-existing corpus is never re-signed
+    (plan-pinned in tests/test_plans.py).  The probe then runs the
+    exact dedup_incremental_lsh_stored query against the refreshed
+    artifact; hash-matching the full-corpus oracle IS the
+    append(A, B) == build(A ∪ B) equivalence gate.  Reference analog:
+    the standing-table mutation posture of OpBase.scala:22-109 —
+    incremental writes against a persistent index, no rebuilds."""
+    from hpaste_spark.operators.dedup import incremental_lsh_candidates_stored
+
+    path = _ensure_lsh_index_appended(spark, sf_dir)
     batch = (
         _t(spark, sf_dir, "documents")
         .filter(F.length(F.trim(F.col("text"))) > 0)
@@ -8156,7 +8353,7 @@ def prof_exact_substr_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "prof_ngram_novelty",
     """
-    WITH nov_t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+    WITH nov_t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
                    FROM documents WHERE length(trim(text)) > 0),
     nov_g AS (SELECT DISTINCT doc_id, g FROM (
         SELECT doc_id, unnest(list_transform(
@@ -9352,7 +9549,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_lines",
     """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
                FROM documents WHERE length(trim(text)) > 0),
     wx AS (SELECT doc_id, unnest(w) AS wd, unnest(range(1, len(w)+1)) AS i FROM t),
     ch AS (SELECT doc_id, CAST((i-1)//4 AS BIGINT) AS pos,
@@ -9411,7 +9608,7 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_lines_keep_first",
     """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
                FROM documents WHERE length(trim(text)) > 0),
     wx AS (SELECT doc_id, unnest(w) AS wd, unnest(range(1, len(w)+1)) AS i FROM t),
     ch AS (SELECT doc_id, CAST((i-1)//4 AS BIGINT) AS pos,
@@ -9465,7 +9662,7 @@ def dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_cdc",
     """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
                FROM documents WHERE length(trim(text)) > 0),
     wx AS (SELECT doc_id, unnest(w) AS wd, unnest(range(1, len(w)+1)) AS i FROM t),
     cb AS (SELECT doc_id, i, wd,
@@ -9648,7 +9845,7 @@ def dedup_cdc_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "corpus_distinct_ngrams",
     """
-    WITH t AS (SELECT source, string_split(trim(text), ' ') AS w
+    WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
                FROM documents WHERE length(trim(text)) > 0),
     g AS (
       SELECT source, 1 AS n, unnest(w) AS g FROM t
@@ -9707,7 +9904,7 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "corpus_source_overlap",
     """
-    WITH t AS (SELECT source, string_split(trim(text), ' ') AS w
+    WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
                FROM documents WHERE length(trim(text)) > 0),
     g AS (SELECT DISTINCT source, g FROM (
         SELECT source, unnest(list_transform(

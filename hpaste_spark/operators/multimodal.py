@@ -385,6 +385,12 @@ def near_frame_pairs(
 
     if on_capped not in ("drop", "error"):
         raise ValueError(f"on_capped must be 'drop' or 'error': {on_capped}")
+    if on_capped == "error" and max_bucket is None:
+        raise ValueError(
+            "on_capped='error' requires max_bucket: with no cap there is "
+            "no saturation check to install, and a caller asking for loud "
+            "cap failure would silently get none"
+        )
     k = frame_band_keys(df, frame_bytes, max_hamming)
     if max_bucket is not None:
         k = k.withColumn(

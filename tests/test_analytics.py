@@ -2312,6 +2312,104 @@ def test_lsh_index_artifact_roundtrip_and_family_pin(spark, tmp_path):
         incremental_lsh_candidates_stored(spark, path, batch)
 
 
+def test_lsh_index_append_equals_full_build(spark, tmp_path):
+    """append_lsh_index(A-index, B) ≡ build_lsh_index(A ∪ B): same
+    band relation bit-for-bit (band rows are per-doc and the geometry
+    is pinned), same probe results, version bumped to 2 with geometry
+    preserved — the round-9 verdict's standing-artifact refresh gate."""
+    import pytest
+
+    from hpaste_spark.operators.dedup import (
+        append_lsh_index,
+        build_lsh_index,
+        incremental_lsh_candidates_stored,
+        read_lsh_index,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+        for i in range(24)
+    ]
+    old = spark.createDataFrame(docs[:10], "doc_id INT, text STRING")
+    delta = spark.createDataFrame(docs[10:18], "doc_id INT, text STRING")
+    both = spark.createDataFrame(docs[:18], "doc_id INT, text STRING")
+    batch = spark.createDataFrame(docs[18:], "doc_id INT, text STRING")
+
+    inc_path = str(tmp_path / "lsh_inc")
+    full_path = str(tmp_path / "lsh_full")
+    build_lsh_index(old, inc_path, num_hashes=12, bands=3, shingle=2)
+    version = append_lsh_index(spark, inc_path, delta)
+    build_lsh_index(both, full_path, num_hashes=12, bands=3, shingle=2)
+
+    inc_bands, inc_meta = read_lsh_index(spark, inc_path)
+    full_bands, _ = read_lsh_index(spark, full_path)
+    key = lambda r: (r["doc_id"], r["band_idx"], r["band_key"])  # noqa: E731
+    assert sorted(map(key, inc_bands.collect())) == sorted(
+        map(key, full_bands.collect())
+    )
+    assert version == 2 and inc_meta["version"] == 2
+    assert (inc_meta["num_hashes"], inc_meta["bands"], inc_meta["shingle"]) == (
+        12, 3, 2,
+    )
+
+    probe_inc = {
+        (r["batch_id"], r["corpus_id"], r["n_bands"])
+        for r in incremental_lsh_candidates_stored(spark, inc_path, batch).collect()
+    }
+    probe_full = {
+        (r["batch_id"], r["corpus_id"], r["n_bands"])
+        for r in incremental_lsh_candidates_stored(spark, full_path, batch).collect()
+    }
+    assert probe_inc == probe_full and len(probe_inc) > 0
+
+
+def test_lsh_index_append_hardening(spark, tmp_path):
+    """The append path's failure modes fail LOUDLY: build with
+    mode='append' is rejected (second meta row hazard, r9 ADVICE);
+    appending onto a foreign-family artifact errors before signing
+    anything; and a corrupted multi-geometry meta relation errors in
+    read_lsh_index instead of being picked from nondeterministically."""
+    import pytest
+
+    from hpaste_spark.operators.dedup import (
+        append_lsh_index,
+        build_lsh_index,
+        read_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(8)],
+        "doc_id INT, text STRING",
+    )
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(docs, path, num_hashes=12, bands=3, shingle=2)
+
+    with pytest.raises(ValueError, match="append_lsh_index"):
+        build_lsh_index(docs, path, mode="append")
+
+    # conflicting second geometry row (what a legacy mode='append'
+    # would have produced): single-distinct-row assert fires
+    spark.createDataFrame(
+        [(16, 4, 3, "doc_id", 1, 1)],
+        "num_hashes INT, bands INT, shingle INT, id_col STRING, "
+        "family INT, version INT",
+    ).write.mode("append").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="distinct meta rows"):
+        read_lsh_index(spark, path)
+    with pytest.raises(ValueError, match="distinct meta rows"):
+        append_lsh_index(spark, path, docs)
+
+    # foreign family: hard-error before any delta is signed
+    spark.createDataFrame(
+        [(12, 3, 2, "doc_id", 999, 1)],
+        "num_hashes INT, bands INT, shingle INT, id_col STRING, "
+        "family INT, version INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="family 999"):
+        append_lsh_index(spark, path, docs)
+
+
 def test_stream_incremental_dedup_stored_matches_batch(spark, tmp_path):
     """The stored streaming probe (geometry from the artifact) lands
     the same candidate set the batch operator computes, and refuses a

@@ -718,6 +718,51 @@ def test_incremental_lsh_stored_probe_reads_stored_bands(spark, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_incremental_lsh_appended_probe_reads_stored_bands(spark, queries):
+    """dedup_incremental_lsh_appended: the probe against the APPEND-
+    refreshed artifact has the same shape as the write-once one — the
+    corpus side is the stored band parquet (old + appended files), the
+    only documents scan is the batch signing itself."""
+    df = queries["dedup_incremental_lsh_appended"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert ".scratch/lsh_index_appended" in plan, (
+        "probe must read the appended band artifact"
+    )
+    assert plan.count("documents.parquet") == 1, (
+        "only the batch side may scan documents; the corpus comes from "
+        "the stored bands"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_append_lsh_delta_signs_only_new_docs(spark, queries):
+    """append_lsh_index never rescans the pre-existing corpus: the
+    delta band relation it writes (exposed via append_lsh_delta_bands)
+    references ONLY the new docs — one documents scan, zero reads of
+    the stored bands (geometry arrives via the collected 1-row meta,
+    not a join)."""
+    from hpaste_spark.operators.dedup import append_lsh_delta_bands
+
+    # the registry's appended artifact (already built+refreshed)
+    import __spark_entry__ as E
+
+    path = E._ensure_lsh_index_appended(spark, SF_DIR)
+    new_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("length(trim(text)) > 0 AND doc_id % 10 = 0")
+    )
+    delta, meta = append_lsh_delta_bands(spark, path, new_docs)
+    plan = plan_of(delta)
+    assert plan.count("documents.parquet") == 1, (
+        "the delta must sign only the new docs"
+    )
+    assert "lsh_index_appended" not in plan, (
+        "the stored bands must not appear in the delta plan — the old "
+        "corpus is never re-signed"
+    )
+    assert meta["version"] == 2
+
+
 def test_hdr_rollup_single_scan_expand(spark, queries):
     """sketch_hdr_rollup builds the per-type AND the ALL sketch from
     ONE events scan (explode-to-two-rows Expand + a single partial/
@@ -752,6 +797,15 @@ def test_weighted_jaccard_materializes_shared_set_table(spark, queries):
     )
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_kmv_kway_never_rescans_corpus(spark, queries):
+    """sketch_kmv_union_kway: estimator work is bounded by the sketch
+    table and the grader by the materialized hash table — the FINAL
+    plan contains zero corpus scans and no cartesian expansion."""
+    plan = plan_of(queries["sketch_kmv_union_kway"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 0
+    assert "CartesianProduct" not in plan
 
 
 def test_kmv_overlap_never_rescans_corpus(spark, queries):

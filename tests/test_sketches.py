@@ -124,6 +124,58 @@ def test_hdr_baseline_artifact_family_pin(spark, tmp_path):
         read_hdr_baseline(spark, path)
 
 
+def test_hdr_baseline_append_equals_full_build(spark, tmp_path):
+    """append_hdr_baseline(window1-baseline, window2) reads identically
+    to build_hdr_baseline(window1 ∪ window2) — hdr_merge-additivity
+    through the artifact: the reader collapses the appended partials
+    cell-wise.  Version bumps; sub_bits comes from the artifact, not
+    the caller; mode='append' on the build path is rejected."""
+    import pytest
+
+    from hpaste_spark.operators.sketches import (
+        append_hdr_baseline,
+        build_hdr_baseline,
+        read_hdr_baseline,
+    )
+
+    w1 = spark.createDataFrame([("a", v) for v in range(1, 150)], "g string, v long")
+    w2 = spark.createDataFrame(
+        [("a", v) for v in range(90, 260)] + [("b", 7)], "g string, v long"
+    )
+    both = w1.unionAll(w2)
+
+    inc_path = str(tmp_path / "hdr_inc")
+    full_path = str(tmp_path / "hdr_full")
+    build_hdr_baseline(w1, inc_path, "v", "g", sub_bits=5)
+    version = append_hdr_baseline(spark, inc_path, w2, "v")
+    build_hdr_baseline(both, full_path, "v", "g", sub_bits=5)
+
+    inc_sk, inc_meta = read_hdr_baseline(spark, inc_path)
+    full_sk, _ = read_hdr_baseline(spark, full_path)
+    cells = lambda sk: {  # noqa: E731
+        (r["g"], r["bucket_lo"], r["width"]): r["cnt"] for r in sk.collect()
+    }
+    assert cells(inc_sk) == cells(full_sk) and len(cells(full_sk)) > 0
+    assert version == 2 and inc_meta["version"] == 2
+    assert inc_meta["sub_bits"] == 5
+
+    with pytest.raises(ValueError, match="append_hdr_baseline"):
+        build_hdr_baseline(w2, inc_path, "v", "g", mode="append")
+
+
+def test_hdr_sketch_skips_nulls(spark):
+    """NULL values are excluded like SQL aggregates skip nulls (r9
+    ADVICE: they previously aborted under the misleading 'negative
+    value' message); negatives still abort loudly."""
+    from hpaste_spark.operators.sketches import hdr_sketch
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (5,), (None,)], "v long"
+    )
+    out = hdr_sketch(df, "v", sub_bits=5).collect()
+    assert sum(r["cnt"] for r in out) == 2
+
+
 def test_kmv_merge_equals_sketch_of_union(spark):
     """merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly — the
     mergeability contract (both are 'the k smallest distinct hashes
@@ -143,6 +195,55 @@ def test_kmv_merge_equals_sketch_of_union(spark):
         r.h for r in kmv_sketch(a.unionAll(b), "grp", "v", k=64).collect()
     )
     assert merged == direct and len(direct) == 64
+
+
+def test_kmv_kway_subset_algebra(spark):
+    """k-way generalizations reduce to the pairwise/singleton forms:
+    a singleton union subset reproduces kmv_estimate; a 2-group
+    intersection subset reproduces kmv_intersect; a 3-way intersection
+    over sets with a known common core lands within band of truth and
+    uses the GLOBAL min-theta."""
+    from hpaste_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect,
+        kmv_intersect_subsets,
+        kmv_sketch,
+        kmv_union_subsets,
+    )
+
+    # three sets of 3000 with a shared 1000-token core
+    rows = (
+        [("a", f"core{i}") for i in range(1000)]
+        + [("a", f"a{i}") for i in range(2000)]
+        + [("b", f"core{i}") for i in range(1000)]
+        + [("b", f"b{i}") for i in range(2000)]
+        + [("c", f"core{i}") for i in range(1000)]
+        + [("c", f"c{i}") for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    sk = kmv_sketch(df, "grp", "v", k=256).localCheckpoint()
+
+    single = kmv_union_subsets(sk, {"only_a": ["a"]}, k=256).collect()[0]
+    est_a = {
+        r["grp"]: r["est_distinct"] for r in kmv_estimate(sk, k=256).collect()
+    }
+    assert single["est_union"] == est_a["a"]
+
+    pair_sub = kmv_intersect_subsets(sk, {"ab": ["a", "b"]}, k=256).collect()[0]
+    pair = {
+        (r["grp_a"], r["grp_b"]): (r["n_common"], r["est_inter"])
+        for r in kmv_intersect(sk, k=256).collect()
+    }
+    assert (pair_sub["n_common"], pair_sub["est_inter"]) == pair[("a", "b")]
+
+    tri = kmv_intersect_subsets(sk, {"abc": ["a", "b", "c"]}, k=256).collect()[0]
+    assert tri["n_groups"] == 3
+    # truth = 1000 shared; 4×RSE of the union-scale error bound
+    assert abs(tri["est_inter"] - 1000) <= 0.25 * 3000
+
+    u3 = kmv_union_subsets(sk, {"abc": ["a", "b", "c"]}, k=256).collect()[0]
+    # truth = 1000 + 3·2000 = 7000 distinct
+    assert abs(u3["est_union"] - 7000) <= 0.25 * 7000
 
 
 def test_kmv_underfull_is_exact_and_estimator_in_band(spark):
