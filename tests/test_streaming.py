@@ -788,3 +788,53 @@ def test_multibatch_replays_run_real_micro_batches(spark):
     assert sorted(map(tuple, out3.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_checkpoint_recovery_resumes_not_restarts(spark):
+    """stream_tw_tumbling_recovered (r9 verdict ask #2): the query is
+    killed after the first committed micro-batch and restarted from
+    the same checkpointLocation.  Pins: the restarted run did real
+    work, began PAST batch 0 (i.e. from batch >= 2 in 1-based terms —
+    a 0 would mean the checkpoint was ignored and the sink double-
+    counted), never re-committed a run-1 batch, and the landed
+    relation equals the uninterrupted multibatch run's."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    out = m._QUERIES["stream_tw_tumbling_recovered"](spark, sf)
+    run1, run2 = m._LAST_RECOVERY_RUNS["stream_tw_tumbling_recovered"]
+    assert len(run2) >= 1, "recovery run must commit at least one batch"
+    assert min(run2) >= 1, "restart must resume past batch 0"
+    assert not (set(run1) & set(run2)), "no batch may commit twice"
+    assert len(run1) + len(run2) >= 3
+
+    uninterrupted = m._QUERIES["stream_tw_tumbling_multibatch"](spark, sf)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, uninterrupted.collect())
+    )
+
+
+def test_multibatch_state_telemetry_captured(spark):
+    """The multibatch streams record per-micro-batch state-store
+    telemetry (numRowsTotal / memoryUsedBytes — r9 verdict ask #4):
+    >= 3 data batches each carrying non-empty stateOperators rows,
+    the measured basis of SCALE.md's state-growth table."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    m._QUERIES["stream_tw_tumbling_multibatch"](spark, sf)
+    prog = m._LAST_STREAM_PROGRESS["stream_tw_tumbling_multibatch"]
+    data = [p for p in prog if p["numInputRows"] > 0]
+    assert len(data) >= 3
+    with_state = [p for p in prog if p["stateOperators"]]
+    assert len(with_state) >= 3
+    assert any(
+        op["numRowsTotal"] and op["numRowsTotal"] > 0
+        for p in with_state
+        for op in p["stateOperators"]
+    )
+    assert any(
+        op["memoryUsedBytes"] and op["memoryUsedBytes"] > 0
+        for p in with_state
+        for op in p["stateOperators"]
+    )
