@@ -190,6 +190,14 @@ HEADLINE = [
     "sketch_kmv_union",
     "stream_sketch_kmv",
     "stream_session_window_multibatch",
+    # round 10: incremental standing artifacts (probe timing — the
+    # build+append is a PREBUILD one-time job), k-way KMV algebra,
+    # checkpoint-recovery replay (kill + restart timed end to end)
+    "dedup_incremental_lsh_appended",
+    "decontaminate_bloom_appended",
+    "sim_ivf_knn_join_appended",
+    "sketch_kmv_union_kway",
+    "stream_tw_tumbling_recovered",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -202,6 +210,11 @@ PREBUILD = [
     "dedup_semantic_2level_stored",
     "decontaminate_bloom_stored",
     "dedup_incremental_lsh_stored",
+    # r10 appended artifacts: the two-step build+append is the one-time
+    # job; the timed run measures the probe against the refreshed index
+    "dedup_incremental_lsh_appended",
+    "decontaminate_bloom_appended",
+    "sim_ivf_knn_join_appended",
 ]
 
 

@@ -335,6 +335,48 @@ def append_lsh_index(
     return version
 
 
+def compact_lsh_index(spark, path: str, num_files: int | None = None) -> int:
+    """COMPACTION for an append-refreshed :func:`build_lsh_index`
+    artifact — the LSM-style maintenance step to run after many
+    :func:`append_lsh_index` deltas have accumulated small band files:
+    read the band relation once, repartition it on ``band_key`` into
+    ``num_files`` files (default: Spark's shuffle partitioning), and
+    swap it in; returns the bumped meta version.  Band rows are
+    unchanged — only the FILE layout is rewritten, so probe results
+    are identical by construction (pytest-pinned) — and clustering by
+    band_key restores locality for the probe equi-join (matching keys
+    co-located in few files, the posture the one-shot build had).
+
+    OFFLINE operation: the swap is delete-then-rename on the bands
+    directory, so a reader racing the compaction fails LOUDLY on a
+    missing path (never silently reads half a relation) — run it in
+    the maintenance window, like an HBase major compaction
+    (reference posture: compactions are explicit admin actions, not
+    ambient — HBaseAdmin major_compact in the reference's operational
+    model)."""
+    import os
+    import shutil
+
+    _, meta = read_lsh_index(spark, path)
+    bands = spark.read.parquet(f"{path}/bands")
+    out = bands.repartition(*([num_files] if num_files else []), "band_key")
+    tmp = f"{path}/bands_compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(f"{path}/bands")
+    os.rename(tmp, f"{path}/bands")
+    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+    spark.createDataFrame(
+        [(
+            meta["num_hashes"], meta["bands"], meta["shingle"],
+            meta["id_col"], LSH_FAMILY, version,
+        )],
+        "num_hashes INT, bands INT, shingle INT, id_col STRING, "
+        "family INT, version INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return version
+
+
 def incremental_lsh_candidates_stored(
     spark,
     path: str,

@@ -686,14 +686,32 @@ def drain_parquet_with_restart(
     landed relation equals an uninterrupted run's — which is exactly
     what the caller's oracle then asserts.
 
-    Returns ``(run1_batches, run2_batches)`` — the COMMITTED data-batch
-    ids of each run.  Callers should assert run2's ids are all beyond
-    run1's (a run2 id of 0 would mean the checkpoint was ignored and
-    batch 0 reprocessed — silent double-count at a non-idempotent
-    sink).  Read the landed relation with ``spark.read.parquet(
-    land_dir)``: Spark detects ``_spark_metadata`` and reads only
-    committed files, never a torn batch's orphans."""
+    Returns ``(run1_batches, run2_batches)`` — the batch ids COMMITTED
+    by each run, read from the checkpoint's ``commits/`` log, NOT from
+    ``recentProgress``: progress events are reported asynchronously
+    and ``stop()`` can race the reporter, silently dropping the event
+    of a batch that DID commit (observed under load: run 1 showed one
+    progress row while the commit log held two — the commit log is
+    the source of truth the restart itself resumes from, so counts
+    derived from it cannot lie).  The final no-data flush batch
+    commits too and is included.  Callers should assert run2's ids
+    start past batch 0 (a 0 would mean the checkpoint was ignored —
+    silent double-count at a non-idempotent sink); run-disjointness
+    holds by construction (run2 = newly appearing commit ids).  Read
+    the landed relation with ``spark.read.parquet(land_dir)``: Spark
+    detects ``_spark_metadata`` and reads only committed files, never
+    a torn batch's orphans."""
+    import os
     import time
+
+    def committed() -> list:
+        d = os.path.join(checkpoint_dir, "commits")
+        try:
+            return sorted(
+                int(f) for f in os.listdir(d) if f.lstrip("-").isdigit()
+            )
+        except FileNotFoundError:
+            return []
 
     def start():
         return (
@@ -708,19 +726,12 @@ def drain_parquet_with_restart(
     q1 = start()
     deadline = time.time() + timeout_s
     while time.time() < deadline and q1.isActive:
-        committed = [
-            p["batchId"] for p in q1.recentProgress if p["numInputRows"] > 0
-        ]
-        if len(committed) >= stop_after_batches:
+        if len(committed()) >= stop_after_batches:
             break
         time.sleep(0.05)
     q1.stop()
     q1.awaitTermination(timeout_s)
-    # capture AFTER the stop took effect: a batch that committed in the
-    # stop window belongs to run 1 (run-disjointness is asserted on it)
-    run1 = sorted(
-        p["batchId"] for p in q1.recentProgress if p["numInputRows"] > 0
-    )
+    run1 = committed()
 
     q2 = start()
     if not q2.awaitTermination(timeout_s):
@@ -728,7 +739,5 @@ def drain_parquet_with_restart(
         raise RuntimeError(
             f"recovery run did not drain within {timeout_s}s"
         )
-    run2 = sorted(
-        p["batchId"] for p in q2.recentProgress if p["numInputRows"] > 0
-    )
+    run2 = [b for b in committed() if b not in set(run1)]
     return run1, run2

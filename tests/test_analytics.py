@@ -2410,6 +2410,58 @@ def test_lsh_index_append_hardening(spark, tmp_path):
         append_lsh_index(spark, path, docs)
 
 
+def test_lsh_index_compact_preserves_relation(spark, tmp_path):
+    """compact_lsh_index after appends: identical band relation and
+    probe results, strictly fewer parquet files (the accumulated
+    append deltas coalesce), version bumped, geometry preserved."""
+    import os
+
+    from hpaste_spark.operators.dedup import (
+        append_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        incremental_lsh_candidates_stored,
+        read_lsh_index,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+        for i in range(24)
+    ]
+    path = str(tmp_path / "lsh_c")
+    build_lsh_index(
+        spark.createDataFrame(docs[:8], "doc_id INT, text STRING"),
+        path, num_hashes=12, bands=3, shingle=2,
+    )
+    for lo, hi in ((8, 12), (12, 16), (16, 20)):
+        append_lsh_index(
+            spark, path,
+            spark.createDataFrame(docs[lo:hi], "doc_id INT, text STRING"),
+        )
+    batch = spark.createDataFrame(docs[20:], "doc_id INT, text STRING")
+
+    nfiles = lambda: len(  # noqa: E731
+        [f for f in os.listdir(f"{path}/bands") if f.endswith(".parquet")]
+    )
+    key = lambda r: (r["doc_id"], r["band_idx"], r["band_key"])  # noqa: E731
+    before_files = nfiles()
+    before_bands = sorted(map(key, read_lsh_index(spark, path)[0].collect()))
+    before_probe = sorted(
+        map(tuple, incremental_lsh_candidates_stored(spark, path, batch).collect())
+    )
+
+    v = compact_lsh_index(spark, path, num_files=2)
+    assert v == 5  # build(1) + 3 appends + compact
+    assert nfiles() < before_files and nfiles() <= 2
+    _, meta = read_lsh_index(spark, path)
+    assert (meta["num_hashes"], meta["bands"], meta["shingle"]) == (12, 3, 2)
+    assert sorted(map(key, read_lsh_index(spark, path)[0].collect())) == before_bands
+    assert sorted(
+        map(tuple, incremental_lsh_candidates_stored(spark, path, batch).collect())
+    ) == before_probe
+
+
 def test_bloom_filter_append_equals_full_build(spark, tmp_path):
     """append_bloom_filter(A-filter, B) == build_bloom_filter(A ∪ B)
     BIT-FOR-BIT (Bloom bits are monotone — the filter is the union of

@@ -806,7 +806,9 @@ def test_checkpoint_recovery_resumes_not_restarts(spark):
     assert len(run2) >= 1, "recovery run must commit at least one batch"
     assert min(run2) >= 1, "restart must resume past batch 0"
     assert not (set(run1) & set(run2)), "no batch may commit twice"
-    assert len(run1) + len(run2) >= 3
+    # ids come from the checkpoint commit log (async-race-free), and
+    # all three staged-file batches must have committed across the runs
+    assert {0, 1, 2} <= set(run1) | set(run2)
 
     uninterrupted = m._QUERIES["stream_tw_tumbling_multibatch"](spark, sf)
     assert sorted(map(tuple, out.collect())) == sorted(
