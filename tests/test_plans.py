@@ -735,6 +735,21 @@ def test_incremental_lsh_appended_probe_reads_stored_bands(spark, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_appended_probe_still_partition_prunes(spark, queries):
+    """sim_ivf_knn_join_appended: appended delta files land INSIDE the
+    existing cid= partition directories, so the probe's dynamic
+    partition pruning survives the refresh — the plan still carries a
+    dynamicpruningexpression on the vectors scan and reads the stored
+    index, with only the query batch scanning embeddings."""
+    df = queries["sim_ivf_knn_join_appended"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), (
+        "append must not break probe-side partition pruning"
+    )
+    assert ".scratch/ivf_index_appended" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_append_lsh_delta_signs_only_new_docs(spark, queries):
     """append_lsh_index never rescans the pre-existing corpus: the
     delta band relation it writes (exposed via append_lsh_delta_bands)

@@ -840,3 +840,51 @@ def test_multibatch_state_telemetry_captured(spark):
         for p in with_state
         for op in p["stateOperators"]
     )
+
+
+def test_checkpoint_recovery_session_window_state(spark, tmp_path):
+    """Checkpoint recovery for the HARDEST state shape — MERGING
+    session windows: kill the 3-file session-window stream after the
+    first committed micro-batch, restart from the same
+    checkpointLocation, and the landed parquet equals the
+    uninterrupted multibatch run's relation — session state (open,
+    mergeable windows per user) recovered exactly, late-drop rule
+    replayed identically.  Complements the tumbling-window recovery
+    GATE query with the sessionWindowStateStoreSaveExec path."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.functions.money import dsum
+    from hpaste_spark.streaming.events import (
+        drain_parquet_with_restart,
+        read_event_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = m._stage_multibatch_events(sf)
+    agg = (
+        read_event_stream(spark, src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    run1, run2 = drain_parquet_with_restart(agg, land, ckpt, stop_after_batches=1)
+    assert len(run2) >= 1 and min(run2) >= 1
+    assert {0, 1, 2} <= set(run1) | set(run2)
+
+    landed = spark.read.parquet(land)
+    uninterrupted = m._QUERIES["stream_session_window_multibatch"](spark, sf)
+    assert sorted(map(tuple, landed.collect())) == sorted(
+        map(tuple, uninterrupted.collect())
+    )
