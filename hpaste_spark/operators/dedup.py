@@ -1616,7 +1616,7 @@ def semantic_dedup_two_level_stored(
     clustering instead of re-assigning per run."""
     from hpaste_spark.functions.vectors import as_double, dot
 
-    k2 = spark.read.parquet(f"{path}/meta").first()["k2"]
+    k2 = _single_meta_row(spark, path, "two-level index")["k2"]
     v = spark.read.parquet(f"{path}/vectors")
     if cells is not None:
         v = v.join(F.broadcast(cells), "cid1")
