@@ -6538,11 +6538,14 @@ def _ensure_lsh_index_appended(spark: SparkSession, sf_dir: str) -> str:
     """Two-step artifact for the append-equivalence gate: build the
     index on PART of the standing corpus (doc_id % 7 != 3 — 'the index
     as of yesterday'), then append_lsh_index the remainder ('today's
-    ingest').  Guard on meta version == 2: version 1 means a crash
-    landed between build and append, so the artifact is rebuilt from
-    scratch (re-appending onto a maybe-partial append would duplicate
-    band rows and inflate n_bands — the idempotence caveat the
-    append_lsh_index docstring documents)."""
+    ingest').  Guard on meta version >= 2 (r10 ADVICE: an exact == 2
+    would misclassify a legitimately multi-appended artifact as torn
+    and rebuild it every run, silently defeating the standing-artifact
+    posture): version 1 means a crash landed between build and append,
+    so the artifact is rebuilt from scratch (re-appending onto a
+    maybe-partial append would duplicate band rows and inflate
+    n_bands — the idempotence caveat the append_lsh_index docstring
+    documents)."""
     import shutil
 
     from hpaste_spark.operators.dedup import append_lsh_index, build_lsh_index
@@ -6550,7 +6553,7 @@ def _ensure_lsh_index_appended(spark: SparkSession, sf_dir: str) -> str:
     path = _lsh_appended_dir(sf_dir)
     if os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         meta = spark.read.parquet(os.path.join(path, "meta")).first()
-        if ("version" in meta.__fields__) and meta["version"] == 2:
+        if ("version" in meta.__fields__) and meta["version"] >= 2:
             return path
         shutil.rmtree(path, ignore_errors=True)
     corpus = (
@@ -8675,9 +8678,11 @@ def decontaminate_bloom_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     the meta version bumps.  Bloom bits are monotone, so the refreshed
     filter is bit-identical to a one-shot build over the full
     benchmark and the full-benchmark oracle hash-gates the probe.
-    Guard on meta version == 2: a crash between build and append
-    rebuilds from scratch rather than serving the half-filter (whose
-    false negatives would let Tuesday's opt-outs ship)."""
+    Guard on meta version >= 2 (r10 ADVICE: exact == 2 would treat a
+    legitimately multi-appended artifact as torn and rebuild it every
+    run): a crash between build and append (version still 1) rebuilds
+    from scratch rather than serving the half-filter (whose false
+    negatives would let Tuesday's opt-outs ship)."""
     import shutil
 
     from hpaste_spark.operators.dedup import (
@@ -8691,7 +8696,7 @@ def decontaminate_bloom_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("source") == "src0")
     if os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
         meta = spark.read.parquet(os.path.join(path, "meta")).first()
-        ok = ("version" in meta.__fields__) and meta["version"] == 2
+        ok = ("version" in meta.__fields__) and meta["version"] >= 2
         if not ok:
             shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
@@ -11049,6 +11054,116 @@ def stream_ss_asof_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected >= 4 (three splits + sentinel)"
         )
     return landed.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id_right").alias("click_event_id"),
+        (epoch_us(F.col("ts")) - epoch_us(F.col("ts_right"))).alias("gap_us"),
+    )
+
+
+# kill+restart of the CUSTOM-state stream lands the identical relation
+# the uninterrupted multibatch run does — same oracle, same gate
+_ORACLES["stream_ss_asof_recovered"] = _ORACLES["stream_ss_asof_multibatch"]
+
+
+@q("stream_ss_asof_recovered", None)
+def stream_ss_asof_recovered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY for the CUSTOM-state stream (round-11
+    verdict ask #3): the applyInPandasWithState stream-stream as-of is
+    the one operator whose state semantics Spark does NOT manage for
+    free — the state rows (right history + pending lefts, JSON-packed)
+    are hand-rolled in streaming/events.py:stream_stream_asof, so a
+    recovery bug (state schema drift, non-replayable emit, timeout
+    re-arm loss) would hide exactly here.  Same four-file replay as
+    stream_ss_asof_multibatch (three time-thirds + the 2030 sentinel
+    flush), but the query is KILLED as soon as the first data
+    micro-batch commits and restarted from the same
+    checkpointLocation into a parquet sink
+    (streaming/events.py:drain_parquet_with_restart — batch ids from
+    the checkpoint commits/ log, race-free).  The restarted run
+    recovers source offsets, the eviction watermark, AND the custom
+    per-key state (pending purchases not yet past the watermark, the
+    compacted click history) from the checkpoint; the landed relation
+    must hash-match the batch ASOF-JOIN oracle of the uninterrupted
+    run — which is the whole claim: kill + restart of hand-rolled
+    state is exactly-once end to end.  Hard-errors if the restart
+    began at batch 0 (checkpoint ignored) or the runs together missed
+    one of the four staged-file batches; a vanishingly-rare fast
+    drain (run 1 finishing before the stop poll sees a commit) is
+    retried once with a fresh checkpoint."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hpaste_spark.streaming.events import (
+        drain_parquet_with_restart,
+        read_event_stream,
+        stream_stream_asof,
+    )
+
+    configure_session(spark)
+    src = _stage_multibatch_events(sf_dir)
+    fixture_schema = pq.read_schema(os.path.join(src, "01_batch.parquet"))
+    sentinel = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": [10**9],
+                "ts": [pd.Timestamp("2030-01-01")],
+                "user_id": [-1],
+                "event_type": ["click"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        ),
+        schema=fixture_schema,
+    )
+    pq.write_table(sentinel, os.path.join(src, "04_sentinel.parquet"))
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        here, ".scratch", "stream_ss_asof_recovered",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    land, ckpt = os.path.join(base, "land"), os.path.join(base, "ckpt")
+
+    def _asof_stream() -> DataFrame:
+        stream = read_event_stream(spark, src)
+        lefts = stream.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        rights = stream.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_event_id")
+        )
+        return stream_stream_asof(
+            lefts, rights, on=["user_id"], ts_col="ts",
+            payload_col="click_event_id", watermark="10 minutes",
+        )
+
+    for attempt in (0, 1):
+        shutil.rmtree(base, ignore_errors=True)
+        run1, run2 = drain_parquet_with_restart(
+            _asof_stream(), land, ckpt, stop_after_batches=1
+        )
+        if run2:
+            break
+        if attempt == 1:
+            raise RuntimeError(
+                "recovery run committed no batches twice — run 1 drained "
+                "everything before the stop poll saw a commit"
+            )
+    _LAST_RECOVERY_RUNS["stream_ss_asof_recovered"] = (run1, run2)
+    if min(run2) == 0:
+        raise RuntimeError(
+            "restarted query reprocessed batch 0 — checkpoint ignored"
+        )
+    if not {0, 1, 2, 3} <= set(run1) | set(run2):
+        raise RuntimeError(
+            f"kill+recovery committed batches {sorted(set(run1) | set(run2))}; "
+            "expected all four staged-file batches 0,1,2,3"
+        )
+    return spark.read.parquet(land).select(
         "event_id",
         "user_id",
         F.col("click_event_id_right").alias("click_event_id"),

@@ -11,8 +11,11 @@ over DataFrames:
     labels(v) ← min(labels(v), min over neighbors u of labels(u))
 
 repeated until fixpoint.  Each round is ONE shuffle (groupBy node);
-lineage is cut every round with localCheckpoint so the plan doesn't
-grow unboundedly; convergence is detected by the monotone label-sum
+lineage is cut every round with a DISK_ONLY localCheckpoint (see
+:func:`_cut` — cut the plan WITHOUT letting the O(corpus) edge/label
+tables claim executor storage memory, the measured round-10 rule from
+SCALE.md) so the plan doesn't grow unboundedly; convergence is
+detected by the monotone label-sum
 (strictly decreasing until fixpoint, so equal sums ⇔ converged — one
 cheap aggregate per round, no full-join diff).
 
@@ -29,26 +32,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut(df: DataFrame, storage: str, eager: bool = True) -> DataFrame:
+    """Cut an iterative loop's lineage WITHOUT claiming executor
+    storage memory.  Iterative operators need a real lineage cut per
+    round (``persist`` alone leaves the logical plan growing
+    unboundedly), but the edge/label tables here are O(corpus), and
+    SCALE.md's measured 100 TB memory rule says corpus-sized
+    intermediates must never sit deserialized in the unified memory
+    region the join/agg stages need (the weighted-jaccard 30× OOM,
+    round 10).  ``'disk'`` (DEFAULT) = ``localCheckpoint`` with
+    ``StorageLevel.DISK_ONLY`` — the lineage cut of a checkpoint with
+    the serialized-to-local-disk block posture of DISK_ONLY persist;
+    ``'checkpoint'`` = the plain MEMORY_AND_DESERIALIZED form (the
+    pre-round-11 behavior, kept for A/B).  The default was MEASURED at
+    the 30× probe (SCALE.md "Iterative-graph memory posture"): the
+    plain form OOMs the default 8 GiB heap on the 30× pair graph while
+    DISK_ONLY completes, mirroring the weighted-jaccard result."""
+    from pyspark.storagelevel import StorageLevel
+
+    if storage == "disk":
+        return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+    if storage != "checkpoint":
+        raise ValueError(f"storage must be 'checkpoint' or 'disk': {storage}")
+    return df.localCheckpoint(eager=eager)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    storage: str = "disk",
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the smallest
     node id in its component.  Returns (node, cluster_id); only nodes
     appearing in at least one edge are emitted (isolated rows are their
     own cluster by definition — union them in at the call site if
     needed)."""
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    # materialize the symmetric edge list ONCE: every propagation round
-    # joins against it, and callers hand in expensive lineages (a full
-    # MinHash-LSH pass) that would otherwise re-execute per round
-    ).localCheckpoint()
-    labels = (
-        sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    sym = _cut(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        ),
+        # materialize the symmetric edge list ONCE: every propagation
+        # round joins against it, and callers hand in expensive
+        # lineages (a full MinHash-LSH pass) that would otherwise
+        # re-execute per round.  DISK_ONLY: edges are O(corpus)
+        storage,
+    )
+    labels = _cut(
+        sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node")),
+        storage,
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     converged = False
@@ -56,9 +90,10 @@ def connected_components(
         prop = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label")
         )
-        labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        labels = _cut(
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label")),
+            storage,
+        )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
@@ -82,6 +117,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 40,
+    storage: str = "disk",
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14): converges
@@ -103,11 +139,11 @@ def connected_components_star(
     checksum Σ(s+d) until the star state, so equal pairs ⇔ no move
     happened.  Output matches connected_components: (node, cluster_id).
     """
-    e = (
+    e = _cut(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        storage,
     )
 
     def _sym(df: DataFrame) -> DataFrame:
@@ -150,7 +186,7 @@ def connected_components_star(
     prev = _sig(e)
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _cut(_small_star(_large_star(e)), storage)
         cur = _sig(e)
         if cur == prev:
             converged = True
@@ -174,6 +210,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     round_iter: "int | None" = 12,
+    storage: str = "disk",
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list:
 
@@ -205,16 +242,24 @@ def pagerank(
     # an expensive upstream join/distinct) isn't re-run per round:
     # without this the 3-iteration supplier↔customer plan recomputed the
     # lineitem⋈orders distinct per round (5.6 s → 3.7 s at sf0.1)
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).localCheckpoint(
-        eager=False
+    e = _cut(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")),
+        storage,
+        eager=False,
     )
-    deg = e.groupBy(F.col("_s").alias("v")).agg(
-        F.count(F.lit(1)).alias("_d")
-    ).localCheckpoint(eager=False)
+    deg = _cut(
+        e.groupBy(F.col("_s").alias("v")).agg(F.count(F.lit(1)).alias("_d")),
+        storage,
+        eager=False,
+    )
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    r = deg.crossJoin(F.broadcast(n1)).select(
-        "v", "_d", (F.lit(1.0) / F.col("_n")).alias("_r")
-    ).localCheckpoint(eager=False)
+    r = _cut(
+        deg.crossJoin(F.broadcast(n1)).select(
+            "v", "_d", (F.lit(1.0) / F.col("_n")).alias("_r")
+        ),
+        storage,
+        eager=False,
+    )
     for _ in range(iterations):
         contrib = (
             e.join(r, e["_s"] == r["v"])
@@ -236,5 +281,5 @@ def pagerank(
         )
         if round_iter is not None:
             nxt = nxt.withColumn("_r", F.round(F.col("_r"), round_iter))
-        r = nxt.localCheckpoint(eager=False)
+        r = _cut(nxt, storage, eager=False)
     return r.select(F.col("v").alias("node"), F.round(F.col("_r"), 6).alias("rank"))

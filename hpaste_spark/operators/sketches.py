@@ -363,6 +363,39 @@ def append_hdr_baseline(
     return version
 
 
+def compact_hdr_baseline(spark, path: str, num_files: int = 1) -> int:
+    """COMPACTION for an append-refreshed :func:`build_hdr_baseline`
+    artifact (round-11 verdict ask #4): each append adds one parquet
+    fragment of per-window partial counters under ``{path}/sketch``;
+    readers collapse them cell-wise via hdr_merge on every read.
+    Compaction performs that merge ONCE — read the stored rows,
+    hdr_merge them into the canonical one-row-per-(group, bucket)
+    counter table, rewrite as ``num_files`` files (default 1: the
+    merged table is ≤ groups × buckets rows), swap with the narrowed
+    rename-aside sequence
+    (:func:`~hpaste_spark.operators.artifacts.swap_live_dir`), bump
+    the meta version.  Read-back is identical BY hdr_merge-IDEMPOTENCE
+    (merging an already-merged table is the identity — pytest-pinned),
+    and every subsequent read skips the partial-collapse work.
+    OFFLINE operation, same race posture as compact_lsh_index."""
+    import shutil
+
+    from hpaste_spark.operators.artifacts import swap_live_dir
+
+    _, meta = read_hdr_baseline(spark, path)
+    merged = hdr_merge(spark.read.parquet(f"{path}/sketch"))
+    tmp = f"{path}/sketch_compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.coalesce(num_files).write.mode("overwrite").parquet(tmp)
+    swap_live_dir(f"{path}/sketch", tmp)
+    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+    spark.createDataFrame(
+        [(meta["sub_bits"], meta["group_col"], HDR_FAMILY, version)],
+        "sub_bits INT, group_col STRING, family INT, version INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return version
+
+
 #: KMV hash space: token_hash yields 52-bit md5-prefix integers, so
 #: the "unit interval" is [0, 2^52) and every estimator below is pure
 #: integer arithmetic — cross-engine exact (DuckDB rebuilds the same
@@ -546,6 +579,37 @@ def _subset_map(spark, subsets) -> DataFrame:
     return spark.createDataFrame(rows, "subset STRING, _g STRING")
 
 
+def _require_subset_groups(sk: DataFrame, m: DataFrame) -> None:
+    """Hard-error when a group named in ``subsets`` has no rows in the
+    sketch table (r10 ADVICE): the membership join is an inner join,
+    so a typo'd or empty source would otherwise be SILENTLY dropped —
+    the union would quietly cover fewer sets (underestimate) and the
+    intersection's ``_need`` would shrink (inflated estimate, when the
+    true intersection with an empty set is 0).  The check is one
+    distinct over the ≤ k·groups sketch table anti-joined against the
+    driver-declared membership rows — dimension-sized, never a corpus
+    scan."""
+    missing = [
+        r["_g"]
+        for r in m.select("_g")
+        .distinct()
+        .join(
+            sk.select(F.col("grp").cast("string").alias("_g")).distinct(),
+            "_g",
+            "left_anti",
+        )
+        .collect()
+    ]
+    if missing:
+        raise ValueError(
+            "subset member group(s) absent from the sketch table: "
+            f"{sorted(missing)} — a missing member would silently skew "
+            "the estimate (union: undercounts; intersection: inflated, "
+            "true intersection with an empty set is 0); fix the subset "
+            "spec or sketch the missing source first"
+        )
+
+
 def kmv_union_subsets(sk: DataFrame, subsets: dict, k: int = 256) -> DataFrame:
     """K-WAY union cardinality from one KMV sketch table (round-9
     verdict ask #5): for each named subset of groups — "how many
@@ -562,6 +626,7 @@ def kmv_union_subsets(sk: DataFrame, subsets: dict, k: int = 256) -> DataFrame:
     from pyspark.sql import Window
 
     m = _subset_map(sk.sparkSession, subsets)
+    _require_subset_groups(sk, m)
     u = (
         sk.join(F.broadcast(m), sk["grp"].cast("string") == m["_g"])
         .select("subset", "h")
@@ -599,6 +664,7 @@ def kmv_intersect_subsets(sk: DataFrame, subsets: dict, k: int = 256) -> DataFra
     join, one (subset, h) agg counting member hits, one per-subset
     rollup.  Never rescans the corpus."""
     m = _subset_map(sk.sparkSession, subsets)
+    _require_subset_groups(sk, m)
     th = sk.groupBy("grp").agg(
         F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
     ).select(

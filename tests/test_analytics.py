@@ -2512,6 +2512,55 @@ def test_bloom_filter_append_equals_full_build(spark, tmp_path):
         build_bloom_filter(delta, inc, mode="append")
 
 
+def test_bloom_filter_compaction(spark, tmp_path):
+    """compact_bloom_filter after appends: read-back is the identical
+    bit relation, strictly fewer parquet files (the per-append
+    fragments coalesce to one), version bumped, geometry preserved,
+    probe results unchanged."""
+    import os
+
+    from hpaste_spark.operators.dedup import (
+        append_bloom_filter,
+        build_bloom_filter,
+        compact_bloom_filter,
+        decontaminate_bloom_stored,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+        for i in range(24)
+    ]
+    path = str(tmp_path / "bl_c")
+    build_bloom_filter(
+        spark.createDataFrame(docs[:8], "doc_id INT, text STRING"),
+        path, n=3, m_bits=4096, k_hashes=3,
+    )
+    for lo, hi in ((8, 12), (12, 16), (16, 20)):
+        append_bloom_filter(
+            spark, path,
+            spark.createDataFrame(docs[lo:hi], "doc_id INT, text STRING"),
+        )
+    probe = spark.createDataFrame(docs[18:], "doc_id INT, text STRING")
+
+    nfiles = lambda: len(  # noqa: E731
+        [f for f in os.listdir(f"{path}/bits") if f.endswith(".parquet")]
+    )
+    bits = lambda: sorted(  # noqa: E731
+        r["bit"] for r in spark.read.parquet(f"{path}/bits").collect()
+    )
+    flags = lambda: sorted(  # noqa: E731
+        map(tuple, decontaminate_bloom_stored(spark, path, probe).collect())
+    )
+    before_files, before_bits, before_flags = nfiles(), bits(), flags()
+
+    v = compact_bloom_filter(spark, path)
+    assert v == 5  # build(1) + 3 appends + compact
+    assert nfiles() < before_files and nfiles() <= 1
+    assert bits() == before_bits and len(before_bits) > 0
+    assert flags() == before_flags and len(before_flags) > 0
+
+
 def test_ivf_index_append_assigns_delta_under_stored_centroids(spark, tmp_path):
     """append_ivf_index: the delta lands in the cid partitions of the
     STORED centroids (no re-cluster), and probing the appended index
@@ -2557,6 +2606,73 @@ def test_ivf_index_append_assigns_delta_under_stored_centroids(spark, tmp_path):
         (r["query_id"], r["neighbor_id"]) for r in got.collect()
     }
     assert all(q != n for q, n in neigh)
+
+
+def test_ivf_compaction_restores_fresh_build(spark, tmp_path):
+    """compact_ivf_index == a fresh build_ivf_index on the standing
+    corpus (round-11 verdict ask #2): after build + append + COMPACT,
+    the artifact's centroids, (vec_id, cid) assignment, and k-NN
+    answers are identical to an index built fresh on the union — so
+    compaction restores fresh-build recall BY RESULT IDENTITY, not by
+    a recall band.  Also the small-files claim: the appended vectors
+    tree carries extra per-(append, cid) fragments and compaction
+    consolidates them (file count strictly drops back to ~one per
+    cid)."""
+    import glob
+    import random
+
+    from hpaste_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_knn_join_indexed,
+    )
+
+    rnd = random.Random(23)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    # drifted delta: shifted cone, so build-time and union centroids
+    # genuinely differ and the identity below is a real check
+    old = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3).select(
+        "vec_id", F.transform("embedding", lambda x: x + 2.0).alias("embedding")
+    )
+    union = old.unionByName(delta)
+
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(old, inc, k_centroids=4)
+    append_ivf_index(spark, inc, delta)
+    n_files_appended = len(glob.glob(f"{inc}/vectors/cid=*/*.parquet"))
+    # k explicit: the build slice (vec_id % 4 != 3) seeds only 3 of 4
+    # cid groups, so the artifact's current centroid count (the k
+    # default) is 3 — the maintenance job targets the union's k
+    compact_ivf_index(spark, inc, k_centroids=4)
+    n_files_compacted = len(glob.glob(f"{inc}/vectors/cid=*/*.parquet"))
+    assert n_files_compacted < n_files_appended, "compaction must consolidate fragments"
+
+    fresh = str(tmp_path / "ivf_fresh")
+    build_ivf_index(union, fresh, k_centroids=4)
+
+    rel = lambda p, sub, cols: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(f"{p}/{sub}").select(*cols).collect())
+    )
+    assert rel(inc, "centroids", ["cid", "cvec"]) == rel(
+        fresh, "centroids", ["cid", "cvec"]
+    )
+    assert rel(inc, "vectors", ["vec_id", "cid"]) == rel(
+        fresh, "vectors", ["vec_id", "cid"]
+    )
+
+    qs = union.filter(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lambda p: sorted(  # noqa: E731
+        map(tuple, ivf_knn_join_indexed(spark, p, qs, k=3, nprobe=2).collect())
+    )
+    answers = got(inc)
+    assert answers == got(fresh) and len(answers) > 0
 
 
 def test_stream_incremental_dedup_stored_matches_batch(spark, tmp_path):

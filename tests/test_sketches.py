@@ -163,6 +163,55 @@ def test_hdr_baseline_append_equals_full_build(spark, tmp_path):
         build_hdr_baseline(w2, inc_path, "v", "g", mode="append")
 
 
+def test_hdr_baseline_compaction(spark, tmp_path):
+    """compact_hdr_baseline after appends: read-back is the identical
+    merged counter table (hdr_merge idempotence), strictly fewer
+    parquet files AND fewer stored rows (the per-window partials
+    collapse once at compaction instead of on every read), version
+    bumped, bucket rule preserved."""
+    import os
+
+    from hpaste_spark.operators.sketches import (
+        append_hdr_baseline,
+        build_hdr_baseline,
+        compact_hdr_baseline,
+        read_hdr_baseline,
+    )
+
+    path = str(tmp_path / "hdr_c")
+    build_hdr_baseline(
+        spark.createDataFrame(
+            [("a", v) for v in range(1, 150)], "g string, v long"
+        ),
+        path, "v", "g", sub_bits=5,
+    )
+    for lo, hi in ((90, 260), (240, 400), (10, 60)):
+        append_hdr_baseline(
+            spark,
+            path,
+            spark.createDataFrame([("a", v) for v in range(lo, hi)], "g string, v long"),
+            "v",
+        )
+
+    nfiles = lambda: len(  # noqa: E731
+        [f for f in os.listdir(f"{path}/sketch") if f.endswith(".parquet")]
+    )
+    cells = lambda sk: {  # noqa: E731
+        (r["g"], r["bucket_lo"], r["width"]): r["cnt"] for r in sk.collect()
+    }
+    before_files = nfiles()
+    before_rows = spark.read.parquet(f"{path}/sketch").count()
+    before_cells = cells(read_hdr_baseline(spark, path)[0])
+
+    v = compact_hdr_baseline(spark, path)
+    assert v == 5  # build(1) + 3 appends + compact
+    assert nfiles() < before_files and nfiles() <= 1
+    assert spark.read.parquet(f"{path}/sketch").count() < before_rows
+    sk, meta = read_hdr_baseline(spark, path)
+    assert cells(sk) == before_cells and len(before_cells) > 0
+    assert meta["sub_bits"] == 5 and meta["version"] == 5
+
+
 def test_hdr_sketch_skips_nulls(spark):
     """NULL values are excluded like SQL aggregates skip nulls (r9
     ADVICE: they previously aborted under the misleading 'negative
@@ -244,6 +293,17 @@ def test_kmv_kway_subset_algebra(spark):
     u3 = kmv_union_subsets(sk, {"abc": ["a", "b", "c"]}, k=256).collect()[0]
     # truth = 1000 + 3·2000 = 7000 distinct
     assert abs(u3["est_union"] - 7000) <= 0.25 * 7000
+
+    # a subset naming a group with NO sketch rows (typo'd or empty
+    # source) hard-errors instead of silently skewing the estimate
+    # (r10 ADVICE: the inner membership join used to drop it — union
+    # undercounted, intersection inflated)
+    import pytest
+
+    with pytest.raises(ValueError, match="absent from the sketch table"):
+        kmv_union_subsets(sk, {"oops": ["a", "zz_typo"]}, k=256)
+    with pytest.raises(ValueError, match="zz_typo"):
+        kmv_intersect_subsets(sk, {"oops": ["a", "zz_typo"]}, k=256)
 
 
 def test_kmv_underfull_is_exact_and_estimator_in_band(spark):

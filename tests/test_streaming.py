@@ -816,6 +816,30 @@ def test_checkpoint_recovery_resumes_not_restarts(spark):
     )
 
 
+def test_checkpoint_recovery_custom_state_asof(spark):
+    """stream_ss_asof_recovered (r11 verdict ask #3): kill+restart of
+    the applyInPandasWithState stream-stream as-of — the one operator
+    whose state is HAND-ROLLED (pending lefts + compacted right
+    history), so recovery bugs would hide exactly here.  Pins: the
+    restarted run did real work, began past batch 0 (checkpoint
+    honored), never re-committed a run-1 batch, and the landed
+    relation equals the uninterrupted multibatch run's."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    out = m._QUERIES["stream_ss_asof_recovered"](spark, sf)
+    run1, run2 = m._LAST_RECOVERY_RUNS["stream_ss_asof_recovered"]
+    assert len(run2) >= 1, "recovery run must commit at least one batch"
+    assert min(run2) >= 1, "restart must resume past batch 0"
+    assert not (set(run1) & set(run2)), "no batch may commit twice"
+    assert {0, 1, 2, 3} <= set(run1) | set(run2)
+
+    uninterrupted = m._QUERIES["stream_ss_asof_multibatch"](spark, sf)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, uninterrupted.collect())
+    )
+
+
 def test_multibatch_state_telemetry_captured(spark):
     """The multibatch streams record per-micro-batch state-store
     telemetry (numRowsTotal / memoryUsedBytes — r9 verdict ask #4):
