@@ -2253,6 +2253,201 @@ def sim_ivf_knn_join_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join_indexed(spark, path, qs, k=5, nprobe=2)
 
 
+# Drift-recall monitor for the appended-IVF posture (round-11 verdict
+# ask #2).  The DuckDB twin replays the whole pipeline: the reversed
+# delta, seed-mean centroids over the build slice (appended) and the
+# union (compact_it1), one full Lloyd step over the union (compact_it2),
+# nearest-centroid assignment, per-query nprobe=2 probing, approximate
+# and exact top-10, and the hit counts — so the three recall numbers
+# hash-gate exactly, not in a band.
+_IVF_DRIFT_ORACLE = """
+    WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dl AS (SELECT vec_id + 1000001 AS vec_id, list_reverse(e) AS e FROM v0),
+    u AS (SELECT * FROM v0 UNION ALL SELECT * FROM dl),
+    q AS (SELECT vec_id AS qid, e AS qe FROM dl WHERE (vec_id - 1000001) % 50 = 0),
+    nq AS (SELECT COUNT(*) AS n FROM q),
+    capp AS (
+      SELECT scid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM (
+        SELECT vec_id % 8 AS scid, i, AVG(e[i]) AS m
+        FROM v0, range(1, 65) AS r(i) GROUP BY scid, i) GROUP BY scid),
+    cit1 AS (
+      SELECT scid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM (
+        SELECT vec_id % 8 AS scid, i, AVG(e[i]) AS m
+        FROM u, range(1, 65) AS r(i) GROUP BY scid, i) GROUP BY scid),
+    a1 AS (SELECT vec_id, cid FROM (
+      SELECT u.vec_id, c.cid, row_number() OVER (PARTITION BY u.vec_id ORDER BY
+        list_dot_product(u.e, c.cvec)
+          / (sqrt(list_dot_product(u.e, u.e)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+        DESC, c.cid) AS rn
+      FROM u, cit1 c) WHERE rn = 1),
+    cit2 AS (
+      SELECT a1cid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM (
+        SELECT a1.cid AS a1cid, i, AVG(u.e[i]) AS m
+        FROM u JOIN a1 USING (vec_id), range(1, 65) AS r(i)
+        GROUP BY a1.cid, i) GROUP BY a1cid),
+    cents AS (
+      SELECT 'appended' AS variant, cid, cvec FROM capp
+      UNION ALL SELECT 'compact_it1', cid, cvec FROM cit1
+      UNION ALL SELECT 'compact_it2', cid, cvec FROM cit2),
+    assign AS (SELECT variant, vec_id, cid FROM (
+      SELECT c.variant, u.vec_id, c.cid, row_number() OVER (
+        PARTITION BY c.variant, u.vec_id ORDER BY
+        list_dot_product(u.e, c.cvec)
+          / (sqrt(list_dot_product(u.e, u.e)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+        DESC, c.cid) AS rn
+      FROM u, cents c) WHERE rn = 1),
+    probes AS (SELECT variant, qid, cid FROM (
+      SELECT c.variant, q.qid, c.cid, row_number() OVER (
+        PARTITION BY c.variant, q.qid ORDER BY
+        list_dot_product(q.qe, c.cvec)
+          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+        DESC, c.cid) AS rn
+      FROM q, cents c) WHERE rn <= 2),
+    approx AS (SELECT variant, qid, vec_id FROM (
+      SELECT p.variant, p.qid, u.vec_id, row_number() OVER (
+        PARTITION BY p.variant, p.qid ORDER BY
+        list_dot_product(u.e, q.qe)
+          / (sqrt(list_dot_product(u.e, u.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+        DESC, u.vec_id) AS rk
+      FROM u
+      JOIN assign a ON a.vec_id = u.vec_id
+      JOIN probes p ON p.variant = a.variant AND p.cid = a.cid
+      JOIN q ON q.qid = p.qid
+      WHERE u.vec_id != p.qid) WHERE rk <= 10),
+    exact AS (SELECT qid, vec_id FROM (
+      SELECT q.qid, u.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY
+        list_dot_product(u.e, q.qe)
+          / (sqrt(list_dot_product(u.e, u.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+        DESC, u.vec_id) AS rk
+      FROM u, q WHERE u.vec_id != q.qid) WHERE rk <= 10),
+    hits AS (
+      SELECT a.variant, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY a.variant)
+    SELECT v.variant,
+           CAST(nq.n AS BIGINT)             AS n_queries,
+           10                                AS k,
+           COALESCE(h.n_hit, 0)              AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / (nq.n * 10.0), 4) AS recall_at_k
+    FROM (SELECT DISTINCT variant FROM cents) v
+    LEFT JOIN hits h ON h.variant = v.variant, nq
+    ORDER BY v.variant
+    """
+
+
+@q("sim_ivf_appended_drift_recall", _IVF_DRIFT_ORACLE)
+def sim_ivf_appended_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIFT-RECALL MONITOR the appended-IVF posture needs (round-11
+    verdict ask #2): append_ivf_index assigns deltas under FROZEN
+    build-time centroids, and its docstring names periodic re-cluster
+    (similarity.compact_ivf_index) as the compaction step — but a daily
+    ingest loop needs the NUMBER that says when.  This query builds a
+    distribution-shifted delta (the corpus with reversed embedding
+    axes — drift that preserves the delta's internal neighbor
+    structure, the 'new domain arrives' shape), takes delta vectors as
+    queries, and grades recall@10 (nprobe=2, k_centroids=8) against
+    exact cosine truth over the union for THREE centroid geometries:
+
+    - ``appended``    — build-slice centroids (what the standing
+                        appended artifact probes with),
+    - ``compact_it1`` — seed-mean re-cluster of the union (what
+                        compact_ivf_index(iterations=1) would give),
+    - ``compact_it2`` — one full Lloyd step over the union
+                        (compact_ivf_index(iterations=2)).
+
+    The decision rule: re-cluster when compact_itN's recall exceeds
+    appended's by more than the rebuild is worth.  MEASURED finding
+    this fixture pins (SCALE.md 'Appended-IVF drift recall'): on
+    structureless synthetic embeddings the frozen-centroid appended
+    index does NOT decay for structure-preserving drift, and a
+    seed-only it1 re-cluster of the drifted union actively HURTS
+    (0.47 vs 0.54 appended at sf0.01) while Lloyd it2 recovers to
+    0.53 — so compaction must refine, never just re-seed; the monitor
+    exists precisely because the gap's sign is not assumable.  All
+    three recalls hash-gate against the full DuckDB replay — exact
+    twins, not bands."""
+    from pyspark.storagelevel import StorageLevel
+
+    from hpaste_spark.functions.vectors import as_double, cosine
+    from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    delta = emb.select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"),
+        F.reverse(F.col("e")).alias("e"),
+    )
+    union = emb.unionByName(delta)
+    q_df = delta.filter((F.col("vec_id") - 1_000_001) % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    nq = q_df.agg(F.count(F.lit(1)).alias("n"))
+
+    variants = [
+        ("appended", ivf_centroids(emb, 8, vec_col="e", id_col="vec_id")),
+        ("compact_it1", ivf_centroids(union, 8, vec_col="e", id_col="vec_id")),
+        (
+            "compact_it2",
+            ivf_centroids(union, 8, vec_col="e", id_col="vec_id", iterations=2),
+        ),
+    ]
+
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("qid").orderBy(F.col("_cs").desc(), "vec_id")
+    exact = (
+        union.crossJoin(F.broadcast(q_df))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_cs", cosine(F.col("e"), F.col("qe")))
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= 10)
+        .select("qid", "vec_id")
+        # consumed once per variant's hit-join — cut so the 1M-pair
+        # scoring runs once, DISK_ONLY per the corpus-memory rule
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+
+    out = None
+    for name, cent_df in variants:
+        cent = cent_df.persist()  # K rows: assignment + probe branches
+        assign = ivf_assign(union, cent, vec_col="e", id_col="vec_id")
+        wp = Window.partitionBy("qid").orderBy(F.col("_qc").desc(), "cid")
+        probes = (
+            q_df.crossJoin(F.broadcast(cent))
+            .withColumn("_qc", cosine(F.col("qe"), F.col("cvec")))
+            .withColumn("_rn", F.row_number().over(wp))
+            .filter(F.col("_rn") <= 2)
+            .select("qid", "cid")
+        )
+        approx = (
+            union.join(assign, "vec_id")
+            .join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(F.broadcast(q_df), "qid")
+            .withColumn("_cs", cosine(F.col("e"), F.col("qe")))
+            .withColumn("_rk", F.row_number().over(wq))
+            .filter(F.col("_rk") <= 10)
+            .select("qid", "vec_id")
+        )
+        row = (
+            approx.join(exact, ["qid", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(name).alias("variant"),
+                F.col("n").cast("long").alias("n_queries"),
+                F.lit(10).alias("k"),
+                F.col("n_hit").cast("long").alias("n_hit"),
+                F.round(F.col("n_hit") / (F.col("n") * 10.0), 4).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("variant")
+
+
 # ---------------------------------------------------------------------------
 # Skew mitigation (beyond-parity, SURVEY §8): hot keys are the dominant
 # failure mode of shuffles at 100 TB; these queries prove the salted
@@ -11427,6 +11622,26 @@ _SEMANTICS_CHANGED = {
     # localCheckpoint (measured: checkpoint OOMs default heap at 30×
     # and is 2× slower with memory) — same relation, new plan
     "dedup_weighted_jaccard": 10,
+    # r11: graph operators cut per-round lineage with DISK_ONLY
+    # localCheckpoints (graph._cut — measured 30× A/B in SCALE.md) —
+    # same relations, new physical posture for every query on
+    # connected_components/_star/pagerank (directly or via
+    # keep_best_per_cluster / leakage_free_split)
+    "dedup_cluster_assign": 11,
+    "dedup_cluster_assign_star": 11,
+    "dedup_near_keep": 11,
+    "dedup_near_keep_best": 11,
+    "split_leakage_free": 11,
+    "split_leakage_eval": 11,
+    "graph_pagerank_supplier_customer": 11,
+    # r11: append_bloom_filter materializes the anti-joined delta
+    # before the same-directory write (self-read hazard closed); the
+    # appended-artifact guards accept version >= 2
+    "decontaminate_bloom_appended": 11,
+    "dedup_incremental_lsh_appended": 11,
+    # r11: kmv subset estimators hard-check that every named group has
+    # sketch rows before estimating
+    "sketch_kmv_union_kway": 11,
 }
 
 

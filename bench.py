@@ -198,6 +198,11 @@ HEADLINE = [
     "sim_ivf_knn_join_appended",
     "sketch_kmv_union_kway",
     "stream_tw_tumbling_recovered",
+    # round 11: the appended-IVF drift-recall monitor (three centroid
+    # geometries graded against exact truth) and the custom-state
+    # kill+restart replay (two streaming starts, by design)
+    "sim_ivf_appended_drift_recall",
+    "stream_ss_asof_recovered",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -258,6 +263,28 @@ def _bench_stream_stream_asof(spark, sf_dir: str) -> None:
 
 
 STREAMING = {"stream_stream_asof": _bench_stream_stream_asof}
+
+
+def _calibration_s(spark) -> float:
+    """Fixed synthetic calibration job (round-11 verdict ask #5): three
+    rounds of headline ratios have needed by-hand re-adjudication
+    against HOST drift (identical code reading uniformly ~1.3-1.4×
+    slower on a slower VM session).  This times a constant CPU-bound
+    pipeline with zero I/O and zero data dependence — range(200M) →
+    long·long multiply → cast to string → xxhash64 → bit_xor (no
+    overflow under ANSI) collapse — best-of-3 so JIT/alloc warm-up
+    doesn't leak in (~1.3 s on this round's reference host).  Recorded
+    at bench start (post-warmup) and end; tools/bench_compare.py
+    divides per-query ratios by the calibration ratio to print
+    drift-NORMALIZED numbers, replacing the manual re-adjudication."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "bit_xor(xxhash64(cast(id * 2654435761 as string))) as h"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -342,6 +369,8 @@ def main() -> None:
             except Exception:
                 pass
 
+    cal_start = _calibration_s(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -357,6 +386,8 @@ def main() -> None:
         runner(spark, sf_dir)
         timings[name] = round(time.perf_counter() - t0, 3)
         load_max = max(load_max, os.getloadavg()[0])
+
+    cal_end = _calibration_s(spark)
 
     # warn on EITHER a busy machine at start or foreign load mid-run
     # (mid-run 1-min load legitimately approaches ncpu from this bench
@@ -378,6 +409,13 @@ def main() -> None:
         "load_avg_1m_max": load_max,
         "load_warning": load_warning,
         "idle_wait_s": round(waited, 1),
+        # host-speed probe (constant CPU job, no I/O): best-of-3 at
+        # start and end of the timed window; `calibration_s` (their
+        # min) is the divisor bench_compare.py uses to normalize
+        # round-over-round ratios for host drift
+        "calibration_s_start": cal_start,
+        "calibration_s_end": cal_end,
+        "calibration_s": min(cal_start, cal_end),
     }
     # full per-query detail always lands in a committed side artifact —
     # the stdout line is capped below and may omit the fastest entries

@@ -42,12 +42,32 @@ def load(path: str) -> dict:
 def main() -> int:
     a, b = load(sys.argv[1]), load(sys.argv[2])
     qa, qb = a["queries"], b["queries"]
+    # host-drift normalization (round-11 verdict ask #5): when BOTH
+    # artifacts carry the fixed-CPU-job calibration time, ratios are
+    # additionally reported divided by the calibration ratio — a query
+    # whose raw ratio equals the host drift prints 1.00x normalized.
+    drift = None
+    if a.get("calibration_s") and b.get("calibration_s"):
+        drift = b["calibration_s"] / a["calibration_s"]
+        print(
+            f"host calibration: {a['calibration_s']:.3f}s -> "
+            f"{b['calibration_s']:.3f}s (drift {drift:.2f}x; "
+            "norm = ratio / drift)"
+        )
     shared = sorted(set(qa) & set(qb), key=lambda n: qb[n] / max(qa[n], 1e-9))
-    print(f"{'query':34s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
+    hdr = f"{'query':34s} {'old':>7s} {'new':>7s} {'ratio':>6s}"
+    print(hdr + (f" {'norm':>6s}" if drift else ""))
     for n in shared:
-        print(f"{n:34s} {qa[n]:7.2f} {qb[n]:7.2f} {qb[n] / max(qa[n], 1e-9):6.2f}x")
+        r = qb[n] / max(qa[n], 1e-9)
+        line = f"{n:34s} {qa[n]:7.2f} {qb[n]:7.2f} {r:6.2f}x"
+        if drift:
+            line += f" {r / drift:6.2f}x"
+        print(line)
     ta, tb = sum(qa[n] for n in shared), sum(qb[n] for n in shared)
-    print(f"\nshared {len(shared)} queries: {ta:.1f}s -> {tb:.1f}s ({tb / ta:.2f}x)")
+    summary = f"\nshared {len(shared)} queries: {ta:.1f}s -> {tb:.1f}s ({tb / ta:.2f}x)"
+    if drift:
+        summary += f", drift-normalized {tb / ta / drift:.2f}x"
+    print(summary)
     only_a, only_b = sorted(set(qa) - set(qb)), sorted(set(qb) - set(qa))
     if only_a:
         print(f"only in {sys.argv[1]}: {only_a}")
