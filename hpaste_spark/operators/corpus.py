@@ -297,6 +297,15 @@ def _bpe_loop(df: DataFrame, n_merges: int, text_col: str):
     wrapped = F.aggregate(
         chars, F.lit(""), lambda acc, c: F.concat(acc, F.lit(_BPE_L), c, F.lit(_BPE_R))
     )
+    # memory-rule note (SCALE.md, round 11): this per-round persist is
+    # DELIBERATELY memory-first, unlike the graph/k-center DISK_ONLY
+    # cuts, because the state here is NOT corpus-sized — it is the
+    # DISTINCT-WORD dictionary (w, wc, s), which Zipf truncates to the
+    # vocabulary size (≈ 10⁵-10⁶ rows at any corpus scale, growing
+    # ~log-like, not linearly, with corpus bytes).  A dimension-sized
+    # table is exactly what the rule says cache is FOR; the release
+    # discipline below (unpersist prev as soon as the next round's
+    # state materializes) bounds it to one copy.
     state = words.select("w", "wc", wrapped.alias("s")).persist()
 
     merges = []

@@ -619,7 +619,15 @@ def _vec_dist2(col, vec) -> "F.Column":
 
 
 def _kcenter_greedy(df, k, id_col, vec_col):
-    """Shared greedy loop: [(sel_rank, vec_id, dist2|None, vector)]."""
+    """Shared greedy loop: [(sel_rank, vec_id, dist2|None, vector)].
+
+    The working set is O(corpus) rows of (id, vector, running d²), cut
+    per round — so the cuts use DISK_ONLY localCheckpoints per the
+    measured corpus-memory rule (SCALE.md: corpus-sized intermediates
+    must never claim executor storage memory; same posture as
+    graph._cut, round 11)."""
+    from pyspark.storagelevel import StorageLevel
+
     w = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_e"),
@@ -632,7 +640,7 @@ def _kcenter_greedy(df, k, id_col, vec_col):
     cand = (
         w.filter(F.col("vec_id") != seed["vec_id"])
         .withColumn("_d2", _vec_dist2(F.col("_e"), seed["_e"]))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     for rank in range(2, k + 1):
         row = cand.select(
@@ -653,7 +661,7 @@ def _kcenter_greedy(df, k, id_col, vec_col):
                 .withColumn(
                     "_d2", F.least(F.col("_d2"), _vec_dist2(F.col("_e"), row["e"]))
                 )
-                .localCheckpoint()
+                .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
             )
     return picked
 

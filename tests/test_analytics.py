@@ -2608,6 +2608,36 @@ def test_ivf_index_append_assigns_delta_under_stored_centroids(spark, tmp_path):
     assert all(q != n for q, n in neigh)
 
 
+def test_ivf_assign_zero_vector_and_build_append_rejected(spark, tmp_path):
+    """Robustness edges found round 11: (1) ivf_assign on a corpus
+    containing an ALL-ZERO embedding used to die with an ANSI
+    ArithmeticException (0/0 in the cosine) — zero vectors now score
+    0 against every centroid and deterministically land in the lowest
+    cid; (2) build_ivf_index(mode='append') would write a SECOND
+    centroid relation next to the pinned one — rejected like the
+    LSH/Bloom/HDR builds."""
+    import pytest
+
+    from hpaste_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    rows = [(i, [float((i + j) % 5 - 2) for j in range(4)]) for i in range(1, 12)]
+    rows.append((0, [0.0, 0.0, 0.0, 0.0]))  # the zero vector
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    cent = ivf_centroids(emb.filter("vec_id != 0"), 3)
+    got = ivf_assign(emb, cent).collect()
+    assert len(got) == 12  # zero vector assigned, not crashed
+    zero_cid = [r["cid"] for r in got if r["vec_id"] == 0]
+    assert zero_cid == [min(r["cid"] for r in cent.collect())]
+
+    path = str(tmp_path / "ivf_m")
+    with pytest.raises(ValueError, match="append_ivf_index"):
+        build_ivf_index(emb, path, k_centroids=3, mode="append")
+
+
 def test_ivf_compaction_restores_fresh_build(spark, tmp_path):
     """compact_ivf_index == a fresh build_ivf_index on the standing
     corpus (round-11 verdict ask #2): after build + append + COMPACT,
