@@ -2253,6 +2253,72 @@ def sim_ivf_knn_join_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join_indexed(spark, path, qs, k=5, nprobe=2)
 
 
+def _ivf_compacted_dir(sf_dir: str) -> str:
+    """Separate tree from _ivf_appended_dir: built in THREE steps
+    (build on the standing slice, append the delta, compact)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVF_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVF_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivf_index_compacted",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# compaction re-clusters the WHOLE stored corpus, so the compacted
+# index == a one-shot build on the full table — the oracle is the
+# ORIGINAL full-corpus chain, unchanged.  That identity (vs the
+# appended query's build-slice-centroids oracle) is precisely what
+# distinguishes the two artifact states under the hash gate.
+@q("sim_ivf_knn_join_compacted", _IVF_KNN_ORACLE)
+def sim_ivf_knn_join_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPACTION leg of the standing-IVF lifecycle under the hash
+    gate (round-11; closes the loop the drift monitor opens): build on
+    the standing slice (vec_id % 5 != 1), append_ivf_index the delta —
+    at this point the artifact answers with BUILD-SLICE centroids (the
+    sim_ivf_knn_join_appended oracle) — then similarity.compact_ivf_index
+    re-clusters the whole stored corpus.  The compacted index must now
+    answer with FULL-CORPUS centroids, i.e. the ORIGINAL
+    sim_ivf_knn_join oracle, bit-for-bit: same probe code, different
+    oracle than the appended query, which is exactly the recall-
+    restoration claim made executable.  k_centroids passed explicitly
+    (8 — the full corpus seeds all 8 groups; the build slice does too,
+    but the maintenance job states its target k rather than inheriting
+    whatever the artifact currently has).  Guarded by a _COMPACTED
+    marker so a crash mid-lifecycle rebuilds instead of serving a
+    half-state."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_knn_join_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_compacted_dir(sf_dir)
+    marker = os.path.join(path, "_COMPACTED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 1), path, k_centroids=8
+        )
+        append_ivf_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        compact_ivf_index(spark, path, k_centroids=8)
+        with open(marker, "w") as fh:
+            fh.write("build+append+compact complete\n")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn_join_indexed(spark, path, qs, k=5, nprobe=2)
+
+
 # Drift-recall monitor for the appended-IVF posture (round-11 verdict
 # ask #2).  The DuckDB twin replays the whole pipeline: the reversed
 # delta, seed-mean centroids over the build slice (appended) and the

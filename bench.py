@@ -199,10 +199,12 @@ HEADLINE = [
     "sketch_kmv_union_kway",
     "stream_tw_tumbling_recovered",
     # round 11: the appended-IVF drift-recall monitor (three centroid
-    # geometries graded against exact truth) and the custom-state
-    # kill+restart replay (two streaming starts, by design)
+    # geometries graded against exact truth), the custom-state
+    # kill+restart replay (two streaming starts, by design), and the
+    # compacted-index probe (build+append+compact is PREBUILD)
     "sim_ivf_appended_drift_recall",
     "stream_ss_asof_recovered",
+    "sim_ivf_knn_join_compacted",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -220,6 +222,9 @@ PREBUILD = [
     "dedup_incremental_lsh_appended",
     "decontaminate_bloom_appended",
     "sim_ivf_knn_join_appended",
+    # r11: build+append+COMPACT lifecycle — maintenance is the one-time
+    # job; the timed run measures the probe against the compacted index
+    "sim_ivf_knn_join_compacted",
 ]
 
 

@@ -406,7 +406,9 @@ def merge_increments(table, current: DataFrame, batch: DataFrame) -> DataFrame:
     return joined.select(*out_cols)
 
 
-def bulk_merge_increments(table, batch_df: DataFrame) -> None:
+def bulk_merge_increments(
+    table, batch_df: DataFrame, marker_file: "tuple[str, str] | None" = None
+) -> None:
     """Bulk increment sink: merge a DataFrame of DELTAS (table schema,
     numeric cells = amounts to add, absent cells null) into the table.
 
@@ -414,12 +416,16 @@ def bulk_merge_increments(table, batch_df: DataFrame) -> None:
     merge_increments primitive, but the delta relation stays a
     DataFrame end to end — no driver collect — so counter-key
     cardinality is unbounded (the merge is a full-outer join on
-    rowkey, shuffle-sized by the data, not by the driver's memory)."""
+    rowkey, shuffle-sized by the data, not by the driver's memory).
+
+    ``marker_file`` is forwarded to the snapshot publish (sidecar
+    written before the atomic version flip) — the exactly-once
+    primitive the streaming increment sink rides on."""
     from pyspark.sql import SparkSession as _S
 
     spark = _S.getActiveSession()
     current = table.to_df(spark)
-    table.overwrite(merge_increments(table, current, batch_df))
+    table.overwrite(merge_increments(table, current, batch_df), marker_file=marker_file)
 
 
 def bulk_merge_put(table, batch_df: DataFrame) -> None:

@@ -268,8 +268,8 @@ class HTable:
             version=version,
         )
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._require_storage().write(df)
+    def overwrite(self, df: DataFrame, marker_file: "tuple[str, str] | None" = None) -> int:
+        return self._require_storage().write(df, marker_file=marker_file)
 
     # -- DSL entry points --------------------------------------------------
     def query2(self, spark: SparkSession):

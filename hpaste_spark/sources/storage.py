@@ -223,10 +223,31 @@ class ParquetStorage:
             except FileNotFoundError:
                 pass
 
-    def write(self, df: DataFrame, sort_by_rowkey: bool = True, partition: bool = True) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        sort_by_rowkey: bool = True,
+        partition: bool = True,
+        marker_file: "tuple[str, str] | None" = None,
+    ) -> int:
         """Write a new snapshot and atomically publish it. Returns version.
         Raises ConcurrentWriteError (batch not applied) if another writer
-        holds the next version — never a silent lost update."""
+        holds the next version — never a silent lost update.
+
+        ``marker_file=(name, content)`` writes a sidecar file into the
+        snapshot directory BEFORE the version pointer flips, so the
+        marker and the data become visible in the same atomic publish —
+        the primitive an exactly-once ``foreachBatch`` sink needs
+        (record the applied streaming batch id WITH the batch's effect;
+        a crash either loses both, and the batch replays, or keeps
+        both, and the replay is skipped — never a double-apply).  The
+        name must start with ``_`` so Spark's parquet reader ignores
+        it; read it back with :meth:`snapshot_marker`."""
+        if marker_file is not None and not marker_file[0].startswith("_"):
+            raise ValueError(
+                "marker_file name must start with '_' (Spark readers skip "
+                f"underscore-prefixed files): {marker_file[0]!r}"
+            )
         base_version = self.current_version()
         new_version = base_version + 1
         claim = self._claim(new_version)
@@ -244,6 +265,9 @@ class ParquetStorage:
                 )
                 writer = df.write.mode("overwrite").partitionBy("_kp")
             writer.parquet(out)
+            if marker_file is not None:
+                with open(os.path.join(out, marker_file[0]), "w") as fh:
+                    fh.write(marker_file[1])
         except Exception:
             try:
                 os.unlink(claim)
@@ -253,6 +277,24 @@ class ParquetStorage:
         self._publish(base_version, new_version, claim)
         self.vacuum_versions()
         return new_version
+
+    def snapshot_marker(self, name: str, version: int | None = None) -> "str | None":
+        """Content of a :meth:`write` ``marker_file`` sidecar in the
+        current (or given) snapshot, or None when absent — absent on
+        tables never written with a marker, and on any snapshot
+        published by a non-marker writer since (each snapshot carries
+        only its OWN marker, which is the correct semantics for
+        last-applied-batch tracking: a foreign overwrite invalidates
+        the claim that batch N's effect is present)."""
+        if not self.exists():
+            return None
+        if version is None:
+            version = self.current_version()
+        try:
+            with open(os.path.join(self.snapshot_dir(version), name)) as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
 
     def supports_partial_rewrite(self) -> bool:
         """True when the CURRENT snapshot is prefix-partitioned, so a

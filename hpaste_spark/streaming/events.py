@@ -210,6 +210,11 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+#: sidecar filename inside a table snapshot recording which streaming
+#: batch published it (see stream_increments_into exactly-once notes)
+INCREMENT_SINK_MARKER = "_applied_stream_batch.json"
+
+
 def stream_increments_into(
     events: DataFrame,
     table,
@@ -217,6 +222,7 @@ def stream_increments_into(
     value_column: str | None = "total_value",
     timeout_s: int = 120,
     staged: bool = True,
+    checkpoint_dir: "str | None" = None,
 ) -> None:
     """Streaming analog of the reference's IncrementOp counters
     (IncrementOp.scala:26-38): each micro-batch pre-aggregates per
@@ -239,7 +245,32 @@ def stream_increments_into(
       counter-table key cardinality (the reference's reducer-output
       bound).  Useful when per-key hooks or OpsResult accounting of
       the DSL are wanted.
+
+    EXACTLY-ONCE (``checkpoint_dir`` + ``staged=True``): increments are
+    the one sink where at-least-once is WRONG (a replayed batch
+    double-counts — counts are not idempotent the way puts are), and
+    ``foreachBatch`` is only at-least-once by itself: Spark commits
+    the sink effect (our snapshot publish) and the checkpoint's batch
+    commit as TWO separate actions, so a crash between them replays a
+    batch whose effect is already in the table.  The staged fold
+    closes the window through the storage layer's atomic publish:
+    every snapshot it commits carries a ``marker_file`` sidecar
+    (:data:`INCREMENT_SINK_MARKER`) recording ``{"ckpt": <dir>,
+    "last": <batch_id>}`` — marker and data flip visible in the SAME
+    version-pointer rename — and the fold SKIPS any batch with
+    ``batch_id <= last`` under the same checkpoint.  Crash before the
+    publish: no marker, no data, the replay applies cleanly.  Crash
+    after: marker present, the replay is skipped.  The marker is
+    scoped to the checkpoint directory (batch ids restart at 0 with a
+    fresh checkpoint, so a marker from an old checkpoint must not
+    suppress the new stream's batch 0).  Without ``checkpoint_dir``
+    the fold applies unconditionally (the availableNow one-shot
+    posture, where Spark never replays).  The ``staged=False`` client
+    path stays at-least-once — the DSL executes per-key chains outside
+    the single-snapshot commit; use the staged path for durable
+    counters.
     """
+    import json as _json
 
     def agg_batch(batch_df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("_n")]
@@ -252,6 +283,19 @@ def stream_increments_into(
 
         from hpaste_spark.operators.mutations import bulk_merge_increments
 
+        marker = None
+        if checkpoint_dir is not None:
+            stored = table.storage.snapshot_marker(INCREMENT_SINK_MARKER)
+            if stored is not None:
+                info = _json.loads(stored)
+                if info.get("ckpt") == checkpoint_dir and batch_id <= info.get(
+                    "last", -1
+                ):
+                    return  # replayed batch: its effect is already published
+            marker = (
+                INCREMENT_SINK_MARKER,
+                _json.dumps({"ckpt": checkpoint_dir, "last": batch_id}),
+            )
         agg = agg_batch(batch_df)
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         ncol = table.resolve_column(counter_column)
@@ -277,7 +321,7 @@ def stream_increments_into(
                 sel.append(F.create_map(*entries).cast(f.dataType).alias(f.name))
             else:
                 sel.append(F.lit(None).cast(f.dataType).alias(f.name))
-        bulk_merge_increments(table, agg.select(*sel))
+        bulk_merge_increments(table, agg.select(*sel), marker_file=marker)
 
     def fold_client(batch_df: DataFrame, batch_id: int) -> None:
         rows = agg_batch(batch_df).collect()
@@ -292,7 +336,18 @@ def stream_increments_into(
         op.execute(batch_df.sparkSession)
 
     fold = fold_staged if staged else fold_client
-    q = events.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    if checkpoint_dir is not None and not staged:
+        raise ValueError(
+            "exactly-once increments (checkpoint_dir) require staged=True — "
+            "the client DSL path commits per-key chains outside the "
+            "single-snapshot publish and stays at-least-once"
+        )
+    if checkpoint_dir is not None:
+        table._require_storage()  # the marker rides the snapshot publish
+    writer = events.writeStream.foreachBatch(fold)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
 
 

@@ -133,6 +133,95 @@ def test_stream_increments_converge_to_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_increments_exactly_once_under_replay(spark, tmp_path):
+    """EXACTLY-ONCE through the foreachBatch increment sink (round 11):
+    foreachBatch alone is at-least-once — Spark publishes the sink
+    effect and the checkpoint's batch commit as two separate actions,
+    and a crash between them REPLAYS a batch whose increments are
+    already in the table, double-counting (increments are the one sink
+    where at-least-once is wrong).  The staged fold rides the storage
+    layer's atomic snapshot publish: the applied batch id flips visible
+    WITH the data (marker_file sidecar), so a replay is skipped.
+
+    The crash window is forced deterministically: run the 3-file
+    stream to completion with a checkpoint, DELETE the newest
+    checkpoint commit (exactly the state a crash between sink publish
+    and checkpoint commit leaves), restart — Spark re-executes that
+    batch, the fold sees batch_id <= marker.last under the same
+    checkpoint and skips.  Counters must still equal the one-shot
+    batch rollup.  Scoping is then proved the other way: a FRESH
+    checkpoint (batch ids restart at 0, different ckpt path) must NOT
+    be suppressed by the old marker — the same stream re-applied under
+    a new checkpoint doubles every counter."""
+    import os
+
+    import pandas as pd
+
+    from hpaste_spark.schema import HTable, Schema
+    from hpaste_spark.streaming.events import read_event_stream, stream_increments_into
+
+    src_dir = tmp_path / "inc_src"
+    src_dir.mkdir()
+    full = pd.read_parquet(f"{SF}/events.parquet")
+    third = len(full) // 3
+    full.iloc[:third].to_parquet(src_dir / "part0.parquet")
+    full.iloc[third : 2 * third].to_parquet(src_dir / "part1.parquet")
+    full.iloc[2 * third :].to_parquet(src_dir / "part2.parquet")
+
+    sch = Schema(base_dir=str(tmp_path / "tables"))
+
+    class Counters(HTable):
+        def __init__(self, schema):
+            super().__init__(schema, "event_counters_eo", key_type=str)
+            meta = self.family("meta")
+            self.n_events = self.column(meta, "n_events", "long")
+            self.total_value = self.column(meta, "total_value", float)
+
+    tbl = Counters(sch)
+    sch.create_all(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_increments_into(
+        read_event_stream(spark, str(src_dir)), tbl, checkpoint_dir=ckpt
+    )
+
+    want = {
+        r["event_type"]: (r["n"], round(r["v"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    counters = lambda: {  # noqa: E731
+        r["rowkey"]: (r["n_events"], round(r["total_value"], 6))
+        for r in tbl.to_df(spark).collect()
+    }
+    assert counters() == want
+
+    # force the crash window: drop the newest checkpoint commit, so the
+    # restart re-executes a batch whose effect is already published
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    data_commits = [c for c in commits if c.isdigit()]
+    assert len(data_commits) >= 3, f"expected >=3 committed batches, got {commits}"
+    os.remove(os.path.join(ckpt, "commits", data_commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{data_commits[-1]}.crc")
+    if os.path.exists(crc):  # hadoop checksum sidecar blocks the re-commit
+        os.remove(crc)
+    stream_increments_into(
+        read_event_stream(spark, str(src_dir)), tbl, checkpoint_dir=ckpt
+    )
+    assert counters() == want, "replayed batch must be skipped, not re-applied"
+
+    # a FRESH checkpoint is a new stream: ids restart at 0 and the old
+    # marker must not suppress it — everything applies once more
+    stream_increments_into(
+        read_event_stream(spark, str(src_dir)), tbl,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    doubled = {k: (n * 2, round(v * 2, 6)) for k, (n, v) in want.items()}
+    assert counters() == doubled
+
+
 def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     """dropDuplicatesWithinWatermark: an at-least-once source replaying
     a batch must not double-count (stream mirror of dedup_exact)."""
