@@ -660,7 +660,18 @@ def stream_hdr_partials(
     watermark: integer addition is associative and commutative, so
     batch boundaries cannot change the merged sketch, which is what
     lets the streaming execution be graded by the SAME oracle as the
-    batch sketch."""
+    batch sketch.
+
+    REPLAY CONTRACT (why ``sink`` receives ``batch_id``): foreachBatch
+    is at-least-once, and HDR partials are COUNTS — a replayed batch
+    landed twice doubles its cells in the merge.  A durable deployment
+    must land partials KEYED by batch id (e.g. overwrite
+    ``{dir}/batch_id=N``) so a replay overwrites its own previous
+    output instead of appending a duplicate — idempotent by path,
+    pytest-pinned (`test_streaming.py::test_partial_sink_replay_
+    idempotence`).  (The KMV partial sink tolerates plain append:
+    kmv_merge distincts hashes, so a duplicated partial is absorbed —
+    HDR is the one that needs the keyed layout.)"""
     from hpaste_spark.operators.sketches import hdr_sketch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -696,7 +707,13 @@ def stream_kmv_partials(
     re-bottom-k'ing the landed rows (kmv_merge).  bottom-k is
     associative over set union, so batch boundaries provably cannot
     change the merged sketch — the streaming execution is graded by
-    the SAME oracle as the batch sketch."""
+    the SAME oracle as the batch sketch.
+
+    REPLAY CONTRACT: unlike HDR counts, a KMV partial landed TWICE is
+    absorbed — kmv_merge distincts the (grp, h) rows before the
+    re-bottom-k, so plain ``mode='append'`` sinks are already
+    exactly-once in EFFECT under foreachBatch's at-least-once replay
+    (pytest-pinned alongside the HDR keyed-layout requirement)."""
     from hpaste_spark.operators.sketches import kmv_sketch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -222,6 +222,66 @@ def test_stream_increments_exactly_once_under_replay(spark, tmp_path):
     assert counters() == doubled
 
 
+def test_partial_sink_replay_idempotence(spark, tmp_path):
+    """The partial-sink replay contract (documented on
+    stream_hdr_partials / stream_kmv_partials): foreachBatch is
+    at-least-once, so a durable HDR sink must land partials KEYED by
+    batch id (overwrite {dir}/batch_id=N — a replay overwrites its own
+    output), while a KMV sink tolerates plain append because kmv_merge
+    distincts the hash rows.  Pins all three facts: (1) keyed-overwrite
+    HDR survives a replay unchanged, (2) append-mode HDR DOUBLES its
+    counts under the same replay (the anti-pattern bites), (3)
+    append-mode KMV is unchanged under replay."""
+    import os
+
+    from hpaste_spark.operators.sketches import (
+        hdr_merge,
+        hdr_sketch,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    batch = spark.createDataFrame(
+        [("a", v) for v in range(1, 200)] + [("b", v) for v in range(50, 90)],
+        "g string, v long",
+    )
+    hdr_partial = hdr_sketch(batch, "v", "g", sub_bits=5)
+    kmv_partial = kmv_sketch(
+        batch.withColumn("vs", F.col("v").cast("string")), "g", "vs", k=64
+    )
+
+    keyed = str(tmp_path / "hdr_keyed")
+    appended = str(tmp_path / "hdr_append")
+    kmv_land = str(tmp_path / "kmv_append")
+
+    def land(times: int) -> None:
+        for _ in range(times):  # times>1 == foreachBatch replaying batch 7
+            hdr_partial.write.mode("overwrite").parquet(
+                os.path.join(keyed, "batch_id=7")
+            )
+            hdr_partial.write.mode("append").parquet(appended)
+            kmv_partial.write.mode("append").parquet(kmv_land)
+
+    land(1)
+    cells = lambda p: {  # noqa: E731
+        (r["g"], r["bucket_lo"], r["width"]): r["cnt"]
+        for r in hdr_merge(spark.read.parquet(f"{p}/*")).collect()
+    }
+    est = lambda: sorted(  # noqa: E731
+        map(tuple, kmv_estimate(
+            kmv_merge(spark.read.parquet(kmv_land), k=64), k=64
+        ).collect())
+    )
+    base_keyed, base_append, base_kmv = cells(keyed), cells(appended), est()
+
+    land(1)  # the replay
+    assert cells(keyed) == base_keyed, "keyed-overwrite HDR must absorb a replay"
+    doubled = {k: c * 2 for k, c in base_append.items()}
+    assert cells(appended) == doubled, "append-mode HDR must double (anti-pattern)"
+    assert est() == base_kmv, "append-mode KMV must absorb a replay (merge distincts)"
+
+
 def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     """dropDuplicatesWithinWatermark: an at-least-once source replaying
     a batch must not double-count (stream mirror of dedup_exact)."""
