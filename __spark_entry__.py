@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel as _SL
 
 from hpaste_spark.session import configure_session
 from hpaste_spark.sources.catalog import load_table
@@ -25,6 +26,11 @@ from hpaste_spark.functions.money import (davg, dsum, dsum_disc, dsum_mul,
 from hpaste_spark.functions.timeutil import epoch_us
 
 SF0001 = "/root/testdata/sf0.001"
+
+#: O(corpus) intermediates are cut/persisted DISK_ONLY (SCALE.md
+#: corpus-memory rule: executor storage memory is for dimension-sized
+#: tables only)
+_DISK_ONLY = _SL.DISK_ONLY
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -5311,9 +5317,12 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the hashed distinct table serves the exact grader; the sketch
     # hashes the raw shingles itself (same md5 family, same rows)
+    # DISK_ONLY: the distinct (source, hash) table is O(corpus) — the
+    # exact-grader side must not claim executor storage memory
+    # (SCALE.md corpus-memory rule, applied r11)
     hs = sh.select(
         "source", token_hash(F.col("_sh")).alias("_h")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(storageLevel=_DISK_ONLY)
     sk = kmv_sketch(sh, "source", "_sh", k=256)
     est = kmv_intersect(sk, k=256)
     exact = (
@@ -5409,9 +5418,10 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
     )
+    # DISK_ONLY: O(corpus) exact-grader table (corpus-memory rule, r11)
     hs = sh.select(
         "source", token_hash(F.col("_sh")).alias("_h")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(storageLevel=_DISK_ONLY)
     est = kmv_union(kmv_sketch(sh, "source", "_sh", k=256), k=256)
     # exact union via inclusion-exclusion on equi-joins only: the
     # direct (source = a OR source = b) pair join is a nested loop
@@ -5535,11 +5545,13 @@ def sketch_kmv_union_kway(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
     )
+    # hs is O(corpus) -> DISK_ONLY; sk is the k-per-group sketch table
+    # (dimension-sized) -> memory cache is exactly what it is for
     hs = (
         sh.filter(F.col("source").isin(subset))
         .select("source", token_hash(F.col("_sh")).alias("_h"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_DISK_ONLY)
     )
     sk = kmv_sketch(sh, "source", "_sh", k=256).localCheckpoint()
     uni = kmv_union_subsets(sk, {"k5": subset}, k=256)
@@ -10921,9 +10933,13 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     ev = _t(spark, sf_dir, "events")
+    # the static right side is re-read EVERY micro-batch, but click
+    # history is event-scale (O(corpus)) — DISK_ONLY reuse, no heap
+    # claim (corpus-memory rule, r11); a genuinely dimension-sized
+    # enrich table (prices, user attrs) would persist memory-first
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_event_id")
-    ).persist()
+    ).persist(_DISK_ONLY)
     src = _stage_stream_dir(sf_dir, "events")
     stream = read_event_stream(spark, src)
     lefts = stream.filter(F.col("event_type") == "purchase").select(
