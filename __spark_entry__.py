@@ -11724,6 +11724,11 @@ _SEMANTICS_CHANGED = {
     # r11: kmv subset estimators hard-check that every named group has
     # sketch rows before estimating
     "sketch_kmv_union_kway": 11,
+    # r11: O(corpus) exact-grader / static-enrich caches switched to
+    # DISK_ONLY (corpus-memory rule) — same relations, new plan posture
+    "sketch_kmv_overlap": 11,
+    "sketch_kmv_union": 11,
+    "stream_asof_enrich": 11,
 }
 
 
