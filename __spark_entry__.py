@@ -2336,7 +2336,8 @@ _IVF_DRIFT_ORACLE = """
     WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     dl AS (SELECT vec_id + 1000001 AS vec_id, list_reverse(e) AS e FROM v0),
     u AS (SELECT * FROM v0 UNION ALL SELECT * FROM dl),
-    q AS (SELECT vec_id AS qid, e AS qe FROM dl WHERE (vec_id - 1000001) % 50 = 0),
+    q AS (SELECT vec_id AS qid, e AS qe FROM dl
+          WHERE (vec_id - 1000001) % 50 = 0 AND (vec_id - 1000001) < 5000),
     nq AS (SELECT COUNT(*) AS n FROM q),
     capp AS (
       SELECT scid AS cid, list(round(m, 6) ORDER BY i) AS cvec FROM (
@@ -2451,7 +2452,17 @@ def sim_ivf_appended_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         F.reverse(F.col("e")).alias("e"),
     )
     union = emb.unionByName(delta)
-    q_df = delta.filter((F.col("vec_id") - 1_000_001) % 50 == 0).select(
+    # FIXED query budget (≤ 100): the monitor's cost must be linear in
+    # the corpus, not quadratic — an uncapped %50 sample scales the
+    # query batch WITH the corpus and the exact-truth grader becomes
+    # O(n²/50) (measured: the uncapped form blew the 30-min probe
+    # budget at 30×; capped, 100 × union pairs is linear).  The cap is
+    # invisible at the gated SFs (sf0.01: 10 queries, sf0.1: exactly
+    # 100 — identical results) and bites only at probe scale.
+    q_df = delta.filter(
+        ((F.col("vec_id") - 1_000_001) % 50 == 0)
+        & ((F.col("vec_id") - 1_000_001) < 5000)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
     nq = q_df.agg(F.count(F.lit(1)).alias("n"))
