@@ -50,6 +50,32 @@ def test_swap_clears_stale_parked_dir_from_prior_crash(tmp_path):
     assert not os.path.exists(live + "_old")
 
 
+def test_check_artifact_detects_and_repairs_crash_states(tmp_path):
+    """check_artifact fsck: a completed-swap leftover (_old + live) is
+    deleted, a mid-swap crash (_old, no live) rolls back by rename, a
+    crashed compaction build (_compact_tmp) is deleted; a clean tree
+    reports nothing; dry-run repairs nothing."""
+    from hpaste_spark.operators.artifacts import check_artifact
+
+    root = str(tmp_path / "art")
+    _mk(os.path.join(root, "bands"), "live")
+    _mk(os.path.join(root, "bands_old"), "stale")           # completed swap
+    _mk(os.path.join(root, "vectors_old"), "parked")        # mid-swap crash
+    _mk(os.path.join(root, "bits_compact_tmp"), "halfbuild")
+
+    dry = check_artifact(root, repair=False)
+    assert len(dry) == 3
+    assert os.path.isdir(os.path.join(root, "bands_old")), "dry-run must not act"
+
+    fixed = check_artifact(root, repair=True)
+    assert len(fixed) == 3
+    assert not os.path.exists(os.path.join(root, "bands_old"))
+    assert not os.path.exists(os.path.join(root, "bits_compact_tmp"))
+    assert _content(os.path.join(root, "vectors")) == "parked", "rollback by rename"
+    assert _content(os.path.join(root, "bands")) == "live"
+    assert check_artifact(root) == [], "tree canonical after repair"
+
+
 def test_crash_between_renames_parks_old_relation(tmp_path, monkeypatch):
     """Simulate a crash between rename 1 (live -> _old) and rename 2
     (tmp -> live): the old relation must be PARKED COMPLETE at _old —
