@@ -7790,6 +7790,77 @@ def sim_pq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_indexed(spark, idx, qv, topk=10)
 
 
+def _pq_appended_dir(sf_dir: str) -> str:
+    """Separate tree from _pq_index_dir: built in two steps (codebooks
+    trained on the standing slice, delta encoded under them)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_PQ_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_PQ_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "pq_index_appended",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# the appended PQ index == "train codebooks on the standing slice,
+# encode everything under them" — the oracle is the stored-index SQL
+# with the codebook CTE restricted to the build slice; encoding and
+# ADC search still cover every vector
+_PQ_TOPK_APPENDED_ORACLE = _PQ_TOPK_ORACLE.replace(
+    """cb AS (SELECT d.sub, d.vec_id % 16 AS code, d.wpos, ROUND(AVG(d.x), 6) AS c
+           FROM dims d GROUP BY d.sub, d.vec_id % 16, d.wpos),""",
+    """cb AS (SELECT d.sub, d.vec_id % 16 AS code, d.wpos, ROUND(AVG(d.x), 6) AS c
+           FROM dims d WHERE d.vec_id % 5 != 1
+           GROUP BY d.sub, d.vec_id % 16, d.wpos),""",
+)
+assert _PQ_TOPK_APPENDED_ORACLE != _PQ_TOPK_ORACLE
+
+
+@q("sim_pq_topk_appended", _PQ_TOPK_APPENDED_ORACLE)
+def sim_pq_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over an APPEND-refreshED PQ index — the standing-
+    artifact lifecycle extended to the COMPRESSION leg (round 11;
+    LSH/Bloom/HDR/IVF gained appends in r10): codebooks train on the
+    standing slice (vec_id % 5 != 1), then similarity.append_pq_index
+    encodes ONLY the delta slice under the artifact's STORED codebooks
+    (m inferred from them — pinned geometry) and appends the code
+    rows; the standing corpus is never re-encoded.  The honest
+    semantics (operator docstring): an appended index == "train on the
+    original slice, encode everything under those codebooks", which is
+    exactly what the oracle replays — the codebook CTE restricted to
+    the build slice, encoding over all vectors.  Codebook drift under
+    heavy appends degrades the delta's quantization; the re-train is a
+    fresh build_pq_index on the CORPUS (the artifact stores only
+    codes, deliberately).  Guarded by the _APPENDED marker like the
+    IVF twin."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _pq_appended_dir(sf_dir)
+    marker = os.path.join(path, "_APPENDED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_pq_index(
+            emb.filter(F.col("vec_id") % 5 != 1), path, m=4, k=16
+        )
+        append_pq_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        with open(marker, "w") as fh:
+            fh.write("build+append complete\n")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return pq_topk_indexed(spark, path, qv, topk=10)
+
+
 @q(
     "sim_ivf_pq_topk",
     f"""
@@ -8157,6 +8228,79 @@ def sim_ivfadc_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivfadc_index(emb, idx, k_centroids=8, m=4, k=16)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivfadc_topk_indexed(spark, idx, qv, nprobe=2, m=4, topk=10)
+
+
+def _ivfadc_appended_dir(sf_dir: str) -> str:
+    """Separate tree from _ivfadc_index_dir: two-step build+append."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVFADC_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVFADC_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivfadc_index_appended",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# the appended IVFADC index == "train coarse + residual quantizers on
+# the standing slice, assign-and-encode everything under them" — the
+# oracle restricts BOTH trained CTEs (cd, rcb) to the build slice;
+# assignment, encoding, probing still cover every vector
+_IVFADC_APPENDED_ORACLE = _IVFADC_ORACLE.replace(
+    """cd AS (SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
+           FROM fd f GROUP BY f.vec_id % 8, f.pos),""",
+    """cd AS (SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
+           FROM fd f WHERE f.vec_id % 5 != 1 GROUP BY f.vec_id % 8, f.pos),""",
+).replace(
+    """rcb AS (SELECT sub, vec_id % 16 AS code, wpos, ROUND(AVG(rx), 6) AS c
+            FROM rd GROUP BY sub, vec_id % 16, wpos),""",
+    """rcb AS (SELECT sub, vec_id % 16 AS code, wpos, ROUND(AVG(rx), 6) AS c
+            FROM rd WHERE vec_id % 5 != 1 GROUP BY sub, vec_id % 16, wpos),""",
+)
+assert _IVFADC_APPENDED_ORACLE.count("% 5 != 1") == 2
+
+
+@q("sim_ivfadc_topk_appended", _IVFADC_APPENDED_ORACLE)
+def sim_ivfadc_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC over an APPEND-refreshED index — the standing-
+    artifact lifecycle completed across ALL index families (LSH, Bloom,
+    HDR, IVF, PQ, and now the combined coarse+residual artifact): the
+    index is built on the standing slice (vec_id % 5 != 1), then
+    similarity.append_ivfadc_index assigns the delta to the STORED
+    coarse centroids and residual-encodes it under the STORED residual
+    codebooks — both geometries pinned by the artifact, the standing
+    corpus never re-assigned or re-encoded, partition pruning
+    unchanged.  The oracle replays the honest semantics exactly: both
+    trained CTEs restricted to the build slice, assignment/encoding/
+    probing over all vectors.  Drift compounds across BOTH frozen
+    geometries here; the re-train is a fresh build_ivfadc_index on the
+    corpus (the artifact stores codes, not raw vectors).  _APPENDED
+    marker guard as the IVF/PQ twins."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+        ivfadc_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfadc_appended_dir(sf_dir)
+    marker = os.path.join(path, "_APPENDED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_ivfadc_index(
+            emb.filter(F.col("vec_id") % 5 != 1), path, k_centroids=8, m=4, k=16
+        )
+        append_ivfadc_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        with open(marker, "w") as fh:
+            fh.write("build+append complete\n")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivfadc_topk_indexed(spark, path, qv, nprobe=2, m=4, topk=10)
 
 
 @q(

@@ -205,6 +205,10 @@ HEADLINE = [
     "sim_ivf_appended_drift_recall",
     "stream_ss_asof_recovered",
     "sim_ivf_knn_join_compacted",
+    # round 11, second batch: appends for the remaining index families
+    # (probe timing; the build+append is PREBUILD)
+    "sim_pq_topk_appended",
+    "sim_ivfadc_topk_appended",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -225,6 +229,8 @@ PREBUILD = [
     # r11: build+append+COMPACT lifecycle — maintenance is the one-time
     # job; the timed run measures the probe against the compacted index
     "sim_ivf_knn_join_compacted",
+    "sim_pq_topk_appended",
+    "sim_ivfadc_topk_appended",
 ]
 
 

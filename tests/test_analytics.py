@@ -2608,6 +2608,139 @@ def test_ivf_index_append_assigns_delta_under_stored_centroids(spark, tmp_path):
     assert all(q != n for q, n in neigh)
 
 
+def test_pq_index_append_and_compaction(spark, tmp_path):
+    """append_pq_index: the delta is encoded under the STORED codebooks
+    (m inferred from the artifact, no re-train), so the appended codes
+    relation equals encoding the whole union under the build-slice
+    codebooks; ADC search over the appended index works; and
+    compact_pq_index consolidates the per-append fragments with the
+    code rows read-back-identical."""
+    import glob
+    import random
+
+    from hpaste_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        compact_pq_index,
+        pq_encode,
+        pq_topk_indexed,
+    )
+
+    rnd = random.Random(31)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    old = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+
+    path = str(tmp_path / "pq_inc")
+    build_pq_index(old, path, m=2, k=4)
+    append_pq_index(spark, path, delta)
+
+    stored_cb = spark.read.parquet(f"{path}/codebooks")
+    stored_codes = spark.read.parquet(f"{path}/codes")
+    expected = pq_encode(emb, stored_cb, m=2)
+    key = lambda r: (r["vec_id"], tuple(r["codes"]))  # noqa: E731
+    assert sorted(map(key, stored_codes.collect())) == sorted(
+        map(key, expected.collect())
+    )
+    assert stored_codes.count() == 120
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    before_topk = sorted(
+        map(tuple, pq_topk_indexed(spark, path, qv, topk=5).collect())
+    )
+    assert len(before_topk) == 5
+
+    n_before = len(glob.glob(f"{path}/codes/*.parquet"))
+    compact_pq_index(spark, path)
+    n_after = len(glob.glob(f"{path}/codes/*.parquet"))
+    assert n_after < n_before and n_after <= 1
+    assert sorted(map(key, spark.read.parquet(f"{path}/codes").collect())) == sorted(
+        map(key, expected.collect())
+    )
+    assert sorted(
+        map(tuple, pq_topk_indexed(spark, path, qv, topk=5).collect())
+    ) == before_topk
+
+
+def test_ivfadc_index_append_matches_frozen_model(spark, tmp_path):
+    """append_ivfadc_index: the standing rows are untouched, and the
+    delta's (cid, sub, code) rows equal an INDEPENDENT driver-side
+    replay of the frozen model (numpy: L2² argmin over the stored
+    centroids with the ROUND(·,6)+lowest-cid tiebreak, residual, then
+    per-subspace argmin over the stored residual codebooks) — so the
+    append is exactly 'assign-and-encode under the stored geometry',
+    not a retrain."""
+    import random
+
+    from hpaste_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+    )
+
+    rnd = random.Random(47)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    old = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+
+    path = str(tmp_path / "ivfadc_inc")
+    build_ivfadc_index(old, path, k_centroids=4, m=2, k=4)
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{path}/codes")
+            .select("vec_id", "sub", "code", "cid").collect())
+    )
+    append_ivfadc_index(spark, path, delta)
+    after = spark.read.parquet(f"{path}/codes").select(
+        "vec_id", "sub", "code", "cid"
+    )
+    old_rows = sorted(
+        map(tuple, after.filter(~F.col("vec_id").isin(
+            [r[0] for r in rows if r[0] % 4 == 3])).collect())
+    )
+    assert old_rows == before, "standing rows must be untouched by the append"
+
+    cents = {
+        r["cid"]: list(r["cvec"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    rcb = {}
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        rcb.setdefault((r["sub"], r["code"]), {})[r["wpos"]] = r["c"]
+    got = {
+        (r["vec_id"], r["sub"]): (r["code"], r["cid"])
+        for r in after.collect()
+        if r["vec_id"] % 4 == 3
+    }
+    sd = 4  # dim 8 / m 2
+    for vid, vec in rows:
+        if vid % 4 != 3:
+            continue
+        cid = min(
+            cents,
+            key=lambda c: (
+                round(sum((x - y) ** 2 for x, y in zip(vec, cents[c])), 6), c
+            ),
+        )
+        res = [x - y for x, y in zip(vec, cents[cid])]
+        for sub in (0, 1):
+            code = min(
+                (c for (s, c) in rcb if s == sub),
+                key=lambda c: (
+                    round(sum(
+                        (res[sub * sd + w] - rcb[(sub, c)][w]) ** 2
+                        for w in range(sd)
+                    ), 6),
+                    c,
+                ),
+            )
+            assert got[(vid, sub)] == (code, cid), (vid, sub)
+
+
 def test_ivf_assign_zero_vector_and_build_append_rejected(spark, tmp_path):
     """Robustness edges found round 11: (1) ivf_assign on a corpus
     containing an ALL-ZERO embedding used to die with an ANSI
