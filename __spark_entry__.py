@@ -1909,7 +1909,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: bump to invalidate stored IVF indexes when centroid/assignment code changes
-_IVF_INDEX_VERSION = 1  # layout unchanged by r10 append support
+_IVF_INDEX_VERSION = 2  # r12: meta.json + _epoch sidecars (torn-append protocol)
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -7754,7 +7754,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, qv, m=4, k=16, topk=10)
 
 
-_PQ_INDEX_VERSION = 2
+_PQ_INDEX_VERSION = 3  # r12: meta.json sidecar (torn-append protocol)
 
 
 def _pq_index_dir(sf_dir: str) -> str:
@@ -8193,7 +8193,7 @@ def sim_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk(emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10)
 
 
-_IVFADC_INDEX_VERSION = 2
+_IVFADC_INDEX_VERSION = 3  # r12: meta.json sidecar (torn-append protocol)
 
 
 def _ivfadc_index_dir(sf_dir: str) -> str:
