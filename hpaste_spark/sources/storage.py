@@ -242,7 +242,21 @@ class ParquetStorage:
         a crash either loses both, and the batch replays, or keeps
         both, and the replay is skipped — never a double-apply).  The
         name must start with ``_`` so Spark's parquet reader ignores
-        it; read it back with :meth:`snapshot_marker`."""
+        it; read it back with :meth:`snapshot_marker`.
+
+        Markers are STICKY (round-12 ADVICE fix): every publish carries
+        FORWARD the base snapshot's marker sidecars it does not itself
+        rewrite.  Without this, any foreign writer publishing between a
+        stream batch's commit and a crash-replay (e.g. a bulk_merge_put
+        whose merge carries the batch's counter effect forward) would
+        erase the marker while preserving the effect — and the replayed
+        batch would double-apply.  The carried marker is conservative
+        in the other direction: a foreign DESTRUCTIVE overwrite that
+        discards current data still carries the marker, so a replay is
+        suppressed even though the effect is gone — re-applying onto
+        post-overwrite data would be wrong anyway; restart the stream
+        with a fresh checkpoint after destructive rewrites (documented
+        in stream_increments_into)."""
         if marker_file is not None and not marker_file[0].startswith("_"):
             raise ValueError(
                 "marker_file name must start with '_' (Spark readers skip "
@@ -268,6 +282,7 @@ class ParquetStorage:
             if marker_file is not None:
                 with open(os.path.join(out, marker_file[0]), "w") as fh:
                     fh.write(marker_file[1])
+            self._carry_markers(base_version, out, marker_file)
         except Exception:
             try:
                 os.unlink(claim)
@@ -278,14 +293,43 @@ class ParquetStorage:
         self.vacuum_versions()
         return new_version
 
+    def _carry_markers(
+        self,
+        base_version: int,
+        out: str,
+        marker_file: "tuple[str, str] | None" = None,
+    ) -> None:
+        """Copy the base snapshot's marker sidecars (underscore-prefixed
+        files other than ``_SUCCESS``) into the new snapshot directory,
+        skipping any name this publish wrote itself — the sticky-marker
+        rule (see :meth:`write`).  Runs before the version-pointer flip,
+        so markers and data stay atomic."""
+        if base_version < 1:
+            return
+        prev = self.snapshot_dir(base_version)
+        own = marker_file[0] if marker_file is not None else None
+        try:
+            entries = os.listdir(prev)
+        except FileNotFoundError:
+            return
+        for name in entries:
+            if not name.startswith("_") or name == "_SUCCESS" or name == own:
+                continue
+            src = os.path.join(prev, name)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(out, name))
+
     def snapshot_marker(self, name: str, version: int | None = None) -> "str | None":
         """Content of a :meth:`write` ``marker_file`` sidecar in the
-        current (or given) snapshot, or None when absent — absent on
-        tables never written with a marker, and on any snapshot
-        published by a non-marker writer since (each snapshot carries
-        only its OWN marker, which is the correct semantics for
-        last-applied-batch tracking: a foreign overwrite invalidates
-        the claim that batch N's effect is present)."""
+        current (or given) snapshot, or None when absent.  Markers are
+        STICKY: every publish (full write and partial rewrite) carries
+        the previous snapshot's markers forward unless it rewrites the
+        same name — so a marker answers "has batch ≤ last been applied
+        to this table's lineage", which survives interleaved foreign
+        merge-writes (whose merge carries the batch's EFFECT forward
+        too).  Only deleting the table (or a snapshot GC past the
+        marker's origin, which cannot happen — the current snapshot
+        always carries it) clears markers."""
         if not self.exists():
             return None
         if version is None:
@@ -337,6 +381,7 @@ class ParquetStorage:
                 "_kp", F.substring(F.col("rowkey").cast("string"), 1, self.partition_prefix_len)
             )
             df.write.mode("append").partitionBy("_kp").parquet(out)
+            self._carry_markers(base_version, out)
         except Exception:
             shutil.rmtree(self.snapshot_dir(new_version), ignore_errors=True)
             try:

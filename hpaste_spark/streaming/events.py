@@ -269,8 +269,27 @@ def stream_increments_into(
     path stays at-least-once — the DSL executes per-key chains outside
     the single-snapshot commit; use the staged path for durable
     counters.
+
+    Two round-12 hardenings of the exactly-once claim (ADVICE):
+    markers are STICKY — every snapshot publish (including a foreign
+    ``bulk_merge_put`` between a batch's commit and a crash-replay)
+    carries the last-applied-batch marker forward, so a merge-style
+    writer that preserves the batch's counter effect can no longer
+    erase the record that the effect is present (the double-apply
+    hole).  Checkpoint paths are compared REALPATH-normalized, so
+    restarting the stream with an equivalent but differently-spelled
+    checkpoint dir (relative vs absolute, trailing slash, symlink)
+    still recognizes its own markers.  Remaining contract: foreign
+    DESTRUCTIVE overwrites (non-merge rewrites that discard current
+    counters) during a stream's lifetime are unsupported — the sticky
+    marker then suppresses a replay whose effect was erased; restart
+    the stream with a fresh checkpoint after such rewrites.
     """
     import json as _json
+    import os as _os
+
+    if checkpoint_dir is not None:
+        checkpoint_dir = _os.path.realpath(checkpoint_dir)
 
     def agg_batch(batch_df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("_n")]
@@ -288,8 +307,11 @@ def stream_increments_into(
             stored = table.storage.snapshot_marker(INCREMENT_SINK_MARKER)
             if stored is not None:
                 info = _json.loads(stored)
-                if info.get("ckpt") == checkpoint_dir and batch_id <= info.get(
-                    "last", -1
+                stored_ckpt = info.get("ckpt")
+                if (
+                    stored_ckpt is not None
+                    and _os.path.realpath(stored_ckpt) == checkpoint_dir
+                    and batch_id <= info.get("last", -1)
                 ):
                     return  # replayed batch: its effect is already published
             marker = (

@@ -1061,3 +1061,98 @@ def test_checkpoint_recovery_session_window_state(spark, tmp_path):
     assert sorted(map(tuple, landed.collect())) == sorted(
         map(tuple, uninterrupted.collect())
     )
+
+
+def test_stream_increments_marker_survives_foreign_writer_and_respelled_ckpt(
+    spark, tmp_path
+):
+    """Round-12 ADVICE closures on the exactly-once increment sink.
+
+    (1) STICKY MARKERS: a foreign merge-style writer (here the client
+    put DSL, same publish path as bulk_merge_put) commits a snapshot
+    between the stream's last batch and a crash-replay.  Merge-derived
+    overwrites CARRY the batch's counter effect forward — but before
+    round 12 they erased the last-applied-batch marker with it, so the
+    replay double-applied.  Now every publish carries the previous
+    snapshot's markers forward, and the replay is still skipped.
+
+    (2) PATH NORMALIZATION: the replay restart spells the SAME
+    checkpoint directory differently (a redundant '/./' segment).  A
+    raw string compare would fail the scope check and re-apply; the
+    realpath-normalized compare recognizes it."""
+    import os
+
+    import pandas as pd
+
+    from hpaste_spark.schema import HTable, Schema
+    from hpaste_spark.streaming.events import (
+        INCREMENT_SINK_MARKER,
+        read_event_stream,
+        stream_increments_into,
+    )
+
+    src_dir = tmp_path / "inc_src"
+    src_dir.mkdir()
+    full = pd.read_parquet(f"{SF}/events.parquet")
+    third = len(full) // 3
+    full.iloc[:third].to_parquet(src_dir / "part0.parquet")
+    full.iloc[third : 2 * third].to_parquet(src_dir / "part1.parquet")
+    full.iloc[2 * third :].to_parquet(src_dir / "part2.parquet")
+
+    sch = Schema(base_dir=str(tmp_path / "tables"))
+
+    class Counters(HTable):
+        def __init__(self, schema):
+            super().__init__(schema, "event_counters_fw", key_type=str)
+            meta = self.family("meta")
+            self.n_events = self.column(meta, "n_events", "long")
+            self.total_value = self.column(meta, "total_value", float)
+
+    tbl = Counters(sch)
+    sch.create_all(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_increments_into(
+        read_event_stream(spark, str(src_dir)), tbl, checkpoint_dir=ckpt
+    )
+    assert tbl.storage.snapshot_marker(INCREMENT_SINK_MARKER) is not None
+
+    # the foreign writer: a client put of an unrelated row — its
+    # merge-publish used to erase the stream's marker
+    tbl.put("zzz_foreign").value("n_events", 99).value(
+        "total_value", 0.0
+    ).execute(spark)
+    assert (
+        tbl.storage.snapshot_marker(INCREMENT_SINK_MARKER) is not None
+    ), "sticky marker must survive a foreign merge publish"
+
+    want = {
+        r["event_type"]: (r["n"], round(r["v"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    want["zzz_foreign"] = (99, 0.0)
+    counters = lambda: {  # noqa: E731
+        r["rowkey"]: (r["n_events"], round(r["total_value"], 6))
+        for r in tbl.to_df(spark).collect()
+    }
+    assert counters() == want
+
+    # force the crash-replay window, then restart with the SAME
+    # checkpoint spelled differently
+    commits = sorted(c for c in os.listdir(os.path.join(ckpt, "commits")) if c.isdigit())
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    respelled = os.path.join(os.path.dirname(ckpt), ".", os.path.basename(ckpt))
+    assert respelled != ckpt and os.path.realpath(respelled) == os.path.realpath(ckpt)
+    stream_increments_into(
+        read_event_stream(spark, str(src_dir)), tbl, checkpoint_dir=respelled
+    )
+    assert counters() == want, (
+        "replayed batch must be skipped despite the foreign publish and "
+        "the respelled checkpoint path"
+    )
