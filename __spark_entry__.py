@@ -2325,6 +2325,24 @@ def sim_ivf_knn_join_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join_indexed(spark, path, qs, k=5, nprobe=2)
 
 
+def _ivf_drift_dir(sf_dir: str) -> str:
+    """Scratch tree for the drift monitor's standing artifact (build on
+    the corpus + append the reversed-axes delta), fingerprinted like
+    the other stored-index trees so a testdata refresh or layout bump
+    rebuilds it."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVF_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVF_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivf_index_drift",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
 # Drift-recall monitor for the appended-IVF posture (round-11 verdict
 # ask #2).  The DuckDB twin replays the whole pipeline: the reversed
 # delta, seed-mean centroids over the build slice (appended) and the
@@ -2411,22 +2429,25 @@ _IVF_DRIFT_ORACLE = """
 @q("sim_ivf_appended_drift_recall", _IVF_DRIFT_ORACLE)
 def sim_ivf_appended_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DRIFT-RECALL MONITOR the appended-IVF posture needs (round-11
-    verdict ask #2): append_ivf_index assigns deltas under FROZEN
-    build-time centroids, and its docstring names periodic re-cluster
+    verdict ask #2; round-12 ask #3 rewired it through the OPERATIONAL
+    helper similarity.ivf_drift_recall, which grades a LIVE stored
+    artifact): append_ivf_index assigns deltas under FROZEN build-time
+    centroids, and its docstring names periodic re-cluster
     (similarity.compact_ivf_index) as the compaction step — but a daily
     ingest loop needs the NUMBER that says when.  This query builds a
-    distribution-shifted delta (the corpus with reversed embedding
-    axes — drift that preserves the delta's internal neighbor
-    structure, the 'new domain arrives' shape), takes delta vectors as
-    queries, and grades recall@10 (nprobe=2, k_centroids=8) against
-    exact cosine truth over the union for THREE centroid geometries:
+    REAL standing artifact (build on the corpus, then append a
+    distribution-shifted delta — the corpus with reversed embedding
+    axes: drift that preserves the delta's internal neighbor structure,
+    the 'new domain arrives' shape), takes delta vectors as queries,
+    and calls ivf_drift_recall to grade recall@10 (nprobe=2,
+    k_centroids=8) against exact cosine truth over the stored corpus
+    for THREE geometries:
 
-    - ``appended``    — build-slice centroids (what the standing
-                        appended artifact probes with),
-    - ``compact_it1`` — seed-mean re-cluster of the union (what
+    - ``appended``    — the artifact as it stands (stored centroids +
+                        stored per-vector cids),
+    - ``compact_it1`` — seed-mean re-cluster of the stored corpus (what
                         compact_ivf_index(iterations=1) would give),
-    - ``compact_it2`` — one full Lloyd step over the union
-                        (compact_ivf_index(iterations=2)).
+    - ``compact_it2`` — one full Lloyd step (iterations=2).
 
     The decision rule: re-cluster when compact_itN's recall exceeds
     appended's by more than the rebuild is worth.  MEASURED finding
@@ -2436,13 +2457,21 @@ def sim_ivf_appended_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     seed-only it1 re-cluster of the drifted union actively HURTS
     (0.47 vs 0.54 appended at sf0.01) while Lloyd it2 recovers to
     0.53 — so compaction must refine, never just re-seed; the monitor
-    exists precisely because the gap's sign is not assumable.  All
-    three recalls hash-gate against the full DuckDB replay — exact
-    twins, not bands."""
-    from pyspark.storagelevel import StorageLevel
+    exists precisely because the gap's sign is not assumable.  The
+    helper caps the query sample at a FIXED ≤100 budget (ORDER BY qid
+    LIMIT 100 — linear grader cost; the uncapped corpus-proportional
+    form was the round-11 O(n²) scale bug, measured in SCALE.md),
+    invisible at the gated SFs (sf0.01: 10 queries, sf0.1: exactly
+    100).  All three recalls hash-gate against the full DuckDB replay
+    — exact twins, not bands."""
+    import shutil
 
-    from hpaste_spark.functions.vectors import as_double, cosine
-    from hpaste_spark.operators.similarity import ivf_assign, ivf_centroids
+    from hpaste_spark.functions.vectors import as_double
+    from hpaste_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_drift_recall,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
@@ -2451,84 +2480,23 @@ def sim_ivf_appended_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("vec_id") + 1_000_001).alias("vec_id"),
         F.reverse(F.col("e")).alias("e"),
     )
-    union = emb.unionByName(delta)
-    # FIXED query budget (≤ 100): the monitor's cost must be linear in
-    # the corpus, not quadratic — an uncapped %50 sample scales the
-    # query batch WITH the corpus and the exact-truth grader becomes
-    # O(n²/50) (measured: the uncapped form blew the 30-min probe
-    # budget at 30×; capped, 100 × union pairs is linear).  The cap is
-    # invisible at the gated SFs (sf0.01: 10 queries, sf0.1: exactly
-    # 100 — identical results) and bites only at probe scale.
+    path = _ivf_drift_dir(sf_dir)
+    marker = os.path.join(path, "_APPENDED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_ivf_index(emb, path, k_centroids=8, vec_col="e")
+        append_ivf_index(spark, path, delta, vec_col="e")
+        with open(marker, "w") as fh:
+            fh.write("build+append complete\n")
     q_df = delta.filter(
         ((F.col("vec_id") - 1_000_001) % 50 == 0)
         & ((F.col("vec_id") - 1_000_001) < 5000)
-    ).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    return ivf_drift_recall(
+        spark, path, q_df, k=10, nprobe=2, candidate_iterations=(1, 2),
+        budget=100, vec_col="e",
     )
-    nq = q_df.agg(F.count(F.lit(1)).alias("n"))
-
-    variants = [
-        ("appended", ivf_centroids(emb, 8, vec_col="e", id_col="vec_id")),
-        ("compact_it1", ivf_centroids(union, 8, vec_col="e", id_col="vec_id")),
-        (
-            "compact_it2",
-            ivf_centroids(union, 8, vec_col="e", id_col="vec_id", iterations=2),
-        ),
-    ]
-
-    from pyspark.sql import Window
-
-    wq = Window.partitionBy("qid").orderBy(F.col("_cs").desc(), "vec_id")
-    exact = (
-        union.crossJoin(F.broadcast(q_df))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("_cs", cosine(F.col("e"), F.col("qe")))
-        .withColumn("_rk", F.row_number().over(wq))
-        .filter(F.col("_rk") <= 10)
-        .select("qid", "vec_id")
-        # consumed once per variant's hit-join — cut so the 1M-pair
-        # scoring runs once, DISK_ONLY per the corpus-memory rule
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
-
-    out = None
-    for name, cent_df in variants:
-        cent = cent_df.persist()  # K rows: assignment + probe branches
-        assign = ivf_assign(union, cent, vec_col="e", id_col="vec_id")
-        wp = Window.partitionBy("qid").orderBy(F.col("_qc").desc(), "cid")
-        probes = (
-            q_df.crossJoin(F.broadcast(cent))
-            .withColumn("_qc", cosine(F.col("qe"), F.col("cvec")))
-            .withColumn("_rn", F.row_number().over(wp))
-            .filter(F.col("_rn") <= 2)
-            .select("qid", "cid")
-        )
-        approx = (
-            union.join(assign, "vec_id")
-            .join(F.broadcast(probes), "cid")
-            .filter(F.col("vec_id") != F.col("qid"))
-            .join(F.broadcast(q_df), "qid")
-            .withColumn("_cs", cosine(F.col("e"), F.col("qe")))
-            .withColumn("_rk", F.row_number().over(wq))
-            .filter(F.col("_rk") <= 10)
-            .select("qid", "vec_id")
-        )
-        row = (
-            approx.join(exact, ["qid", "vec_id"])
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-            .crossJoin(F.broadcast(nq))
-            .select(
-                F.lit(name).alias("variant"),
-                F.col("n").cast("long").alias("n_queries"),
-                F.lit(10).alias("k"),
-                F.col("n_hit").cast("long").alias("n_hit"),
-                F.round(F.col("n_hit") / (F.col("n") * 10.0), 4).alias(
-                    "recall_at_k"
-                ),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("variant")
 
 
 # ---------------------------------------------------------------------------
@@ -11884,6 +11852,23 @@ _SEMANTICS_CHANGED = {
     "sketch_kmv_overlap": 11,
     "sketch_kmv_union": 11,
     "stream_asof_enrich": 11,
+    # r12: the ANN artifacts gained the torn-append protocol (meta.json
+    # sidecar written last at build, journaled appends, require_clean
+    # reader guards, journaled two-swap compaction) — artifacts rebuilt
+    # under _*_INDEX_VERSION bumps, same relations, new read/maintain
+    # posture
+    "sim_ivf_topk_stored": 12,
+    "sim_ivf_knn_join_stored": 12,
+    "sim_ivf_knn_join_appended": 12,
+    "sim_ivf_knn_join_compacted": 12,
+    "sim_pq_topk_stored": 12,
+    "sim_pq_topk_appended": 12,
+    "sim_ivfadc_topk_stored": 12,
+    "sim_ivfadc_topk_appended": 12,
+    # r12: drift monitor rewired through the live-artifact helper
+    # similarity.ivf_drift_recall (stored centroids + stored cids for
+    # the appended variant; candidates in-plan) — oracle unchanged
+    "sim_ivf_appended_drift_recall": 12,
 }
 
 
