@@ -349,7 +349,18 @@ def append_hdr_baseline(
     write order and race posture as dedup.append_lsh_index: counters
     first, meta last; the bucket rule never changes across appends, so
     a racing reader can only see a valid (possibly between-versions)
-    counter table."""
+    counter table.
+
+    SINGLE-WRITER CONTRACT (round-12 verdict ask #5): the version bump
+    is a read-modify-write of the 1-row meta — two CONCURRENT appenders
+    both read version v and both publish v+1, so while the appended
+    DATA from both survives (the rows are additive), the version
+    undercounts and any version-based freshness check misreads.
+    Appends, like compactions, are OFFLINE single-writer maintenance
+    actions: serialize them in the ingest scheduler (the ANN index
+    appends enforce this mechanically via their O_EXCL journal; this
+    artifact's meta is a parquet relation fsck cannot adjudicate, so
+    the contract is the scheduler's)."""
     _, meta = read_hdr_baseline(spark, path)
     group_col = meta["group_col"] or None
     hdr_sketch(df, value_col, group_col, meta["sub_bits"]).write.mode(
