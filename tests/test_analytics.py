@@ -3350,3 +3350,58 @@ def test_ivf_drift_recall_grades_live_artifact(spark, tmp_path):
     ).collect()
     assert [r["variant"] for r in only] == ["appended"]
     assert only[0]["n_hit"] == rows["appended"]["n_hit"]
+
+
+def test_ivfadc_compaction_consolidates_files_identically(spark, tmp_path):
+    """compact_ivfadc_index: after a build + two appends the codes tree
+    holds one fragment per (write, cid); compaction repartitions on cid
+    — strictly fewer files, rows bit-identical, probe results
+    bit-identical, partition layout (cid= dirs) preserved, meta version
+    bumped.  Completes build → append → compact for the last index
+    family."""
+    import os as _os
+
+    from hpaste_spark.operators.artifacts import read_meta
+    from hpaste_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+        compact_ivfadc_index,
+        ivfadc_topk_indexed,
+    )
+
+    emb = _rand_emb(spark, n=120, dim=8, seed=5)
+    path = str(tmp_path / "adc")
+    build_ivfadc_index(emb.filter(F.col("vec_id") % 3 == 0), path,
+                       k_centroids=4, m=4, k=8)
+    append_ivfadc_index(spark, path, emb.filter(F.col("vec_id") % 3 == 1))
+    append_ivfadc_index(spark, path, emb.filter(F.col("vec_id") % 3 == 2))
+
+    def parquet_files():
+        return sorted(
+            _os.path.join(r, f)
+            for r, _d, fs in _os.walk(f"{path}/codes")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    def rows():
+        return sorted(
+            map(tuple, spark.read.parquet(f"{path}/codes")
+                .select("vec_id", "sub", "code", "cid").collect())
+        )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    before_rows = rows()
+    before_top = sorted(map(tuple, ivfadc_topk_indexed(
+        spark, path, qv, nprobe=2, m=4, topk=5).collect()))
+    n_before = len(parquet_files())
+    assert read_meta(path)["version"] == 3  # build + 2 appends
+
+    compact_ivfadc_index(spark, path)
+    assert len(parquet_files()) < n_before
+    assert rows() == before_rows
+    assert sorted(map(tuple, ivfadc_topk_indexed(
+        spark, path, qv, nprobe=2, m=4, topk=5).collect())) == before_top
+    assert read_meta(path)["version"] == 4
+    # partition dirs survive (pruning posture unchanged)
+    assert any(e.startswith("cid=") for e in _os.listdir(f"{path}/codes"))
