@@ -7829,6 +7829,67 @@ def sim_pq_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_indexed(spark, path, qv, topk=10)
 
 
+def _pq_compacted_dir(sf_dir: str) -> str:
+    """Separate tree from _pq_appended_dir: built in THREE steps
+    (build on the standing slice, append the delta, compact)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_PQ_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_PQ_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "pq_index_compacted",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# PQ compaction consolidates code FILES only — codes cannot be
+# re-derived from the artifact (it stores no raw vectors), so unlike
+# the IVF compacted query the oracle is the APPENDED oracle UNCHANGED:
+# "compaction changes nothing a reader can see" is itself the hash
+# assertion here.
+@q("sim_pq_topk_compacted", _PQ_TOPK_APPENDED_ORACLE)
+def sim_pq_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPACTION leg of the standing-PQ lifecycle under the hash
+    gate (round 12; the IVF twin re-clusters and switches oracles —
+    this one must NOT): build codebooks on the standing slice
+    (vec_id % 5 != 1), similarity.append_pq_index the delta — each
+    append adds a code-file fragment — then similarity.compact_pq_index
+    rewrites the code relation as one file and swaps it in.  Rows are
+    unchanged BY CONSTRUCTION (compaction is file layout, never a
+    re-train: the artifact deliberately stores only codes), so the
+    compacted index must answer the ADC top-10 bit-identically to the
+    appended one — same oracle, which is exactly the read-back-identity
+    claim made executable against DuckDB.  Journaled maintenance: the
+    swap goes through swap_live_dir and the artifact's meta version
+    bumps; readers require_clean.  _COMPACTED marker guard like the
+    IVF twin."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        compact_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _pq_compacted_dir(sf_dir)
+    marker = os.path.join(path, "_COMPACTED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_pq_index(emb.filter(F.col("vec_id") % 5 != 1), path, m=4, k=16)
+        append_pq_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        compact_pq_index(spark, path)
+        with open(marker, "w") as fh:
+            fh.write("build+append+compact complete\n")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return pq_topk_indexed(spark, path, qv, topk=10)
+
+
 @q(
     "sim_ivf_pq_topk",
     f"""
@@ -8267,6 +8328,65 @@ def sim_ivfadc_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_ivfadc_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
         with open(marker, "w") as fh:
             fh.write("build+append complete\n")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivfadc_topk_indexed(spark, path, qv, nprobe=2, m=4, topk=10)
+
+
+def _ivfadc_compacted_dir(sf_dir: str) -> str:
+    """Separate tree from _ivfadc_appended_dir: built in THREE steps
+    (build on the standing slice, append the delta, compact)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVFADC_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVFADC_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivfadc_index_compacted",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# IVFADC compaction consolidates the per-(append, cid) code fragments
+# into one file per cid partition — codes and cids unchanged (NOT a
+# re-train; both geometries stay pinned), so the oracle is the
+# APPENDED oracle unchanged: the read-back identity as a hash gate.
+@q("sim_ivfadc_topk_compacted", _IVFADC_APPENDED_ORACLE)
+def sim_ivfadc_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPACTION leg of the standing-IVFADC lifecycle under the
+    hash gate (round 12 — with this, EVERY index family's full
+    build → append → compact chain is gate-visible): build the
+    coarse+residual model on the standing slice (vec_id % 5 != 1),
+    similarity.append_ivfadc_index the delta into its cid partitions,
+    then similarity.compact_ivfadc_index repartitions the code
+    relation on cid (one file per partition in practice) and swaps it
+    in.  Rows, cids, and probe-side partition pruning unchanged BY
+    CONSTRUCTION — the compacted index answers the residual-ADC
+    top-10 bit-identically to the appended one, same oracle, the
+    read-back identity made executable.  _COMPACTED marker guard."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+        compact_ivfadc_index,
+        ivfadc_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfadc_compacted_dir(sf_dir)
+    marker = os.path.join(path, "_COMPACTED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_ivfadc_index(
+            emb.filter(F.col("vec_id") % 5 != 1), path, k_centroids=8, m=4, k=16
+        )
+        append_ivfadc_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        compact_ivfadc_index(spark, path)
+        with open(marker, "w") as fh:
+            fh.write("build+append+compact complete\n")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivfadc_topk_indexed(spark, path, qv, nprobe=2, m=4, topk=10)
 

@@ -209,6 +209,10 @@ HEADLINE = [
     # (probe timing; the build+append is PREBUILD)
     "sim_pq_topk_appended",
     "sim_ivfadc_topk_appended",
+    # round 12: compaction legs for the remaining index families under
+    # the hash gate (probe timing; build+append+compact is PREBUILD)
+    "sim_pq_topk_compacted",
+    "sim_ivfadc_topk_compacted",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -231,6 +235,13 @@ PREBUILD = [
     "sim_ivf_knn_join_compacted",
     "sim_pq_topk_appended",
     "sim_ivfadc_topk_appended",
+    # r12: full-lifecycle probes for PQ/IVFADC and the drift monitor's
+    # standing artifact — maintenance is the one-time job; the timed
+    # run measures the probe (the monitor still computes its candidate
+    # re-clusters + exact-truth grading in the timed row)
+    "sim_pq_topk_compacted",
+    "sim_ivfadc_topk_compacted",
+    "sim_ivf_appended_drift_recall",
 ]
 
 
