@@ -11985,6 +11985,11 @@ _SEMANTICS_CHANGED = {
     "sim_pq_topk_appended": 12,
     "sim_ivfadc_topk_stored": 12,
     "sim_ivfadc_topk_appended": 12,
+    # r12: LSH/Bloom/HDR appends+compactions now run under the
+    # enforced append_lock (same relations, lock acquire/release added
+    # to the maintenance path)
+    "dedup_incremental_lsh_appended": 12,
+    "decontaminate_bloom_appended": 12,
     # r12: drift monitor rewired through the live-artifact helper
     # similarity.ivf_drift_recall (stored centroids + stored cids for
     # the appended variant; candidates in-plan) — oracle unchanged

@@ -328,22 +328,29 @@ def append_lsh_index(
     DATA from both survives (the rows are additive), the version
     undercounts and any version-based freshness check misreads.
     Appends, like compactions, are OFFLINE single-writer maintenance
-    actions: serialize them in the ingest scheduler (the ANN index
-    appends enforce this mechanically via their O_EXCL journal; this
-    artifact's meta is a parquet relation fsck cannot adjudicate, so
-    the contract is the scheduler's)."""
-    delta, meta = append_lsh_delta_bands(spark, path, new_docs, text_col)
-    delta.write.mode("append").parquet(f"{path}/bands")
-    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
-    spark.createDataFrame(
-        [(
-            meta["num_hashes"], meta["bands"], meta["shingle"],
-            meta["id_col"], LSH_FAMILY, version,
-        )],
-        "num_hashes INT, bands INT, shingle INT, id_col STRING, "
-        "family INT, version INT",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    return version
+    actions — and since round 12 the contract is ENFORCED, not just
+    documented: every append/compaction on this artifact runs under
+    :func:`~hpaste_spark.operators.artifacts.append_lock` (O_EXCL
+    sentinel, stale-TTL break for crashed holders), so a concurrent
+    second writer raises ConcurrentMaintenanceError instead of losing
+    a version bump.  (The ANN index appends get the same property from
+    their O_EXCL journal; this artifact's meta is a parquet relation
+    fsck cannot adjudicate, hence a lock rather than a journal.)"""
+    from hpaste_spark.operators.artifacts import append_lock
+
+    with append_lock(path):
+        delta, meta = append_lsh_delta_bands(spark, path, new_docs, text_col)
+        delta.write.mode("append").parquet(f"{path}/bands")
+        version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+        spark.createDataFrame(
+            [(
+                meta["num_hashes"], meta["bands"], meta["shingle"],
+                meta["id_col"], LSH_FAMILY, version,
+            )],
+            "num_hashes INT, bands INT, shingle INT, id_col STRING, "
+            "family INT, version INT",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return version
 
 
 def compact_lsh_index(spark, path: str, num_files: int | None = None) -> int:
@@ -367,27 +374,30 @@ def compact_lsh_index(spark, path: str, num_files: int | None = None) -> int:
     maintenance window, like an HBase major compaction (reference
     posture: compactions are explicit admin actions, not ambient —
     HBaseAdmin major_compact in the reference's operational model)."""
-    import shutil
+    from hpaste_spark.operators.artifacts import append_lock
 
-    from hpaste_spark.operators.artifacts import swap_live_dir
+    with append_lock(path):
+        import shutil
 
-    _, meta = read_lsh_index(spark, path)
-    bands = spark.read.parquet(f"{path}/bands")
-    out = bands.repartition(*([num_files] if num_files else []), "band_key")
-    tmp = f"{path}/bands_compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    out.write.mode("overwrite").parquet(tmp)
-    swap_live_dir(f"{path}/bands", tmp)
-    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
-    spark.createDataFrame(
-        [(
-            meta["num_hashes"], meta["bands"], meta["shingle"],
-            meta["id_col"], LSH_FAMILY, version,
-        )],
-        "num_hashes INT, bands INT, shingle INT, id_col STRING, "
-        "family INT, version INT",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    return version
+        from hpaste_spark.operators.artifacts import swap_live_dir
+
+        _, meta = read_lsh_index(spark, path)
+        bands = spark.read.parquet(f"{path}/bands")
+        out = bands.repartition(*([num_files] if num_files else []), "band_key")
+        tmp = f"{path}/bands_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").parquet(tmp)
+        swap_live_dir(f"{path}/bands", tmp)
+        version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+        spark.createDataFrame(
+            [(
+                meta["num_hashes"], meta["bands"], meta["shingle"],
+                meta["id_col"], LSH_FAMILY, version,
+            )],
+            "num_hashes INT, bands INT, shingle INT, id_col STRING, "
+            "family INT, version INT",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return version
 
 
 def incremental_lsh_candidates_stored(
@@ -2389,33 +2399,40 @@ def append_bloom_filter(
     DATA from both survives (the rows are additive), the version
     undercounts and any version-based freshness check misreads.
     Appends, like compactions, are OFFLINE single-writer maintenance
-    actions: serialize them in the ingest scheduler (the ANN index
-    appends enforce this mechanically via their O_EXCL journal; this
-    artifact's meta is a parquet relation fsck cannot adjudicate, so
-    the contract is the scheduler's)."""
-    meta = _bloom_meta(spark, path)
-    stored = spark.read.parquet(f"{path}/bits")
-    delta = bloom_bits(
-        _doc_grams(new_benchmark, text_col, id_col, meta["n"]).select("g"),
-        "g",
-        m_bits=meta["m_bits"],
-        k_hashes=meta["k_hashes"],
-    )
-    # MATERIALIZE the anti-join before writing to the same directory it
-    # reads (r10 ADVICE): the append only works un-materialized because
-    # Spark snapshots the file listing at read-DataFrame creation — a
-    # self-read-while-append hazard if listing/plan-caching behavior
-    # ever changes.  The missing-bit relation is ≤ m_bits rows, so an
-    # eager localCheckpoint (completes the read BEFORE the write
-    # starts) is cheap and closes the hazard structurally.
-    missing = delta.join(stored, "bit", "left_anti").localCheckpoint()
-    missing.write.mode("append").parquet(f"{path}/bits")
-    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
-    spark.createDataFrame(
-        [(meta["m_bits"], meta["k_hashes"], meta["n"], BLOOM_FAMILY, version)],
-        "m_bits INT, k_hashes INT, n INT, family INT, version INT",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    return version
+    actions — and since round 12 the contract is ENFORCED, not just
+    documented: every append/compaction on this artifact runs under
+    :func:`~hpaste_spark.operators.artifacts.append_lock` (O_EXCL
+    sentinel, stale-TTL break for crashed holders), so a concurrent
+    second writer raises ConcurrentMaintenanceError instead of losing
+    a version bump.  (The ANN index appends get the same property from
+    their O_EXCL journal; this artifact's meta is a parquet relation
+    fsck cannot adjudicate, hence a lock rather than a journal.)"""
+    from hpaste_spark.operators.artifacts import append_lock
+
+    with append_lock(path):
+        meta = _bloom_meta(spark, path)
+        stored = spark.read.parquet(f"{path}/bits")
+        delta = bloom_bits(
+            _doc_grams(new_benchmark, text_col, id_col, meta["n"]).select("g"),
+            "g",
+            m_bits=meta["m_bits"],
+            k_hashes=meta["k_hashes"],
+        )
+        # MATERIALIZE the anti-join before writing to the same directory it
+        # reads (r10 ADVICE): the append only works un-materialized because
+        # Spark snapshots the file listing at read-DataFrame creation — a
+        # self-read-while-append hazard if listing/plan-caching behavior
+        # ever changes.  The missing-bit relation is ≤ m_bits rows, so an
+        # eager localCheckpoint (completes the read BEFORE the write
+        # starts) is cheap and closes the hazard structurally.
+        missing = delta.join(stored, "bit", "left_anti").localCheckpoint()
+        missing.write.mode("append").parquet(f"{path}/bits")
+        version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+        spark.createDataFrame(
+            [(meta["m_bits"], meta["k_hashes"], meta["n"], BLOOM_FAMILY, version)],
+            "m_bits INT, k_hashes INT, n INT, family INT, version INT",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return version
 
 
 def compact_bloom_filter(spark, path: str, num_files: int = 1) -> int:
@@ -2432,22 +2449,25 @@ def compact_bloom_filter(spark, path: str, num_files: int = 1) -> int:
     identical relation (pytest-pinned), only the file layout shrinks.
     OFFLINE operation, like compact_lsh_index: a reader racing the
     swap fails loudly on a missing path, never sees half a relation."""
-    import shutil
+    from hpaste_spark.operators.artifacts import append_lock
 
-    from hpaste_spark.operators.artifacts import swap_live_dir
+    with append_lock(path):
+        import shutil
 
-    meta = _bloom_meta(spark, path)
-    bits = spark.read.parquet(f"{path}/bits")
-    tmp = f"{path}/bits_compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    bits.coalesce(num_files).write.mode("overwrite").parquet(tmp)
-    swap_live_dir(f"{path}/bits", tmp)
-    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
-    spark.createDataFrame(
-        [(meta["m_bits"], meta["k_hashes"], meta["n"], BLOOM_FAMILY, version)],
-        "m_bits INT, k_hashes INT, n INT, family INT, version INT",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    return version
+        from hpaste_spark.operators.artifacts import swap_live_dir
+
+        meta = _bloom_meta(spark, path)
+        bits = spark.read.parquet(f"{path}/bits")
+        tmp = f"{path}/bits_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        bits.coalesce(num_files).write.mode("overwrite").parquet(tmp)
+        swap_live_dir(f"{path}/bits", tmp)
+        version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+        spark.createDataFrame(
+            [(meta["m_bits"], meta["k_hashes"], meta["n"], BLOOM_FAMILY, version)],
+            "m_bits INT, k_hashes INT, n INT, family INT, version INT",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return version
 
 
 def decontaminate_bloom_stored(

@@ -357,21 +357,28 @@ def append_hdr_baseline(
     DATA from both survives (the rows are additive), the version
     undercounts and any version-based freshness check misreads.
     Appends, like compactions, are OFFLINE single-writer maintenance
-    actions: serialize them in the ingest scheduler (the ANN index
-    appends enforce this mechanically via their O_EXCL journal; this
-    artifact's meta is a parquet relation fsck cannot adjudicate, so
-    the contract is the scheduler's)."""
-    _, meta = read_hdr_baseline(spark, path)
-    group_col = meta["group_col"] or None
-    hdr_sketch(df, value_col, group_col, meta["sub_bits"]).write.mode(
-        "append"
-    ).parquet(f"{path}/sketch")
-    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
-    spark.createDataFrame(
-        [(meta["sub_bits"], meta["group_col"], HDR_FAMILY, version)],
-        "sub_bits INT, group_col STRING, family INT, version INT",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    return version
+    actions — and since round 12 the contract is ENFORCED, not just
+    documented: every append/compaction on this artifact runs under
+    :func:`~hpaste_spark.operators.artifacts.append_lock` (O_EXCL
+    sentinel, stale-TTL break for crashed holders), so a concurrent
+    second writer raises ConcurrentMaintenanceError instead of losing
+    a version bump.  (The ANN index appends get the same property from
+    their O_EXCL journal; this artifact's meta is a parquet relation
+    fsck cannot adjudicate, hence a lock rather than a journal.)"""
+    from hpaste_spark.operators.artifacts import append_lock
+
+    with append_lock(path):
+        _, meta = read_hdr_baseline(spark, path)
+        group_col = meta["group_col"] or None
+        hdr_sketch(df, value_col, group_col, meta["sub_bits"]).write.mode(
+            "append"
+        ).parquet(f"{path}/sketch")
+        version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+        spark.createDataFrame(
+            [(meta["sub_bits"], meta["group_col"], HDR_FAMILY, version)],
+            "sub_bits INT, group_col STRING, family INT, version INT",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return version
 
 
 def compact_hdr_baseline(spark, path: str, num_files: int = 1) -> int:
@@ -389,22 +396,25 @@ def compact_hdr_baseline(spark, path: str, num_files: int = 1) -> int:
     (merging an already-merged table is the identity — pytest-pinned),
     and every subsequent read skips the partial-collapse work.
     OFFLINE operation, same race posture as compact_lsh_index."""
-    import shutil
+    from hpaste_spark.operators.artifacts import append_lock
 
-    from hpaste_spark.operators.artifacts import swap_live_dir
+    with append_lock(path):
+        import shutil
 
-    _, meta = read_hdr_baseline(spark, path)
-    merged = hdr_merge(spark.read.parquet(f"{path}/sketch"))
-    tmp = f"{path}/sketch_compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.coalesce(num_files).write.mode("overwrite").parquet(tmp)
-    swap_live_dir(f"{path}/sketch", tmp)
-    version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
-    spark.createDataFrame(
-        [(meta["sub_bits"], meta["group_col"], HDR_FAMILY, version)],
-        "sub_bits INT, group_col STRING, family INT, version INT",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    return version
+        from hpaste_spark.operators.artifacts import swap_live_dir
+
+        _, meta = read_hdr_baseline(spark, path)
+        merged = hdr_merge(spark.read.parquet(f"{path}/sketch"))
+        tmp = f"{path}/sketch_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.coalesce(num_files).write.mode("overwrite").parquet(tmp)
+        swap_live_dir(f"{path}/sketch", tmp)
+        version = (meta["version"] if "version" in meta.__fields__ else 1) + 1
+        spark.createDataFrame(
+            [(meta["sub_bits"], meta["group_col"], HDR_FAMILY, version)],
+            "sub_bits INT, group_col STRING, family INT, version INT",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return version
 
 
 #: KMV hash space: token_hash yields 52-bit md5-prefix integers, so

@@ -385,3 +385,49 @@ def test_begin_append_is_single_writer(tmp_path):
         begin_append(root, ["vectors"], "2:2", 2)
     with pytest.raises(ConcurrentMaintenanceError):
         begin_compact(root, ["vectors"], "eeee", 2)
+
+
+def test_append_lock_contended_and_stale(tmp_path):
+    """append_lock (round-12: the documented single-writer contract for
+    the parquet-meta artifacts, now enforced): a second writer inside a
+    live lock raises instead of losing a version bump; a CRASHED
+    holder's lock older than the TTL is broken and the append proceeds;
+    the lock is released on error (it guards concurrency, not crash
+    atomicity)."""
+    import time
+
+    import pytest
+
+    from hpaste_spark.operators.artifacts import (
+        APPEND_LOCK,
+        ConcurrentMaintenanceError,
+        append_lock,
+    )
+
+    root = str(tmp_path / "art")
+    os.makedirs(root)
+
+    with append_lock(root):
+        assert os.path.exists(os.path.join(root, APPEND_LOCK))
+        with pytest.raises(ConcurrentMaintenanceError, match="single-writer"):
+            with append_lock(root):
+                raise AssertionError("second writer must not enter")
+    assert not os.path.exists(os.path.join(root, APPEND_LOCK)), "released on exit"
+
+    # stale lock from a crashed holder: broken after the TTL
+    lockfile = os.path.join(root, APPEND_LOCK)
+    with open(lockfile, "w") as fh:
+        fh.write("pid=0 t=0")
+    past = time.time() - 7200
+    os.utime(lockfile, (past, past))
+    with append_lock(root, ttl_s=3600):
+        pass  # acquired by breaking the stale lock
+    assert not os.path.exists(lockfile)
+
+    # released on error too
+    try:
+        with append_lock(root):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not os.path.exists(lockfile)
