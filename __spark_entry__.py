@@ -7890,6 +7890,140 @@ def sim_pq_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_indexed(spark, path, qv, topk=10)
 
 
+def _pq_drift_dir(sf_dir: str) -> str:
+    """Scratch tree for the PQ drift monitor's standing artifact (build
+    on the corpus + append the reversed-axes delta)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_PQ_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_PQ_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "pq_index_drift",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# The full DuckDB replay of the PQ drift monitor: reversed-axes delta,
+# codebooks trained on the build slice (appended) and on the union
+# (retrained), per-variant encoding + ADC scoring for the capped query
+# sample, exact L2^2 truth, per-variant hit counts — both recalls
+# hash-gate exactly.
+_PQ_DRIFT_ORACLE = """
+    WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dl AS (SELECT vec_id + 1000001 AS vec_id, list_reverse(e) AS e FROM v0),
+    u AS (SELECT * FROM v0 UNION ALL SELECT * FROM dl),
+    q AS (SELECT vec_id AS qid, e AS qe FROM dl
+          WHERE (vec_id - 1000001) % 50 = 0 AND (vec_id - 1000001) < 5000),
+    nq AS (SELECT COUNT(*) AS n FROM q),
+    dims AS (SELECT vec_id, (i-1) // 16 AS sub, (i-1) % 16 AS wpos, e[i] AS x
+             FROM u, range(1, 65) AS r(i)),
+    cbs AS (
+      SELECT 'appended' AS variant, sub, code, wpos, c FROM (
+        SELECT d.sub, d.vec_id % 16 AS code, d.wpos, ROUND(AVG(d.x), 6) AS c
+        FROM dims d WHERE d.vec_id < 1000001
+        GROUP BY d.sub, d.vec_id % 16, d.wpos)
+      UNION ALL
+      SELECT 'retrained', sub, code, wpos, c FROM (
+        SELECT d.sub, d.vec_id % 16 AS code, d.wpos, ROUND(AVG(d.x), 6) AS c
+        FROM dims d GROUP BY d.sub, d.vec_id % 16, d.wpos)),
+    d2 AS (SELECT cb.variant, d.vec_id, d.sub, cb.code,
+                  SUM((d.x - cb.c)*(d.x - cb.c)) AS d2
+           FROM dims d JOIN cbs cb ON d.sub = cb.sub AND d.wpos = cb.wpos
+           GROUP BY cb.variant, d.vec_id, d.sub, cb.code),
+    best AS (SELECT variant, vec_id, sub, code FROM (
+        SELECT variant, vec_id, sub, code, row_number() OVER (
+          PARTITION BY variant, vec_id, sub ORDER BY ROUND(d2, 6), code) AS rn
+        FROM d2) WHERE rn = 1),
+    qdims AS (SELECT qid, (i-1) // 16 AS sub, (i-1) % 16 AS wpos, qe[i] AS x
+              FROM q, range(1, 65) AS r(i)),
+    qtab AS (SELECT cb.variant, qd.qid, cb.sub, cb.code,
+                    SUM((qd.x - cb.c)*(qd.x - cb.c)) AS d2
+             FROM qdims qd JOIN cbs cb ON qd.sub = cb.sub AND qd.wpos = cb.wpos
+             GROUP BY cb.variant, qd.qid, cb.sub, cb.code),
+    sc AS (SELECT b.variant, qt.qid, b.vec_id, ROUND(SUM(qt.d2), 6) AS ad
+           FROM best b JOIN qtab qt
+             ON qt.variant = b.variant AND qt.sub = b.sub AND qt.code = b.code
+           GROUP BY b.variant, qt.qid, b.vec_id),
+    approx AS (SELECT variant, qid, vec_id FROM (
+        SELECT variant, qid, vec_id, row_number() OVER (
+          PARTITION BY variant, qid ORDER BY ad, vec_id) AS rk
+        FROM sc WHERE vec_id != qid) WHERE rk <= 10),
+    ed AS (SELECT q.qid, u.vec_id,
+                  ROUND(SUM((u.e[i] - q.qe[i])*(u.e[i] - q.qe[i])), 6) AS rd
+           FROM u, q, range(1, 65) AS r(i)
+           WHERE u.vec_id != q.qid
+           GROUP BY q.qid, u.vec_id),
+    exact AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY rd, vec_id) AS rk
+        FROM ed) WHERE rk <= 10),
+    hits AS (SELECT a.variant, CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY a.variant)
+    SELECT v.variant,
+           CAST(nq.n AS BIGINT)              AS n_queries,
+           10                                 AS k,
+           COALESCE(h.n_hit, 0)               AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / (nq.n * 10.0), 4) AS recall_at_k
+    FROM (SELECT DISTINCT variant FROM cbs) v
+    LEFT JOIN hits h ON h.variant = v.variant, nq
+    ORDER BY v.variant
+    """
+
+
+@q("sim_pq_drift_recall", _PQ_DRIFT_ORACLE)
+def sim_pq_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift-recall monitor for the COMPRESSION leg (round 12 —
+    similarity.pq_drift_recall, the ivf_drift_recall twin):
+    append_pq_index quantizes deltas with FROZEN build-time codebooks,
+    and the artifact cannot re-derive a re-train from itself (it
+    stores codes, deliberately), so the monitor grades the LIVE
+    build+append artifact against an in-plan re-train on the CORPUS —
+    the store of record — and returns the (appended, retrained) ADC
+    recall@10 pair the ingest loop compares before paying for a fresh
+    build_pq_index.  Same drift fixture as the IVF monitor (reversed
+    embedding axes appended as a new domain), same fixed ≤100-query
+    budget, exact L2² truth over the union.  Both recalls hash-gate
+    against the full DuckDB replay (codebook training, per-variant
+    encoding, ADC scoring, exact truth — exact twins, not bands)."""
+    import shutil
+
+    from hpaste_spark.functions.vectors import as_double
+    from hpaste_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        pq_drift_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    delta = emb.select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"),
+        F.reverse(F.col("e")).alias("e"),
+    )
+    path = _pq_drift_dir(sf_dir)
+    marker = os.path.join(path, "_APPENDED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_pq_index(emb, path, m=4, k=16, vec_col="e")
+        append_pq_index(spark, path, delta, vec_col="e")
+        with open(marker, "w") as fh:
+            fh.write("build+append complete\n")
+    union = emb.unionByName(delta)
+    q_df = delta.filter(
+        ((F.col("vec_id") - 1_000_001) % 50 == 0)
+        & ((F.col("vec_id") - 1_000_001) < 5000)
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    return pq_drift_recall(
+        spark, path, union, q_df, k=10, budget=100, vec_col="e"
+    )
+
+
 @q(
     "sim_ivf_pq_topk",
     f"""

@@ -213,6 +213,9 @@ HEADLINE = [
     # the hash gate (probe timing; build+append+compact is PREBUILD)
     "sim_pq_topk_compacted",
     "sim_ivfadc_topk_compacted",
+    # round 12: the compression-leg drift monitor (standing artifact is
+    # PREBUILD; the timed row is the in-plan re-train + ADC grading)
+    "sim_pq_drift_recall",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -242,6 +245,7 @@ PREBUILD = [
     "sim_pq_topk_compacted",
     "sim_ivfadc_topk_compacted",
     "sim_ivf_appended_drift_recall",
+    "sim_pq_drift_recall",
 ]
 
 

@@ -3405,3 +3405,57 @@ def test_ivfadc_compaction_consolidates_files_identically(spark, tmp_path):
     assert read_meta(path)["version"] == 4
     # partition dirs survive (pruning posture unchanged)
     assert any(e.startswith("cid=") for e in _os.listdir(f"{path}/codes"))
+
+
+def test_pq_drift_recall_grades_live_artifact(spark, tmp_path):
+    """similarity.pq_drift_recall (round 12 — the compression-leg twin
+    of ivf_drift_recall): grades a LIVE build+append PQ artifact
+    against an in-plan re-train on the corpus.  Pins the variant set,
+    the binding budget cap, determinism, the read-only contract, and
+    the corpus-cardinality hard-check (grading against the wrong slice
+    must raise, not skew silently)."""
+    import os as _os
+
+    import pytest
+
+    from hpaste_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        pq_drift_recall,
+    )
+
+    emb = _rand_emb(spark, n=80, dim=8, seed=13)
+    delta = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    path = str(tmp_path / "pqdrift")
+    build_pq_index(emb, path, m=4, k=8)
+    append_pq_index(spark, path, delta)
+    union = emb.unionByName(delta)
+    files_before = sorted(
+        _os.path.join(r, f) for r, _d, fs in _os.walk(path) for f in fs
+    )
+
+    qs = delta.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = pq_drift_recall(spark, path, union, qs, k=5, budget=6)
+    rows = {r["variant"]: r for r in got.collect()}
+    assert set(rows) == {"appended", "retrained"}
+    for r in rows.values():
+        assert r["n_queries"] == 6 and r["k"] == 5
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["recall_at_k"] == round(r["n_hit"] / 30.0, 4)
+
+    again = {r["variant"]: (r["n_hit"], r["recall_at_k"])
+             for r in pq_drift_recall(spark, path, union, qs, k=5, budget=6).collect()}
+    assert again == {v: (r["n_hit"], r["recall_at_k"]) for v, r in rows.items()}
+
+    files_after = sorted(
+        _os.path.join(r, f) for r, _d, fs in _os.walk(path) for f in fs
+    )
+    assert files_after == files_before, "the monitor only grades"
+
+    with pytest.raises(ValueError, match="store of record"):
+        pq_drift_recall(spark, path, emb, qs, k=5, budget=6)  # wrong slice
