@@ -8525,6 +8525,168 @@ def sim_ivfadc_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk_indexed(spark, path, qv, nprobe=2, m=4, topk=10)
 
 
+def _ivfadc_drift_dir(sf_dir: str) -> str:
+    """Scratch tree for the IVFADC drift monitor's standing artifact."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVFADC_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVFADC_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivfadc_index_drift",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# Full DuckDB replay of the IVFADC drift monitor: per-variant coarse
+# centroids (build slice vs union), assignment, residual codebooks
+# (slice-trained for 'appended'), encoding, per-(variant, query,
+# probed-cell) residual distance tables, ADC scoring, exact L2^2 truth.
+_IVFADC_DRIFT_ORACLE = """
+    WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dl AS (SELECT vec_id + 1000001 AS vec_id, list_reverse(e) AS e FROM v0),
+    u AS (SELECT * FROM v0 UNION ALL SELECT * FROM dl),
+    q AS (SELECT vec_id AS qid, e AS qe FROM dl
+          WHERE (vec_id - 1000001) % 50 = 0 AND (vec_id - 1000001) < 5000),
+    nq AS (SELECT COUNT(*) AS n FROM q),
+    fd AS (SELECT vec_id, i-1 AS pos, e[i] AS x FROM u, range(1, 65) AS r(i)),
+    cds AS (
+      SELECT 'appended' AS variant, cid, pos, c FROM (
+        SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
+        FROM fd f WHERE f.vec_id < 1000001 GROUP BY f.vec_id % 8, f.pos)
+      UNION ALL
+      SELECT 'retrained', cid, pos, c FROM (
+        SELECT f.vec_id % 8 AS cid, f.pos, ROUND(AVG(f.x), 6) AS c
+        FROM fd f GROUP BY f.vec_id % 8, f.pos)),
+    ad AS (SELECT c.variant, f.vec_id, c.cid, SUM((f.x - c.c)*(f.x - c.c)) AS d2
+           FROM fd f JOIN cds c ON f.pos = c.pos
+           GROUP BY c.variant, f.vec_id, c.cid),
+    asg AS (SELECT variant, vec_id, cid FROM (
+        SELECT variant, vec_id, cid, row_number() OVER (
+          PARTITION BY variant, vec_id ORDER BY ROUND(d2, 6), cid) AS rn
+        FROM ad) WHERE rn = 1),
+    rd AS (SELECT a.variant, f.vec_id, a.cid, f.pos // 16 AS sub,
+                  f.pos % 16 AS wpos, f.x - c.c AS rx
+           FROM fd f JOIN asg a ON a.vec_id = f.vec_id
+           JOIN cds c ON c.variant = a.variant AND a.cid = c.cid AND f.pos = c.pos),
+    rcbs AS (SELECT r.variant, r.sub, r.vec_id % 16 AS code, r.wpos,
+                    ROUND(AVG(r.rx), 6) AS c
+             FROM rd r
+             WHERE r.variant = 'retrained' OR r.vec_id < 1000001
+             GROUP BY r.variant, r.sub, r.vec_id % 16, r.wpos),
+    rd2 AS (SELECT r.variant, r.vec_id, r.sub, b.code,
+                   SUM((r.rx - b.c)*(r.rx - b.c)) AS d2
+            FROM rd r JOIN rcbs b
+              ON b.variant = r.variant AND r.sub = b.sub AND r.wpos = b.wpos
+            GROUP BY r.variant, r.vec_id, r.sub, b.code),
+    codes AS (SELECT variant, vec_id, sub, code FROM (
+        SELECT variant, vec_id, sub, code, row_number() OVER (
+          PARTITION BY variant, vec_id, sub ORDER BY ROUND(d2, 6), code) AS rn
+        FROM rd2) WHERE rn = 1),
+    qd AS (SELECT qid, i-1 AS pos, qe[i] AS x FROM q, range(1, 65) AS r(i)),
+    qad AS (SELECT c.variant, qd.qid, c.cid, SUM((qd.x - c.c)*(qd.x - c.c)) AS qd2
+            FROM qd JOIN cds c ON qd.pos = c.pos
+            GROUP BY c.variant, qd.qid, c.cid),
+    probes AS (SELECT variant, qid, cid FROM (
+        SELECT variant, qid, cid, row_number() OVER (
+          PARTITION BY variant, qid ORDER BY ROUND(qd2, 6), cid) AS rn
+        FROM qad) WHERE rn <= 2),
+    qres AS (SELECT p.variant, p.qid, p.cid, qd.pos // 16 AS sub,
+                    qd.pos % 16 AS wpos, qd.x - c.c AS rx
+             FROM qd JOIN probes p ON p.qid = qd.qid
+             JOIN cds c ON c.variant = p.variant AND c.cid = p.cid AND c.pos = qd.pos),
+    qtab AS (SELECT qr.variant, qr.qid, qr.cid, qr.sub, b.code,
+                    SUM((qr.rx - b.c)*(qr.rx - b.c)) AS qd2
+             FROM qres qr JOIN rcbs b
+               ON b.variant = qr.variant AND qr.sub = b.sub AND qr.wpos = b.wpos
+             GROUP BY qr.variant, qr.qid, qr.cid, qr.sub, b.code),
+    sc AS (SELECT cd2.variant, qt.qid, cd2.vec_id,
+                  ROUND(SUM(qt.qd2), 6) + 0.0 AS adist
+           FROM codes cd2
+           JOIN asg a ON a.variant = cd2.variant AND a.vec_id = cd2.vec_id
+           JOIN qtab qt ON qt.variant = cd2.variant AND qt.cid = a.cid
+                        AND qt.sub = cd2.sub AND qt.code = cd2.code
+           GROUP BY cd2.variant, qt.qid, cd2.vec_id
+           HAVING COUNT(*) = 4),
+    approx AS (SELECT variant, qid, vec_id FROM (
+        SELECT variant, qid, vec_id, row_number() OVER (
+          PARTITION BY variant, qid ORDER BY adist, vec_id) AS rk
+        FROM sc WHERE vec_id != qid) WHERE rk <= 10),
+    ed AS (SELECT q.qid, u.vec_id,
+                  ROUND(SUM((u.e[i] - q.qe[i])*(u.e[i] - q.qe[i])), 6) AS rdist
+           FROM u, q, range(1, 65) AS r(i)
+           WHERE u.vec_id != q.qid
+           GROUP BY q.qid, u.vec_id),
+    exact AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY rdist, vec_id) AS rk
+        FROM ed) WHERE rk <= 10),
+    hits AS (SELECT a.variant, CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY a.variant)
+    SELECT v.variant,
+           CAST(nq.n AS BIGINT)              AS n_queries,
+           10                                 AS k,
+           COALESCE(h.n_hit, 0)               AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / (nq.n * 10.0), 4) AS recall_at_k
+    FROM (SELECT DISTINCT variant FROM cds) v
+    LEFT JOIN hits h ON h.variant = v.variant, nq
+    ORDER BY v.variant
+    """
+
+
+@q("sim_ivfadc_drift_recall", _IVFADC_DRIFT_ORACLE)
+def sim_ivfadc_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-recall monitor for the COMPLETE production ANN artifact
+    (round 12 — similarity.ivfadc_drift_recall; the monitor family
+    covers every index leg: IVF coarse, PQ compression, and their
+    composition).  An appended IVFADC compounds BOTH frozen geometries
+    — probed-cell coverage under build-time coarse centroids AND the
+    delta's residual quantization under build-time codebooks — so the
+    re-train decision has the most ways to be wrong here, and the
+    monitor grades the LIVE build+append artifact against an in-plan
+    full re-train on the store of record (cardinality-hard-checked),
+    same drift fixture and fixed ≤100-query budget as the IVF/PQ
+    monitors, exact L2² truth, both recalls hash-gated against the
+    full DuckDB replay of assignment, residual codebooks, encoding,
+    and the per-(query, probed-cell) distance tables."""
+    import shutil
+
+    from hpaste_spark.functions.vectors import as_double
+    from hpaste_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+        ivfadc_drift_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    delta = emb.select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"),
+        F.reverse(F.col("e")).alias("e"),
+    )
+    path = _ivfadc_drift_dir(sf_dir)
+    marker = os.path.join(path, "_APPENDED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_ivfadc_index(emb, path, k_centroids=8, m=4, k=16, vec_col="e")
+        append_ivfadc_index(spark, path, delta, vec_col="e")
+        with open(marker, "w") as fh:
+            fh.write("build+append complete\n")
+    union = emb.unionByName(delta)
+    q_df = delta.filter(
+        ((F.col("vec_id") - 1_000_001) % 50 == 0)
+        & ((F.col("vec_id") - 1_000_001) < 5000)
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    return ivfadc_drift_recall(
+        spark, path, union, q_df, k=10, nprobe=2, budget=100, vec_col="e"
+    )
+
+
 @q(
     "sim_ivfadc_recall",
     f"""

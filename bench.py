@@ -216,6 +216,7 @@ HEADLINE = [
     # round 12: the compression-leg drift monitor (standing artifact is
     # PREBUILD; the timed row is the in-plan re-train + ADC grading)
     "sim_pq_drift_recall",
+    "sim_ivfadc_drift_recall",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -246,6 +247,7 @@ PREBUILD = [
     "sim_ivfadc_topk_compacted",
     "sim_ivf_appended_drift_recall",
     "sim_pq_drift_recall",
+    "sim_ivfadc_drift_recall",
 ]
 
 

@@ -3459,3 +3459,57 @@ def test_pq_drift_recall_grades_live_artifact(spark, tmp_path):
 
     with pytest.raises(ValueError, match="store of record"):
         pq_drift_recall(spark, path, emb, qs, k=5, budget=6)  # wrong slice
+
+
+def test_ivfadc_drift_recall_grades_live_artifact(spark, tmp_path):
+    """similarity.ivfadc_drift_recall (round 12 — the monitor family
+    complete): grades a LIVE build+append IVFADC artifact against an
+    in-plan full re-train.  Pins variant set, binding budget,
+    determinism, read-only grading, and the code-row cardinality
+    hard-check (n_corpus * m)."""
+    import os as _os
+
+    import pytest
+
+    from hpaste_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+        ivfadc_drift_recall,
+    )
+
+    emb = _rand_emb(spark, n=80, dim=8, seed=17)
+    delta = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    path = str(tmp_path / "adcdrift")
+    build_ivfadc_index(emb, path, k_centroids=4, m=4, k=8)
+    append_ivfadc_index(spark, path, delta)
+    union = emb.unionByName(delta)
+    files_before = sorted(
+        _os.path.join(r, f) for r, _d, fs in _os.walk(path) for f in fs
+    )
+
+    qs = delta.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = ivfadc_drift_recall(spark, path, union, qs, k=5, nprobe=2, budget=6)
+    rows = {r["variant"]: r for r in got.collect()}
+    assert set(rows) == {"appended", "retrained"}
+    for r in rows.values():
+        assert r["n_queries"] == 6 and r["k"] == 5
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["recall_at_k"] == round(r["n_hit"] / 30.0, 4)
+
+    again = {r["variant"]: (r["n_hit"], r["recall_at_k"])
+             for r in ivfadc_drift_recall(
+                 spark, path, union, qs, k=5, nprobe=2, budget=6).collect()}
+    assert again == {v: (r["n_hit"], r["recall_at_k"]) for v, r in rows.items()}
+
+    files_after = sorted(
+        _os.path.join(r, f) for r, _d, fs in _os.walk(path) for f in fs
+    )
+    assert files_after == files_before
+
+    with pytest.raises(ValueError, match="store of record"):
+        ivfadc_drift_recall(spark, path, emb, qs, k=5, budget=6)
