@@ -1909,7 +1909,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: bump to invalidate stored IVF indexes when centroid/assignment code changes
-_IVF_INDEX_VERSION = 2  # r12: meta.json + _epoch sidecars (torn-append protocol)
+_IVF_INDEX_VERSION = 3  # r13: delta_sigs ring + compacted_version in meta; 3-part sigs
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -7722,7 +7722,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, qv, m=4, k=16, topk=10)
 
 
-_PQ_INDEX_VERSION = 3  # r12: meta.json sidecar (torn-append protocol)
+_PQ_INDEX_VERSION = 4  # r13: delta_sigs ring + compacted_version in meta; 3-part sigs
 
 
 def _pq_index_dir(sf_dir: str) -> str:
@@ -8356,7 +8356,7 @@ def sim_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk(emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10)
 
 
-_IVFADC_INDEX_VERSION = 3  # r12: meta.json sidecar (torn-append protocol)
+_IVFADC_INDEX_VERSION = 4  # r13: delta_sigs ring + compacted_version in meta; 3-part sigs
 
 
 def _ivfadc_index_dir(sf_dir: str) -> str:
@@ -12290,6 +12290,32 @@ _SEMANTICS_CHANGED = {
     # similarity.ivf_drift_recall (stored centroids + stored cids for
     # the appended variant; candidates in-plan) — oracle unchanged
     "sim_ivf_appended_drift_recall": 12,
+    # r13: artifact protocol round — ANN metas gained the delta_sigs
+    # replay ring + compacted_version (artifacts rebuilt under
+    # _*_INDEX_VERSION bumps), delta signatures gained the sum
+    # component, and every compact_* now opens its journal BEFORE the
+    # tmp build (exclusion covers the whole window) — same relations,
+    # new maintenance posture; fresh green rows wanted
+    "sim_ivf_topk_stored": 13,
+    "sim_ivf_knn_join_stored": 13,
+    "sim_ivf_knn_join_appended": 13,
+    "sim_ivf_knn_join_compacted": 13,
+    "sim_ivf_appended_drift_recall": 13,
+    "sim_pq_topk_stored": 13,
+    "sim_pq_topk_appended": 13,
+    "sim_pq_topk_compacted": 13,
+    "sim_pq_drift_recall": 13,
+    "sim_ivfadc_topk_stored": 13,
+    "sim_ivfadc_topk_appended": 13,
+    "sim_ivfadc_topk_compacted": 13,
+    "sim_ivfadc_drift_recall": 13,
+    # r13: K-row centroid tables in ivf_topk / ivf_knn_join /
+    # ivf_drift_recall are driver-materialized instead of persisted
+    # without unpersist (leak per call, r12 ADVICE) — identical values,
+    # new plan
+    "sim_ivf_topk": 13,
+    "sim_ivf_recall": 13,
+    "sim_ivf_knn_join": 13,
 }
 
 
