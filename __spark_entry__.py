@@ -2325,6 +2325,77 @@ def sim_ivf_knn_join_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join_indexed(spark, path, qs, k=5, nprobe=2)
 
 
+def _ivf_minor_dir(sf_dir: str) -> str:
+    """Separate tree from _ivf_compacted_dir: build on the standing
+    slice, append the delta, then the MINOR (layout-only) compaction."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVF_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVF_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivf_index_minor",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# the minor pass is layout-only — geometry frozen, so the artifact
+# still answers with BUILD-SLICE centroids: the oracle is the APPENDED
+# oracle, unchanged.  Against sim_ivf_knn_join_compacted (whose oracle
+# flips to full-corpus centroids) this is the minor/major split made
+# executable under the hash gate: consolidating files must change
+# NOTHING, re-clustering must change the geometry.
+@q("sim_ivf_knn_join_minor_compacted", _IVF_KNN_APPENDED_ORACLE)
+def sim_ivf_knn_join_minor_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MINOR-compaction leg of the standing-IVF lifecycle (round
+    13 — similarity.compact_ivf_files): build on the standing slice
+    (vec_id % 5 != 1), append_ivf_index the delta (one parquet
+    fragment per (append, cid) pair — the small-files growth
+    artifact_stats signals on), then consolidate the vectors tree
+    repartitioned on the STORED cid under the frozen standing
+    centroids.  Unlike compact_ivf_index (the major pass, which
+    re-clusters and whose oracle flips to full-corpus centroids), the
+    minor pass must leave every probe result bit-identical — this
+    query pins that by answering the APPENDED oracle after the
+    rewrite.  This is the pass ann_maintain's hygiene trigger runs
+    when the drift monitor says the geometry is still good but
+    artifact_stats says the file count is not (the measured it1
+    re-cluster recall hazard makes 'just re-cluster on small-files'
+    wrong).  Reference context: the HBase minor/major compaction
+    split (store-file consolidation vs full rewrite) the reference's
+    standing tables rely on."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_files,
+        ivf_knn_join_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_minor_dir(sf_dir)
+    marker = os.path.join(path, "_MINOR_COMPACTED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 1), path, k_centroids=8
+        )
+        append_ivf_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        compact_ivf_files(spark, path)
+        with open(marker, "w") as fh:
+            fh.write("build+append+minor-compact complete\n")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn_join_indexed(spark, path, qs, k=5, nprobe=2)
+
+
 def _ivf_drift_dir(sf_dir: str) -> str:
     """Scratch tree for the drift monitor's standing artifact (build on
     the corpus + append the reversed-axes delta), fingerprinted like

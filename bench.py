@@ -217,6 +217,10 @@ HEADLINE = [
     # PREBUILD; the timed row is the in-plan re-train + ADC grading)
     "sim_pq_drift_recall",
     "sim_ivfadc_drift_recall",
+    # round 13: the MINOR (layout-only) IVF compaction leg — probe
+    # timing against the consolidated tree; build+append+minor is
+    # PREBUILD.  Same oracle as the appended leg by construction.
+    "sim_ivf_knn_join_minor_compacted",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -248,6 +252,8 @@ PREBUILD = [
     "sim_ivf_appended_drift_recall",
     "sim_pq_drift_recall",
     "sim_ivfadc_drift_recall",
+    # r13: build+append+MINOR-compact lifecycle (layout-only pass)
+    "sim_ivf_knn_join_minor_compacted",
 ]
 
 
