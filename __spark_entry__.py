@@ -1909,7 +1909,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: bump to invalidate stored IVF indexes when centroid/assignment code changes
-_IVF_INDEX_VERSION = 3  # r13: delta_sigs ring + compacted_version in meta; 3-part sigs
+_IVF_INDEX_VERSION = 4  # r13b: trained_version drift clock in meta
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -7793,7 +7793,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, qv, m=4, k=16, topk=10)
 
 
-_PQ_INDEX_VERSION = 4  # r13: delta_sigs ring + compacted_version in meta; 3-part sigs
+_PQ_INDEX_VERSION = 5  # r13b: trained_version drift clock in meta
 
 
 def _pq_index_dir(sf_dir: str) -> str:
@@ -8427,7 +8427,7 @@ def sim_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk(emb, qv, k_centroids=8, nprobe=2, m=4, k=16, topk=10)
 
 
-_IVFADC_INDEX_VERSION = 4  # r13: delta_sigs ring + compacted_version in meta; 3-part sigs
+_IVFADC_INDEX_VERSION = 5  # r13b: trained_version drift clock in meta
 
 
 def _ivfadc_index_dir(sf_dir: str) -> str:

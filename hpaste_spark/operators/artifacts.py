@@ -68,6 +68,11 @@ EPOCH_FILE = "_epoch"
 #: append WITHOUT a SparkSession, and the adjudication reads this file.
 META_FILE = "meta.json"
 
+#: sibling-directory suffix a blue/green re-train
+#: (similarity.retrain_pq_index / retrain_ivfadc_index) builds the
+#: replacement artifact under before the root-level swap_live_dir.
+RETRAIN_TMP_SUFFIX = "_retrain_tmp"
+
 
 #: create-exclusive lock sentinel serializing appends/compactions on
 #: the artifacts whose meta is a PARQUET relation (LSH bands, Bloom
@@ -791,9 +796,13 @@ def artifact_stats(path: str) -> dict:
     SparkSession-free: per-data-dir file counts (both the torn-append
     snapshot walk and the parquet open cost scale on exactly this
     number — SCALE.md prices the walk at O(#files)) plus
-    ``appends_since_compact`` from the JSON meta when the artifact
-    carries one (``version - compacted_version``; builds start both at
-    the build version, compactions reset ``compacted_version``).
+    ``appends_since_compact`` / ``appends_since_trained`` from the
+    JSON meta when the artifact carries one (``version -
+    compacted_version`` and ``version - trained_version``: the former
+    is the SMALL-FILES clock, reset by every compaction; the latter is
+    the DRIFT clock, reset only by builds, blue/green re-trains, and
+    the IVF major compaction — a layout pass consolidates files
+    without un-drifting the frozen geometry).
     Dirs parked by crash states (``*_old``, ``*_compact_tmp``) and the
     journal/lock sentinels are excluded — run
     :func:`check_artifact` for those.  Returns::
@@ -812,14 +821,25 @@ def artifact_stats(path: str) -> dict:
             continue
         dirs[entry] = len(_list_rel_files(full))
     meta = read_meta(path)
-    since = None
+    since = trained = None
     if meta is not None and "version" in meta:
         since = max(0, meta["version"] - meta.get("compacted_version", 1))
+        # distinct clock for the DRIFT question: layout-only
+        # compactions reset compacted_version (files are consolidated)
+        # but not trained_version (the geometry is exactly as stale as
+        # before) — builds, blue/green re-trains, and the IVF major
+        # compaction move it
+        trained = max(
+            0,
+            meta["version"]
+            - meta.get("trained_version", meta.get("compacted_version", 1)),
+        )
     return {
         "data_dirs": dirs,
         "total_files": sum(dirs.values()),
         "version": None if meta is None else meta.get("version"),
         "appends_since_compact": since,
+        "appends_since_trained": trained,
     }
 
 
@@ -947,4 +967,58 @@ def check_artifact(
                     f"{d}: {n} files > max_files_per_dir={max_files_per_dir}"
                     " — small-files growth; run the artifact's compaction"
                 )
+    return report
+
+
+def recover_artifact_root(path: str, repair: bool = True) -> "list[str]":
+    """Adjudicate the ROOT-LEVEL crash states a blue/green re-train
+    (``similarity.retrain_pq_index`` / ``retrain_ivfadc_index``) can
+    leave at ``path``'s PARENT — the one place :func:`check_artifact`
+    cannot see, because its world is the artifact root's interior and
+    these states are siblings of the root itself:
+
+    - ``path`` missing, ``path + '_old'`` present → the root
+      :func:`swap_live_dir` crashed between its renames; the complete
+      old artifact is parked a rename away.  Repair: rename it back
+      (the re-train is then retried from the top).
+    - ``path + '_old'`` present with ``path`` ALSO present → crash
+      after the second rename; the parked root is garbage.  Repair:
+      delete it.
+    - ``path + RETRAIN_TMP_SUFFIX`` present → a re-train build crashed
+      (or was aborted) before its swap; the tmp root is re-derivable
+      from the store of record.  Repair: delete it.
+
+    Interior states the rolled-back root may carry (the re-train's
+    build-phase ``compact_pending.json``) remain
+    :func:`check_artifact`'s job — run it after this (``ann_maintain``
+    does both, in that order).  Returns report lines (empty = no
+    root-level state found)."""
+    report: "list[str]" = []
+    old = path + "_old"
+    tmp = path + RETRAIN_TMP_SUFFIX
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            report.append(
+                f"{os.path.basename(old)}: root swap crashed between "
+                "renames — old artifact parked complete"
+                + (" — renamed back to live" if repair else
+                   "; repair renames it back")
+            )
+            if repair:
+                os.rename(old, path)
+        else:
+            report.append(
+                f"{os.path.basename(old)}: completed root swap leftover"
+                + (" — deleted" if repair else "; repair deletes it")
+            )
+            if repair:
+                shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        report.append(
+            f"{os.path.basename(tmp)}: crashed re-train build "
+            "(re-derivable from the store of record)"
+            + (" — deleted" if repair else "; repair deletes it")
+        )
+        if repair:
+            shutil.rmtree(tmp)
     return report

@@ -126,9 +126,16 @@ def test_ann_maintain_ivf_decides_and_applies(spark, tmp_path):
     assert rep["applied"] is False
     assert rep["version_before"] == rep["version_after"] == 2
 
-    # force the re-train branch and apply it
-    rep2 = ann_maintain(
+    # force the re-train branch; apply=True alone must NOT run it (the
+    # O(corpus) action sits behind its own switch)
+    rep1 = ann_maintain(
         spark, path, queries=q, k=5, budget=10, recall_margin=-1.0, apply=True
+    )
+    assert rep1["action"] == "retrain" and rep1["applied"] is False
+
+    rep2 = ann_maintain(
+        spark, path, queries=q, k=5, budget=10, recall_margin=-1.0,
+        apply_retrain=True,
     )
     assert rep2["action"] == "retrain"
     assert rep2["applied"] is True
@@ -193,12 +200,11 @@ def test_ann_maintain_repairs_torn_tree_first(spark, tmp_path):
     assert spark.read.parquet(f"{path}/vectors").count() == 60
 
 
-def test_ann_maintain_pq_recommends_but_never_auto_rebuilds(spark, tmp_path):
+def test_ann_maintain_pq_retrain_is_opt_in_blue_green(spark, tmp_path):
     """PQ/IVFADC artifacts store codes, not vectors: the re-train is a
-    store-of-record rebuild the loop must do blue/green — ann_maintain
-    reports the exact build call (pinned geometry) and refuses to
-    auto-apply it even with apply=True; the hygiene branch (layout
-    compaction) still applies."""
+    store-of-record rebuild — behind apply_retrain (never plain
+    apply), executed blue/green via retrain_pq_index's root swap; the
+    hygiene branch (layout compaction) runs under plain apply."""
     from hpaste_spark.operators import artifacts
     from hpaste_spark.operators.similarity import (
         ann_maintain,
@@ -220,8 +226,8 @@ def test_ann_maintain_pq_recommends_but_never_auto_rebuilds(spark, tmp_path):
     )
     assert rep["family"] == "pq"
     assert rep["action"] == "retrain"
-    assert rep["applied"] is False, "store-of-record rebuild never auto-runs"
-    assert "build_pq_index" in rep["plan"] and "m=4" in rep["plan"]
+    assert rep["applied"] is False, "O(corpus) rebuild needs apply_retrain"
+    assert "retrain_pq_index" in rep["plan"] and "m=4" in rep["plan"]
     assert set(rep["drift"]) == {"appended", "retrained"}
     assert rep["version_after"] == rep["version_before"] == 2
 
@@ -229,12 +235,87 @@ def test_ann_maintain_pq_recommends_but_never_auto_rebuilds(spark, tmp_path):
     with pytest.raises(ValueError, match="store-of-record"):
         ann_maintain(spark, path, queries=q)
 
-    # hygiene branch: applies the journaled layout compaction
+    # hygiene branch first (plain apply): journaled layout compaction
     frags = _n_files(f"{path}/codes")
     rep2 = ann_maintain(spark, path, compact_every=1, apply=True)
     assert rep2["action"] == "compact"
     assert rep2["applied"] is True
     assert _n_files(f"{path}/codes") < frags
     artifacts.require_clean(path)
-    assert artifacts.artifact_stats(path)["appends_since_compact"] == 0
     assert spark.read.parquet(f"{path}/codes").count() == 100
+
+    # now the opt-in re-train: blue/green root swap, version chain
+    # carried forward, fresh replay ring, clean new root
+    rep3 = ann_maintain(
+        spark, path, queries=q, corpus=corpus, k=5, budget=8,
+        recall_margin=-1.0, apply_retrain=True,
+    )
+    assert rep3["action"] == "retrain" and rep3["applied"] is True
+    meta = artifacts.read_meta(path)
+    assert meta["version"] == rep3["version_before"] + 1
+    assert meta["delta_sigs"] == [] and meta["m"] == 4
+    assert artifacts.artifact_stats(path)["appends_since_compact"] == 0
+    artifacts.require_clean(path)
+    assert spark.read.parquet(f"{path}/codes").count() == 100
+    assert not os.path.isdir(path + "_retrain_tmp")
+    assert not os.path.isdir(path + "_old")
+
+
+def test_retrain_blue_green_crash_windows(spark, tmp_path, monkeypatch):
+    """The root-swap crash windows are each one recover step from
+    retryable: (a) kill between the two root renames → old artifact
+    parked complete at <root>_old, recover renames it back (journal
+    inside is then fsck'd) and the retry completes; (b) build failure →
+    journal aborted, sibling tmp removed."""
+    from hpaste_spark.operators import artifacts
+    from hpaste_spark.operators import similarity as sim
+    from hpaste_spark.operators.similarity import (
+        build_ivfadc_index,
+        ivfadc_topk_indexed,
+        retrain_ivfadc_index,
+    )
+
+    path = str(tmp_path / "adc_bg")
+    base = _emb(spark, n=60, seed=3)
+    build_ivfadc_index(base, path, k_centroids=4, m=4, k=8)
+
+    # (a) crash between the two renames of the root swap
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        if dst.endswith("_old"):
+            raise OSError("simulated kill after rename 1")
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated kill"):
+        retrain_ivfadc_index(spark, base, path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.isdir(path) and os.path.isdir(path + "_old")
+
+    report = artifacts.recover_artifact_root(path)
+    assert any("parked complete" in line for line in report)
+    assert os.path.isdir(path)
+    # the rolled-back root still carries the re-train's journal
+    with pytest.raises(artifacts.TornArtifactError):
+        artifacts.require_clean(path)
+    artifacts.check_artifact(path, repair=True)
+    v = retrain_ivfadc_index(spark, base, path)  # retry completes
+    assert v == 2
+    artifacts.require_clean(path)
+
+    # (b) build failure: journal aborted, tmp gone, artifact untouched
+    def boom(*a, **kw):
+        raise RuntimeError("simulated build failure")
+
+    monkeypatch.setattr(sim, "build_ivfadc_index", boom)
+    with pytest.raises(RuntimeError, match="simulated build"):
+        retrain_ivfadc_index(spark, base, path)
+    monkeypatch.undo()
+    artifacts.require_clean(path)  # journal rolled back
+    assert not os.path.isdir(path + "_retrain_tmp")
+    assert artifacts.read_meta(path)["version"] == 2
+    q = _queries(spark, n=3).filter(F.col("qid") == 1).select(
+        F.col("qe").alias("qv")
+    )
+    assert ivfadc_topk_indexed(spark, path, q, topk=5).count() == 5
