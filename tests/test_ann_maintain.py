@@ -319,3 +319,11 @@ def test_retrain_blue_green_crash_windows(spark, tmp_path, monkeypatch):
         F.col("qe").alias("qv")
     )
     assert ivfadc_topk_indexed(spark, path, q, topk=5).count() == 5
+
+    # the retrain reset the drift clock: a maintenance pass with
+    # queries must SKIP the (expensive) monitor on the fresh geometry
+    rep = sim.ann_maintain(
+        spark, path, queries=_queries(spark, n=4), corpus=base
+    )
+    assert rep["drift"] is None and rep["action"] == "none"
+    assert artifacts.artifact_stats(path)["appends_since_trained"] == 0
