@@ -216,11 +216,66 @@ class ArtifactProtocolMachine(RuleBasedStateMachine):
         self.meta = meta_after
         self.model = compacted
 
+    @precondition(lambda self: self.pending is None and self.meta)
+    @rule(crash=st.sampled_from(
+        ["none", "mid_build", "between_root_renames", "after_root_swap"]))
+    def retrain_blue_green(self, crash):
+        """The root-level blue/green rebuild (retrain_pq_index shape,
+        emulated with the same artifacts primitives): complete sibling
+        build under the live root's compaction journal, then the root
+        rename-aside swap.  Crash states are siblings of the root —
+        recover_artifact_root's territory, composed with fsck for the
+        journal the dying root carries."""
+        A.recover_artifact_root(self.path)
+        A.require_clean(self.path)
+        target = self.meta["version"] + 1
+        tmp_root = self.path + A.RETRAIN_TMP_SUFFIX
+        A.open_compact(self.path)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        epoch = A.new_epoch()
+        retrained = {}
+        new_meta = {
+            "kind": "ivf", "version": target, "last_delta_sig": None,
+            "delta_sigs": [], "compacted_version": target,
+            "trained_version": target,
+        }
+        for d in DIRS:
+            os.makedirs(os.path.join(tmp_root, d))
+            body = f"retrained {d} v{target}"
+            with open(os.path.join(tmp_root, d, f"{d}-rt.parquet"), "w") as fh:
+                fh.write(body)
+            A.write_epoch(os.path.join(tmp_root, d), epoch)
+            retrained[d] = {f"{d}-rt.parquet": body}
+            if crash == "mid_build" and d == DIRS[0]:
+                break
+        if crash == "mid_build":
+            self.pending = ("retrain_rollback", dict(self.model))
+            return
+        A.write_meta(tmp_root, new_meta)
+        if crash == "between_root_renames":
+            os.rename(self.path, self.path + "_old")  # rename 1 of 2
+            self.pending = ("retrain_rollback", dict(self.model))
+            return
+        if crash == "after_root_swap":
+            os.rename(self.path, self.path + "_old")
+            os.rename(tmp_root, self.path)  # crash before _old cleanup
+            self.pending = ("retrain_done", retrained)
+            self.meta = new_meta
+            # a new store generation owes no replay protection to the
+            # old one's deltas (documented retrain semantics)
+            self.committed_sigs = []
+            return
+        A.swap_live_dir(self.path, tmp_root)
+        self.meta = new_meta
+        self.model = retrained
+        self.committed_sigs = []
+
     @precondition(lambda self: self.pending is not None)
     @rule()
     def fsck(self):
         kind, expected = self.pending
-        report = A.check_artifact(self.path, repair=True)
+        report = A.recover_artifact_root(self.path)
+        report += A.check_artifact(self.path, repair=True)
         assert report, f"pending {kind} must produce at least one report line"
         self.pending = None
         self.model = expected
@@ -234,11 +289,18 @@ class ArtifactProtocolMachine(RuleBasedStateMachine):
             assert real.get(key) == self.meta.get(key), (
                 key, real.get(key), self.meta.get(key), kind)
 
-    @precondition(lambda self: self.pending is not None)
+    @precondition(
+        lambda self: self.pending is not None
+        and self.pending[0] != "retrain_done"
+        and os.path.isdir(self.path)
+    )
     @rule()
     def second_writer_fails_loudly(self):
         """While any journal is pending, appenders, compactors, and
-        readers must all refuse."""
+        readers must all refuse.  (Skipped when the live root itself is
+        mid-root-swap — there is nothing to open a journal ON — and
+        after a completed root swap, where only the parked _old dir
+        remains to clean: the new root is born clean by design.)"""
         with pytest.raises(A.ConcurrentMaintenanceError):
             A.begin_append(self.path, ["vectors"], "sigX", 999)
         with pytest.raises(A.ConcurrentMaintenanceError):
