@@ -819,7 +819,15 @@ def artifact_stats(path: str) -> dict:
             continue
         if entry.endswith("_old") or entry.endswith("_compact_tmp"):
             continue
-        dirs[entry] = len(_list_rel_files(full))
+        # count DATA files only: the signal prices per-fragment footer
+        # opens, and _SUCCESS/_epoch/.crc sidecars are listing entries,
+        # not parquet opens (the journal snapshot, by contrast, walks
+        # everything — different job, different unit)
+        dirs[entry] = sum(
+            1
+            for f in _list_rel_files(full)
+            if not os.path.basename(f).startswith(("_", "."))
+        )
     meta = read_meta(path)
     since = trained = None
     if meta is not None and "version" in meta:

@@ -327,3 +327,66 @@ def test_retrain_blue_green_crash_windows(spark, tmp_path, monkeypatch):
     )
     assert rep["drift"] is None and rep["action"] == "none"
     assert artifacts.artifact_stats(path)["appends_since_trained"] == 0
+
+
+def test_standing_artifact_maintain_hdr_and_bloom(spark, tmp_path):
+    """ann_maintain's sibling for the parquet-meta artifacts: fsck
+    (clears a planted crashed-swap leftover), file-count signal on the
+    family's data dir, threshold-gated layout compaction under the
+    family's own append_lock.  No drift leg by design (exact
+    structures)."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.operators.maintenance import standing_artifact_maintain
+    from hpaste_spark.operators.sketches import (
+        append_hdr_baseline,
+        build_hdr_baseline,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    # HDR lifecycle
+    path = str(tmp_path / "hdr")
+    vals = spark.range(500).select((F.col("id") % 97 + 1.0).alias("v"))
+    build_hdr_baseline(vals, path)
+    for i in range(3):
+        append_hdr_baseline(
+            spark, path,
+            spark.range(100).select((F.col("id") % (50 + i) + 1.0).alias("v")),
+        )
+    q_before = hdr_quantiles(
+        hdr_merge(spark.read.parquet(f"{path}/sketch"))
+    ).collect()
+
+    rep = standing_artifact_maintain(spark, path, "hdr", max_files_per_dir=2)
+    assert rep["action"] == "compact" and rep["applied"] is False
+    assert rep["plan"] == "compact_hdr_baseline(path)"
+    assert any("max_files_per_dir" in line for line in rep["fsck"])
+
+    rep2 = standing_artifact_maintain(
+        spark, path, "hdr", max_files_per_dir=2, apply=True
+    )
+    assert rep2["applied"] is True and rep2["version_after"] == 5
+    q_after = hdr_quantiles(
+        hdr_merge(spark.read.parquet(f"{path}/sketch"))
+    ).collect()
+    assert q_after == q_before, "hdr_merge compaction is read-identical"
+    rep3 = standing_artifact_maintain(spark, path, "hdr", max_files_per_dir=2)
+    assert rep3["action"] == "none" and rep3["stats"]["data_dirs"]["sketch"] <= 2
+
+    # crashed-swap leftover is fsck'd before the signal is read
+    import os
+
+    tmp_leftover = os.path.join(path, "sketch_compact_tmp")
+    os.makedirs(tmp_leftover)
+    with open(os.path.join(tmp_leftover, "part-crashed.parquet"), "w") as fh:
+        fh.write("crashed build")
+    rep4 = standing_artifact_maintain(spark, path, "hdr", max_files_per_dir=2)
+    assert any("crashed compaction build" in line for line in rep4["fsck"])
+    assert not os.path.isdir(tmp_leftover)
+
+    # family validation is loud
+    with pytest.raises(ValueError, match="unknown standing-artifact"):
+        standing_artifact_maintain(spark, path, "ivf")
+    with pytest.raises(ValueError, match="no bits/"):
+        standing_artifact_maintain(spark, path, "bloom")
