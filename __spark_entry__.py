@@ -7961,6 +7961,72 @@ def sim_pq_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_indexed(spark, path, qv, topk=10)
 
 
+def _pq_retrained_dir(sf_dir: str) -> str:
+    """Separate tree from _pq_compacted_dir: build on the standing
+    slice, append the delta, then the BLUE/GREEN re-train on the full
+    corpus (root swap)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_PQ_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_PQ_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "pq_index_retrained",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# the blue/green re-train rebuilds codebooks + encoding from the FULL
+# corpus, so the retrained artifact must answer the ORIGINAL
+# full-corpus oracle again — the complementary claim to
+# sim_pq_topk_compacted (layout pass, oracle UNCHANGED): re-training
+# must flip the geometry, compaction must not.  Same identity move as
+# the IVF major-compaction query, now for the family whose re-train is
+# a root swap instead of an in-place re-cluster.
+@q("sim_pq_topk_retrained", _PQ_TOPK_ORACLE)
+def sim_pq_topk_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RE-TRAIN leg of the standing-PQ lifecycle under the hash
+    gate (round 13 — similarity.retrain_pq_index, the action
+    pq_drift_recall prices): build codebooks on the standing slice
+    (vec_id % 5 != 1) — at this point the artifact answers the
+    build-slice oracle (sim_pq_topk_appended) — append the delta, then
+    retrain_pq_index on the FULL corpus: a complete replacement
+    artifact is built at a sibling root (geometry m/k inherited from
+    the artifact's pinned meta), its meta carries the version chain
+    forward with a fresh replay ring, and the roots swap rename-aside
+    (an in-place overwrite of a live artifact is not crash-safe; the
+    crash states are recover_artifact_root's).  The retrained index
+    must now answer with FULL-CORPUS codebooks, i.e. the original
+    sim_pq_topk_stored oracle bit-for-bit — recall restoration for the
+    compression leg made executable, exactly the claim the IVF twin
+    (sim_ivf_knn_join_compacted) makes for the coarse leg.  _RETRAINED
+    marker guard like the other lifecycle fixtures."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        pq_topk_indexed,
+        retrain_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _pq_retrained_dir(sf_dir)
+    marker = os.path.join(path, "_RETRAINED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_pq_index(emb.filter(F.col("vec_id") % 5 != 1), path, m=4, k=16)
+        append_pq_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        retrain_pq_index(spark, emb, path)
+        with open(marker, "w") as fh:
+            fh.write("build+append+retrain complete\n")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return pq_topk_indexed(spark, path, qv, topk=10)
+
+
 def _pq_drift_dir(sf_dir: str) -> str:
     """Scratch tree for the PQ drift monitor's standing artifact (build
     on the corpus + append the reversed-axes delta)."""
@@ -8592,6 +8658,66 @@ def sim_ivfadc_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_ivfadc_index(spark, path)
         with open(marker, "w") as fh:
             fh.write("build+append+compact complete\n")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivfadc_topk_indexed(spark, path, qv, nprobe=2, m=4, topk=10)
+
+
+def _ivfadc_retrained_dir(sf_dir: str) -> str:
+    """Separate tree from _ivfadc_compacted_dir: build on the standing
+    slice, append the delta, then the blue/green re-train on the full
+    corpus (root swap)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime)}_{st.st_size}_v{_IVFADC_INDEX_VERSION}"
+    except OSError:
+        fingerprint = f"unknown_v{_IVFADC_INDEX_VERSION}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(
+        here, ".scratch", "ivfadc_index_retrained",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fingerprint}",
+    )
+
+
+# the blue/green re-train refreshes BOTH frozen geometries (coarse
+# centroids AND residual codebooks) from the full corpus — the
+# retrained artifact answers the ORIGINAL full-corpus oracle, vs the
+# compacted leg whose oracle is the appended one unchanged.
+@q("sim_ivfadc_topk_retrained", _IVFADC_ORACLE)
+def sim_ivfadc_topk_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RE-TRAIN leg for the COMPLETE production artifact (round 13
+    — similarity.retrain_ivfadc_index, the action ivfadc_drift_recall
+    prices): build on the standing slice (vec_id % 5 != 1), append the
+    delta (drift compounds across both frozen geometries), then the
+    blue/green rebuild on the full corpus — sibling-root build with
+    the geometry (k_centroids, m, k) inherited from the artifact's
+    pinned meta, version chain carried forward, root rename-aside
+    swap under the dying root's journal.  Must answer the original
+    sim_ivfadc_topk_stored oracle bit-for-bit: recall restoration for
+    the coarse AND residual legs in one executable claim.  _RETRAINED
+    marker guard."""
+    import shutil
+
+    from hpaste_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+        ivfadc_topk_indexed,
+        retrain_ivfadc_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfadc_retrained_dir(sf_dir)
+    marker = os.path.join(path, "_RETRAINED")
+    if os.path.isdir(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        build_ivfadc_index(
+            emb.filter(F.col("vec_id") % 5 != 1), path, k_centroids=8, m=4, k=16
+        )
+        append_ivfadc_index(spark, path, emb.filter(F.col("vec_id") % 5 == 1))
+        retrain_ivfadc_index(spark, emb, path)
+        with open(marker, "w") as fh:
+            fh.write("build+append+retrain complete\n")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivfadc_topk_indexed(spark, path, qv, nprobe=2, m=4, topk=10)
 

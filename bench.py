@@ -221,6 +221,11 @@ HEADLINE = [
     # timing against the consolidated tree; build+append+minor is
     # PREBUILD.  Same oracle as the appended leg by construction.
     "sim_ivf_knn_join_minor_compacted",
+    # round 13: blue/green re-train legs (root-swap rebuild is
+    # PREBUILD; the timed row probes the retrained artifact, which
+    # must answer the full-corpus oracle again)
+    "sim_pq_topk_retrained",
+    "sim_ivfadc_topk_retrained",
 ]
 
 #: stored-index queries whose write-once build must happen BEFORE the
@@ -254,6 +259,9 @@ PREBUILD = [
     "sim_ivfadc_drift_recall",
     # r13: build+append+MINOR-compact lifecycle (layout-only pass)
     "sim_ivf_knn_join_minor_compacted",
+    # r13: build+append+blue/green-RETRAIN lifecycle (root swap)
+    "sim_pq_topk_retrained",
+    "sim_ivfadc_topk_retrained",
 ]
 
 
