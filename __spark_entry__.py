@@ -5283,18 +5283,24 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check), the md5-deterministic KMV sample hash-gates
     exactly."""
     from hpaste_spark.functions.text import token_hash, word_shingles
-    from hpaste_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from hpaste_spark.operators.sketches import (kmv_estimate,
+                                                 kmv_sketch_from_hashes)
 
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
     )
-    est = kmv_estimate(kmv_sketch(sh, "source", "_sh", k=256), k=256)
-    exact = (
-        sh.select("source", token_hash(F.col("_sh")).alias("_h"))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    # ONE hashed-distinct pass feeds both the sketch and the exact
+    # grader (r13: kmv_sketch(raw) re-ran tokenize+md5+distinct —
+    # identical relation, so the sketch derives from hs directly; the
+    # shared distinct Exchange is reused across the two branches)
+    hs = sh.select("source", token_hash(F.col("_sh")).alias("_h")).distinct()
+    est = kmv_estimate(
+        kmv_sketch_from_hashes(hs, group_col="source", hash_col="_h", k=256),
+        k=256,
+    )
+    exact = hs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
     return (
         est.withColumnRenamed("grp", "source")
@@ -5359,21 +5365,23 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤ k-row-per-source sketch — any number of overlap questions
     without rescanning the corpus; exact columns are the grader's."""
     from hpaste_spark.functions.text import token_hash, word_shingles
-    from hpaste_spark.operators.sketches import kmv_intersect, kmv_sketch
+    from hpaste_spark.operators.sketches import (kmv_intersect,
+                                                 kmv_sketch_from_hashes)
 
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
     )
-    # the hashed distinct table serves the exact grader; the sketch
-    # hashes the raw shingles itself (same md5 family, same rows)
+    # ONE hashed distinct table serves the exact grader AND the sketch
+    # (r13: kmv_sketch(raw) re-ran the tokenize+md5+distinct corpus
+    # pass; the sketch is its bottom-k tail, so derive it from hs).
     # DISK_ONLY: the distinct (source, hash) table is O(corpus) — the
     # exact-grader side must not claim executor storage memory
     # (SCALE.md corpus-memory rule, applied r11)
     hs = sh.select(
         "source", token_hash(F.col("_sh")).alias("_h")
     ).distinct().localCheckpoint(storageLevel=_DISK_ONLY)
-    sk = kmv_sketch(sh, "source", "_sh", k=256)
+    sk = kmv_sketch_from_hashes(hs, group_col="source", hash_col="_h", k=256)
     est = kmv_intersect(sk, k=256)
     exact = (
         hs.alias("xa")
@@ -5462,17 +5470,22 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     and carries the same 1/√(k−2) guarantee; band 25% as for
     sketch_kmv_distinct.  Exact column = grader truth."""
     from hpaste_spark.functions.text import token_hash, word_shingles
-    from hpaste_spark.operators.sketches import kmv_sketch, kmv_union
+    from hpaste_spark.operators.sketches import (kmv_sketch_from_hashes,
+                                                 kmv_union)
 
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
     )
-    # DISK_ONLY: O(corpus) exact-grader table (corpus-memory rule, r11)
+    # DISK_ONLY: O(corpus) exact-grader table (corpus-memory rule, r11);
+    # the sketch derives from it too (r13 — one corpus hash pass, not two)
     hs = sh.select(
         "source", token_hash(F.col("_sh")).alias("_h")
     ).distinct().localCheckpoint(storageLevel=_DISK_ONLY)
-    est = kmv_union(kmv_sketch(sh, "source", "_sh", k=256), k=256)
+    est = kmv_union(
+        kmv_sketch_from_hashes(hs, group_col="source", hash_col="_h", k=256),
+        k=256,
+    )
     # exact union via inclusion-exclusion on equi-joins only: the
     # direct (source = a OR source = b) pair join is a nested loop
     # over the full hash table (measured 183 s at the 100× probe vs
@@ -5586,7 +5599,7 @@ def sketch_kmv_union_kway(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpaste_spark.functions.text import token_hash, word_shingles
     from hpaste_spark.operators.sketches import (
         kmv_intersect_subsets,
-        kmv_sketch,
+        kmv_sketch_from_hashes,
         kmv_union_subsets,
     )
 
@@ -5596,14 +5609,19 @@ def sketch_kmv_union_kway(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("_sh")
     )
     # hs is O(corpus) -> DISK_ONLY; sk is the k-per-group sketch table
-    # (dimension-sized) -> memory cache is exactly what it is for
+    # (dimension-sized) -> memory cache is exactly what it is for.
+    # r13: the sketch derives from hs (its bottom-k tail — identical
+    # rows for every consumed subset member) instead of re-running the
+    # tokenize+md5+distinct pass over the raw shingles.
     hs = (
         sh.filter(F.col("source").isin(subset))
         .select("source", token_hash(F.col("_sh")).alias("_h"))
         .distinct()
         .localCheckpoint(storageLevel=_DISK_ONLY)
     )
-    sk = kmv_sketch(sh, "source", "_sh", k=256).localCheckpoint()
+    sk = kmv_sketch_from_hashes(
+        hs, group_col="source", hash_col="_h", k=256
+    ).localCheckpoint()
     uni = kmv_union_subsets(sk, {"k5": subset}, k=256)
     inter = kmv_intersect_subsets(sk, {"k5": subset}, k=256)
     eu = hs.agg(F.countDistinct("_h").cast("long").alias("exact_union"))
@@ -9553,7 +9571,8 @@ def bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_rate is the empirical (1−e^{-kn/m})^k price of compressing the
     blocklist to 16384 bits."""
     from hpaste_spark.functions.text import shingle_hashes
-    from hpaste_spark.operators.dedup import bloom_bits, bloom_membership
+    from hpaste_spark.operators.dedup import (_bloom_h1h2, _bloom_mask_test,
+                                              bloom_bits, bloom_mask)
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
 
@@ -9565,27 +9584,51 @@ def bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cg = grams(d.filter(F.col("source") != "src0"))
     bg = grams(d.filter(F.col("source") == "src0"))
     bits = bloom_bits(bg, "g", m_bits=16384, k_hashes=3)
-    fl = bloom_membership(cg, bits, "g", m_bits=16384, k_hashes=3)
-    ex = cg.join(bg, "g")
-
-    ng = cg.agg(F.count(F.lit(1)).alias("n_grams"))
-    nb = fl.agg(F.count(F.lit(1)).alias("n_hit_bloom"))
-    ne = ex.agg(F.count(F.lit(1)).alias("n_hit_exact"))
-    nfp = fl.join(ex, "g", "left_anti").agg(F.count(F.lit(1)).alias("n_false_pos"))
-    nfn = ex.join(fl, "g", "left_anti").agg(F.count(F.lit(1)).alias("n_false_neg"))
-    return (
-        ng.crossJoin(nb).crossJoin(ne).crossJoin(nfp).crossJoin(nfn).select(
-            F.lit(16384).alias("m_bits"),
-            F.lit(3).alias("k_hashes"),
-            "n_grams",
-            "n_hit_bloom",
-            "n_hit_exact",
-            "n_false_pos",
-            "n_false_neg",
-            F.round(
-                F.col("n_false_pos") / (F.col("n_grams") - F.col("n_hit_exact")), 6
-            ).alias("fp_rate"),
+    # r13 single-pass confusion (guide §2.4): per distinct corpus gram,
+    # bloom membership is a map-side mask test and exact membership one
+    # left join against the distinct benchmark grams; ONE aggregate
+    # derives all five counters.  The pre-r13 form ran five separate
+    # aggregate branches (bloom join + two anti-joins + two counts)
+    # over re-derived gram relations.
+    h1, h2 = _bloom_h1h2(F.col("g"))
+    marked = (
+        cg.select("g", h1.alias("_h1"), h2.alias("_h2"))
+        .crossJoin(F.broadcast(bloom_mask(bits, 16384)))
+        .withColumn(
+            "_ib",
+            _bloom_mask_test(F.col("_h1"), F.col("_h2"), F.col("_mask"), 16384, 3)
+            .cast("int"),
         )
+        .join(bg.withColumn("_ie", F.lit(1)), "g", "left")
+    )
+    zero = F.lit(0).cast("long")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("_ib"), zero).alias("n_hit_bloom"),
+        F.count("_ie").alias("n_hit_exact"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_ib") == 1) & F.col("_ie").isNull(), 1).otherwise(0)
+            ),
+            zero,
+        ).alias("n_false_pos"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_ib") == 0) & F.col("_ie").isNotNull(), 1).otherwise(0)
+            ),
+            zero,
+        ).alias("n_false_neg"),
+    ).select(
+        F.lit(16384).alias("m_bits"),
+        F.lit(3).alias("k_hashes"),
+        "n_grams",
+        "n_hit_bloom",
+        "n_hit_exact",
+        "n_false_pos",
+        "n_false_neg",
+        F.round(
+            F.col("n_false_pos") / (F.col("n_grams") - F.col("n_hit_exact")), 6
+        ).alias("fp_rate"),
     )
 
 
@@ -11434,10 +11477,11 @@ _ORACLES["stream_decontaminate_bloom"] = _ORACLES["decontaminate_bloom"]
 @q("stream_decontaminate_bloom", None)
 def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom decontamination AT INGEST: the corpus replays as a file
-    stream and every doc is probed against the static broadcast bit
-    table by streaming.dedup.stream_bloom_flags — k chained stateless
-    stream-static semi-joins, no watermark, no state store, the
-    always-on filter a 100 TB pipeline runs on arriving crawl data.
+    stream and every doc is probed against the static blocklist by
+    streaming.dedup.stream_bloom_flags — a stateless map-side bit test
+    against the one-row broadcast bloom_mask (r13; previously k
+    chained stream-static semi-joins), no watermark, no state store,
+    the always-on filter a 100 TB pipeline runs on arriving crawl data.
     The md5 probe family is deterministic, so the landed flag rows are
     the identical relation the batch operator computes and the SAME
     oracle as decontaminate_bloom grades the streaming execution

@@ -2118,6 +2118,71 @@ def bloom_bits(
     )
 
 
+def bloom_mask(bits: DataFrame, m_bits: int) -> DataFrame:
+    """ONE-ROW bitmask form of the set-bit table: ``_mask`` is an
+    ``array<long>`` of ``ceil(m_bits/64)`` words, word ``j`` holding
+    bits ``[64j, 64j+63]`` (bit ``b`` → word ``b >> 6``, position
+    ``b & 63``).  Exactly the information of the (bit) relation packed
+    8 bits/byte, so membership becomes per-row ARITHMETIC instead of a
+    join: probing k positions reads k words out of one broadcast row —
+    no explode, no equi-join, no re-aggregation of the probe side
+    (r13 optimization; guide §2.4 "remove shuffles outright").
+
+    Build shape: ≤ m_bits input rows → ≤ m_bits/64-group bit_or — two
+    KB-sized exchanges, independent of both corpus and blocklist
+    cardinality.  Missing words (no bit set in that 64-bit span) fill
+    with 0 via the map lookup, so the array is always dense.
+
+    For small geometries (m_bits ≤ 2^20, mask ≤ 128 KB) the bit
+    relation is first coalesced to ONE task: an append-fragmented bits
+    tree otherwise fans the trivial word-OR into dozens of scheduled
+    tasks across two shuffle stages (measured +0.5 s per probe on the
+    appended artifact).  Big filters keep the parallel groupBy."""
+    n_words = (m_bits + 63) // 64
+    if m_bits <= (1 << 20):
+        bits = bits.coalesce(1)
+    return (
+        bits.select(
+            F.shiftright(F.col("bit"), 6).alias("_w"),
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("_v"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_v)").alias("_or"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_w"), F.col("_or")))
+            ).alias("_m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("_m"), j.cast("long")), F.lit(0).cast("long")
+                ),
+            ).alias("_mask")
+        )
+    )
+
+
+def _bloom_mask_test(h1, h2, mask_col, m_bits: int, k_hashes: int):
+    """Boolean Column: all ``k_hashes`` Kirsch-Mitzenmacher positions
+    of (h1, h2) are set in ``mask_col`` (a :func:`bloom_mask` word
+    array).  Pure codegen arithmetic — k element_at + shift + AND per
+    value; identical positive set to the old count-of-matched-bits
+    join by construction (same probe family, same bit table)."""
+    test = F.lit(True)
+    for i in range(k_hashes):
+        bit = _bloom_bit(h1, h2, F.lit(i), m_bits)
+        word = F.element_at(mask_col, F.shiftright(bit, 6).cast("int") + 1)
+        test = test & (
+            F.call_function(
+                "shiftright", word, (bit % 64).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    return test
+
+
 def bloom_membership(
     probes: DataFrame,
     bits: DataFrame,
@@ -2126,36 +2191,66 @@ def bloom_membership(
     k_hashes: int = 3,
 ) -> DataFrame:
     """Rows of ``probes`` whose value tests POSITIVE against the Bloom
-    bit table: expand each probe row to its k bit positions, equi-join
-    the (broadcast, ≤ m_bits-row) bit table, and keep rows where all k
-    probe positions matched.  The probe side is the 100 TB side and is
-    never shuffled — the join is broadcast and the all-k check is a
-    map-side-combinable count keyed by the probe row's own columns.
+    bit table: the bit relation is packed into a one-row
+    :func:`bloom_mask` word array, attached to the probe side by a
+    single-row broadcast cross join (the attach-a-constant plan), and
+    every probe row tests its k positions with in-row bit arithmetic
+    (:func:`_bloom_mask_test`).  The probe side is the 100 TB side and
+    is never shuffled, never exploded k-way, and never re-aggregated —
+    the whole membership check is map-side (r13: previously this was
+    explode ×k → broadcast equi-join → count==k re-aggregation, which
+    shuffled the exploded probe relation once per call; guide §2.4).
 
-    Contract: probe ROWS must be unique over their column tuple (a
-    duplicated row would double its matched-position count past k and
-    be silently DROPPED — a false negative).  Callers here guarantee
-    it (grams are array_distinct per doc); dedupe upstream if yours
-    don't — an unconditional .distinct() here would shuffle the whole
-    corpus-sized probe side on every call."""
-    ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
+    Unlike the old count-based form, duplicate probe rows are safe
+    (each copy tests independently — the old form silently DROPPED a
+    duplicated row as a false negative); callers here still feed
+    per-doc-distinct grams, so declared outputs are unchanged."""
     keys = [c for c in probes.columns]
     h1, h2 = _bloom_h1h2(F.col(val_col))
-    pp = (
-        # md5 ONCE per probe row; the k-way expansion is arithmetic
-        probes.select(*keys, h1.alias("_h1"), h2.alias("_h2"))
-        .select(*keys, "_h1", "_h2", ks)
-        .select(
-            *keys,
-            _bloom_bit(F.col("_h1"), F.col("_h2"), F.col("i"), m_bits).alias("bit"),
-        )
-    )
     return (
-        pp.join(F.broadcast(bits), "bit")
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_k_set"))
-        .filter(F.col("_k_set") == k_hashes)
+        # md5 ONCE per probe row; the k probes are pure arithmetic
+        probes.select(*keys, h1.alias("_h1"), h2.alias("_h2"))
+        .crossJoin(F.broadcast(bloom_mask(bits, m_bits)))
+        .filter(
+            _bloom_mask_test(
+                F.col("_h1"), F.col("_h2"), F.col("_mask"), m_bits, k_hashes
+            )
+        )
         .select(*keys)
+    )
+
+
+def _bloom_flag_counts(
+    corpus: DataFrame,
+    bits: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """The shared corpus leg of :func:`bloom_decontaminate` /
+    :func:`decontaminate_bloom_stored`: (id, n_flagged) with
+    n_flagged = count of the doc's distinct grams testing
+    bloom-positive, docs with zero positives absent.  The gram explode
+    and the md5 probe projection stay whole-stage-codegen (a
+    higher-order-function lambda would interpret the md5 per element —
+    the measured shingle-pipeline lesson), the membership test is a
+    map-side codegen filter against the broadcast one-row
+    :func:`bloom_mask`, and the only shuffle is the per-doc count over
+    the FLAGGED rows (benchmark-hit grams only) — not over the full
+    exploded gram relation as in the pre-r13 count-of-matched-bits
+    form."""
+    return (
+        bloom_membership(
+            _doc_grams(corpus, text_col, id_col, n),
+            bits,
+            "g",
+            m_bits=m_bits,
+            k_hashes=k_hashes,
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
     )
 
 
@@ -2180,24 +2275,25 @@ def bloom_decontaminate(
     priced by bloom_fp_eval), false negatives cannot happen, so
     nothing contaminated ever slips through.  Returns (id, n_flagged)
     with n_flagged = the doc's count of bloom-positive distinct
-    grams."""
+    grams.
+
+    r13 shape: the corpus side never explodes and never shuffles —
+    each doc's distinct-gram ARRAY is filtered in-row against the
+    broadcast :func:`bloom_mask` word array and n_flagged is its
+    surviving size, so the whole corpus leg is one map-side pass
+    (previously: explode ×k probes → broadcast join → two shuffled
+    re-aggregations of the exploded gram relation; guide §2.4)."""
     from hpaste_spark.functions.text import shingle_hashes
 
-    def grams(df: DataFrame) -> DataFrame:
-        return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n))).alias(
-                "g"
-            ),
-        )
-
     bits = bloom_bits(
-        grams(benchmark).select("g"), "g", m_bits=m_bits, k_hashes=k_hashes
+        _doc_grams(benchmark, text_col, id_col, n).select("g"),
+        "g",
+        m_bits=m_bits,
+        k_hashes=k_hashes,
     )
-    flagged = bloom_membership(
-        grams(corpus), bits, "g", m_bits=m_bits, k_hashes=k_hashes
+    return _bloom_flag_counts(
+        corpus, bits, text_col, id_col, n, m_bits, k_hashes
     )
-    return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))
 
 
 def dedup_lines(
@@ -2293,8 +2389,7 @@ def dedup_lines(
 def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, g) — per-doc DISTINCT n-gram hashes, the probe/insert unit
     shared by the ngram and Bloom decontamination paths (array_distinct
-    per doc also upholds bloom_membership's unique-probe-row
-    contract)."""
+    per doc keeps n_flagged a count of DISTINCT contaminated grams)."""
     from hpaste_spark.functions.text import shingle_hashes
 
     return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
@@ -2482,18 +2577,19 @@ def decontaminate_bloom_stored(
     same geometry (the md5 probes are deterministic, so stored and
     recomputed bits are identical relations), but the benchmark pass
     is replaced by a ≤ m_bits-row parquet READ.  The corpus side
-    streams through the broadcast bit join exactly as before: never
-    shuffled, no pair expansion."""
+    streams through the broadcast mask filter exactly as in the
+    in-plan form: never shuffled, no pair expansion."""
     meta = _bloom_meta(spark, path)
     bits = spark.read.parquet(f"{path}/bits")
-    flagged = bloom_membership(
-        _doc_grams(corpus, text_col, id_col, meta["n"]),
+    return _bloom_flag_counts(
+        corpus,
         bits,
-        "g",
-        m_bits=meta["m_bits"],
-        k_hashes=meta["k_hashes"],
+        text_col,
+        id_col,
+        meta["n"],
+        meta["m_bits"],
+        meta["k_hashes"],
     )
-    return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))
 
 
 def cross_source_dup_matrix(

@@ -460,6 +460,34 @@ def kmv_sketch(
     )
 
 
+def kmv_sketch_from_hashes(
+    hashed: DataFrame,
+    group_col: str = "grp",
+    hash_col: str = "h",
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k per group over an ALREADY token-hashed AND distinct
+    (grp, h) relation — :func:`kmv_sketch`'s tail for callers that
+    materialize the hashed-distinct table anyway (every KMV grader
+    query does, for its exact column): reusing it saves the second
+    full tokenize+md5+distinct pass ``kmv_sketch(raw)`` would run over
+    the corpus (r13 optimization; guide §1.2 "don't compute things
+    twice").  Identical output to kmv_sketch on the raw values by
+    construction: same token_hash family, same distinct relation, same
+    rank window."""
+    from pyspark.sql import Window
+
+    d = hashed.select(
+        F.col(group_col).alias("grp"), F.col(hash_col).alias("h")
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("grp", "h")
+    )
+
+
 def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Union of KMV sketch tables: distinct the merged hash rows and
     keep the bottom k per group again.  Associative and commutative —

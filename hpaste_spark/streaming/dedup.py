@@ -140,15 +140,16 @@ def stream_bloom_flags(
     the stream that tests bloom-POSITIVE is emitted append-mode, with
     no watermark, no state store, and no micro-batch barrier.
 
-    The batch operator (dedup.bloom_membership) proves all-k-bits-set
-    with a per-gram COUNT — an aggregation a pure append stream cannot
-    run statelessly.  Here the same predicate is k chained LEFT SEMI
-    joins against the (static, broadcast, ≤ m_bits-row) bit table, one
-    per probe position: a gram survives the chain iff every one of its
-    k Kirsch-Mitzenmacher bits is set — identical row set to the batch
-    operator by construction, stream-static joins are stateless, and
-    the blocklist side is the write-once build_bloom_filter artifact
-    read once per (re)start, never per batch.
+    The batch operator (dedup.bloom_membership) tests all-k-bits-set
+    with in-row bit arithmetic against the one-row
+    :func:`~hpaste_spark.operators.dedup.bloom_mask` word array; this
+    is the SAME plan as a stream-static single-row broadcast cross
+    join — stateless, no watermark, and (since r13) no per-gram
+    equi-join at all: each micro-batch's gram rows are filtered
+    map-side (previously k chained broadcast semi-joins, one per probe
+    position, each rebuilding its broadcast per batch).  The blocklist
+    side is the write-once build_bloom_filter artifact read once per
+    (re)start, never per batch.
 
     Returns the flagged (id, gram-hash) relation; roll up per doc
     downstream (foreachBatch, or the batch path on the landed data).
@@ -156,20 +157,21 @@ def stream_bloom_flags(
     over-flag at the priced FP rate, false negatives cannot happen."""
     from pyspark.sql import functions as F
 
-    from hpaste_spark.operators.dedup import _bloom_bit, _bloom_h1h2, _doc_grams
+    from hpaste_spark.operators.dedup import (_bloom_h1h2, _bloom_mask_test,
+                                              _doc_grams, bloom_mask)
 
     g = _doc_grams(stream_docs, text_col, id_col, n)
     h1, h2 = _bloom_h1h2(F.col("g"))
-    out = g.select(F.col(id_col), F.col("g"), h1.alias("_h1"), h2.alias("_h2"))
-    for i in range(k_hashes):
-        probe = bits.select(F.col("bit").alias(f"_b{i}"))
-        out = out.join(
-            F.broadcast(probe),
-            _bloom_bit(F.col("_h1"), F.col("_h2"), F.lit(i), m_bits)
-            == F.col(f"_b{i}"),
-            "left_semi",
+    return (
+        g.select(F.col(id_col), F.col("g"), h1.alias("_h1"), h2.alias("_h2"))
+        .crossJoin(F.broadcast(bloom_mask(bits, m_bits)))
+        .filter(
+            _bloom_mask_test(
+                F.col("_h1"), F.col("_h2"), F.col("_mask"), m_bits, k_hashes
+            )
         )
-    return out.select(id_col, "g")
+        .select(id_col, "g")
+    )
 
 
 def stream_bloom_flags_stored(

@@ -504,11 +504,16 @@ def test_stored_two_level_cells_restriction_prunes_cid1_partitions(spark):
 
 
 def test_bloom_membership_broadcasts_bits_never_shuffles_probe_to_sort(spark, queries):
-    """decontaminate_bloom: the bit table (≤ m_bits rows) must be the
-    BROADCAST side of the membership join; the corpus-sized probe side
-    must never enter a SortMergeJoin for it."""
+    """decontaminate_bloom (r13 mask form): the bit table compresses to
+    a ONE-ROW bloom_mask word array attached by a single-row broadcast
+    cross join whose join CONDITION is the k-probe bit test — the
+    corpus-sized probe side is never shuffled, never equi-joined, and
+    never sort-merged; its only exchange is the final per-doc count
+    over the flagged rows."""
     plan = plan_of(queries["decontaminate_bloom"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row mask attach
+    assert "_mask" in plan and "shiftright" in plan  # in-row bit test
+    assert "BroadcastHashJoin" not in plan  # no per-bit equi-join left
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -516,10 +521,11 @@ def test_bloom_membership_broadcasts_bits_never_shuffles_probe_to_sort(spark, qu
 def test_stored_bloom_broadcasts_read_bits_and_skips_benchmark_pass(spark, queries):
     """decontaminate_bloom_stored: the artifact's bit table arrives by
     a parquet READ (no benchmark gram pass in the plan — exactly one
-    parquet source, the corpus) and is still the BROADCAST side; the
-    probe side never sort-merges."""
+    parquet source, the corpus), packs into the one-row bloom_mask,
+    and the probe side never sort-merges."""
     plan = plan_of(queries["decontaminate_bloom_stored"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "_mask" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # sources: documents (corpus) + the artifact's bits parquet — the
