@@ -73,41 +73,65 @@ def stopword_count(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column) -> Column:
-    n = token_count(col)
-    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(col) / n)
+    # bind1: the token split would otherwise run twice (count + filter)
+    return bind1(
+        tokens(col),
+        lambda t: F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))) / F.size(t)
+        ),
+    )
 
 
 def avg_token_len(col: Column) -> Column:
-    t = tokens(col)
-    n = F.size(t)
-    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    return F.when(n == 0, F.lit(0.0)).otherwise(total / n)
+    def _avg(t: Column) -> Column:
+        n = F.size(t)
+        total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        return F.when(n == 0, F.lit(0.0)).otherwise(total / n)
+
+    return bind1(tokens(col), _avg)
 
 
 def quality_score(col: Column) -> Column:
     """Composite quality heuristic: penalize very short docs, high
-    punctuation density and stopword-free (non-natural) text."""
-    n = token_count(col)
-    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
-    punct_ratio = F.when(F.length(col) == 0, F.lit(0.0)).otherwise(punct_count(col) / F.length(col))
-    return F.round(
-        F.lit(0.5) * len_score + F.lit(0.3) * stopword_ratio(col) + F.lit(0.2) * (1 - punct_ratio), 4
-    )
+    punctuation density and stopword-free (non-natural) text.  The
+    token split is bound ONCE (r13 bind1): the length, stopword and
+    ratio terms otherwise each re-ran the regex split per row."""
+
+    def _score(t: Column) -> Column:
+        n = F.size(t)
+        len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+        stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))) / n
+        )
+        punct_ratio = F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+            punct_count(col) / F.length(col)
+        )
+        return F.round(
+            F.lit(0.5) * len_score
+            + F.lit(0.3) * stop_ratio
+            + F.lit(0.2) * (1 - punct_ratio),
+            4,
+        )
+
+    return bind1(tokens(col), _score)
 
 
 def lang_guess(col: Column) -> Column:
     """N-gram-free language-ID heuristic: first language whose marker
-    words appear among the tokens wins; 'unknown' otherwise."""
-    t = tokens(col)
+    words appear among the tokens wins; 'unknown' otherwise.  Token
+    split bound once across the per-language membership tests."""
 
     def _member_of(words):
         return lambda x: x.isin(*words)
 
-    out = F.lit("unknown")
-    for lang, markers in reversed(LANG_MARKERS):
-        hit = F.size(F.filter(t, _member_of(markers))) > 0
-        out = F.when(hit, F.lit(lang)).otherwise(out)
-    return out
+    def _guess(t: Column) -> Column:
+        out = F.lit("unknown")
+        for lang, markers in reversed(LANG_MARKERS):
+            hit = F.size(F.filter(t, _member_of(markers))) > 0
+            out = F.when(hit, F.lit(lang)).otherwise(out)
+        return out
+
+    return bind1(tokens(col), _guess)
 
 
 def poly_hash(col: Column, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
@@ -133,6 +157,26 @@ def token_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 13), 16, 10).cast("long")
 
 
+def bind1(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable: ``transform(array(col), fn)[1]``.
+
+    Spark has no `let` expression, and a non-cheap subtree that appears
+    k times inside ONE Column expression is re-evaluated k times per
+    row — there is no cross-occurrence subexpression elimination
+    inside Generate/HOF expression trees (the winnow_select docstring
+    documents the caller-side select workaround; this helper closes
+    the hazard INSIDE composed expressions, where no projection
+    boundary is available).  A lambda-variable reference, by contrast,
+    is a bound-value read.  Measured on the 5-gram pipeline at sf0.1:
+    the explode leg drops 2.6 s → 0.6 s (the token-hash array was
+    being recomputed once per zip_with slice).  The one-element
+    transform adds a single interpreted lambda call per row — noise
+    next to the chains it wraps, which are HOFs (CodegenFallback)
+    already."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """n-word shingles (the MinHash input): array of space-joined n-grams.
 
@@ -140,15 +184,22 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     a lambda body referencing the token array re-evaluates the regexp
     split once PER ELEMENT (O(tokens²) splits per doc — measured 6.5s
     → 1.5s for the sf0.1 shingle explode); as zip_with arguments the
-    slices evaluate once per row.  The greatest(…, 0) slice length
-    doubles as the short-doc guard: < n tokens → empty slices → empty
-    shingle array."""
-    t = tokens(col)
-    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    acc = F.slice(t, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(acc, F.slice(t, 1 + j, m), lambda a, w: F.concat(a, F.lit(" "), w))
-    return acc
+    slices evaluate once per row.  The token array itself is bound
+    ONCE via :func:`bind1` (r13): as a plain subtree it appeared in
+    every slice argument and was re-tokenized n+1 times per row.  The
+    greatest(…, 0) slice length doubles as the short-doc guard: < n
+    tokens → empty slices → empty shingle array."""
+
+    def _chain(t: Column) -> Column:
+        m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        acc = F.slice(t, 1, m)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice(t, 1 + j, m), lambda a, w: F.concat(a, F.lit(" "), w)
+            )
+        return acc
+
+    return bind1(tokens(col), _chain)
 
 
 def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HASH_BASE) -> Column:
@@ -166,13 +217,21 @@ def shingle_hashes(col: Column, n: int = 3, mod: int = HASH_MOD, base: int = HAS
     token-hash array inside a per-shingle lambda recomputes the whole
     char-level hash per shingle (~50× the work; measured 19.6s → 5.9s
     at sf0.1).  As zip_with *arguments* the slices are evaluated once
-    per row."""
-    th = F.transform(tokens(col), token_hash)
-    m = F.greatest(F.size(th) - (n - 1), F.lit(0))
-    acc = F.slice(th, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(acc, F.slice(th, 1 + j, m), lambda a, t: (a * base + t) % mod)
-    return acc
+    per row — and the token-hash array they slice is bound ONCE via
+    :func:`bind1` (r13): as a plain subtree it was re-evaluated (one
+    md5 pass over every token) once per slice argument, ~n× per row;
+    measured 2.6 s → 0.6 s on the sf0.1 5-gram explode leg."""
+
+    def _chain(th: Column) -> Column:
+        m = F.greatest(F.size(th) - (n - 1), F.lit(0))
+        acc = F.slice(th, 1, m)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice(th, 1 + j, m), lambda a, t: (a * base + t) % mod
+            )
+        return acc
+
+    return bind1(F.transform(tokens(col), token_hash), _chain)
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
@@ -221,11 +280,12 @@ def winnow_fingerprints(col: Column, n: int = 3, w: int = 4) -> Column:
     hashes, deduplicated.  Guarantees a match of length >= n+w-1
     shares a fingerprint while storing only ~2/(w+1) of the hashes.
 
-    Convenience composition for single-expression use; operators
-    should materialize ``shingle_hashes`` in a select first and call
-    :func:`winnow_select` on the attribute (see its docstring for the
-    re-evaluation hazard)."""
-    return winnow_select(shingle_hashes(col, n), w)
+    Convenience composition for single-expression use; the hash array
+    is bound once via :func:`bind1` (r13), so this no longer pays the
+    ~2w× re-evaluation winnow_select's docstring warns about —
+    operators may still prefer the explicit two-step select for plan
+    readability."""
+    return bind1(shingle_hashes(col, n), lambda h: winnow_select(h, w))
 
 
 def normalize_text(col: Column) -> Column:
@@ -253,9 +313,12 @@ def dup_ngram_ratio(col: Column, n: int = 2) -> Column:
     filtering (Rae et al. 2021, §A1.1).  Null when the document has
     fewer than n tokens.  Pure array expressions: zero shuffle, fully
     whole-stage-codegen."""
-    bg = word_shingles(col, n)
-    k = F.size(bg)
-    return F.when(k > 0, F.lit(1.0) - F.size(F.array_distinct(bg)) / k)
+    return bind1(
+        word_shingles(col, n),
+        lambda bg: F.when(
+            F.size(bg) > 0, F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg)
+        ),
+    )
 
 
 def top_token_ratio(col: Column) -> Column:
@@ -264,8 +327,6 @@ def top_token_ratio(col: Column) -> Column:
     array, then one fold tracking the longest run of equal adjacent
     elements — per-document max frequency without exploding tokens
     into a (doc, token) aggregation."""
-    toks = tokens(col)
-    srt = F.array_sort(toks)
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
@@ -278,8 +339,11 @@ def top_token_ratio(col: Column) -> Column:
             x.alias("prev"), newrun.alias("run"), F.greatest(acc["best"], newrun).alias("best")
         )
 
-    best = F.aggregate(srt, init, step, lambda acc: acc["best"])
-    return F.when(F.size(toks) > 0, best / F.size(toks))
+    def _ratio(toks: Column) -> Column:
+        best = F.aggregate(F.array_sort(toks), init, step, lambda acc: acc["best"])
+        return F.when(F.size(toks) > 0, best / F.size(toks))
+
+    return bind1(tokens(col), _ratio)
 
 
 # PII scrub patterns (ASCII-only so Java regex and RE2 agree); applied

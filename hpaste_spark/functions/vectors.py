@@ -26,8 +26,47 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    d = norm(a) * norm(b)
-    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+    """Cosine similarity with every subtree evaluated ONCE (r13):
+    written naively as ``when(norm·norm == 0, 0, dot/(norm·norm))``
+    the two norm folds run twice (once in the zero test, once in the
+    division) and each ``as_double`` array cast re-runs per fold
+    reference — 5 interpreted 64-element folds + 10 array casts per
+    call.  HOF expression trees get no subexpression elimination, so
+    the casts and the three fold sums are bound through
+    ``functions.text.bind1`` instead: 3 folds + 2 casts, identical
+    arithmetic in the identical fold order (bit-reproducible vs the
+    oracle, unchanged)."""
+    from .text import bind1
+
+    def _sums(s: Column) -> Column:
+        return F.struct(
+            F.aggregate(
+                F.zip_with(s["a"], s["b"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dab"),
+            F.aggregate(
+                F.zip_with(s["a"], s["a"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("na2"),
+            F.aggregate(
+                F.zip_with(s["b"], s["b"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("nb2"),
+        )
+
+    def _cos(t: Column) -> Column:
+        d = F.sqrt(t["na2"]) * F.sqrt(t["nb2"])
+        return F.when(d == 0, F.lit(0.0)).otherwise(t["dab"] / d)
+
+    return bind1(
+        bind1(
+            F.struct(as_double(a).alias("a"), as_double(b).alias("b")), _sums
+        ),
+        _cos,
+    )
 
 
 def l2_distance(a: Column, b: Column) -> Column:
