@@ -9583,7 +9583,7 @@ def bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cg = grams(d.filter(F.col("source") != "src0"))
     bg = grams(d.filter(F.col("source") == "src0"))
-    bits = bloom_bits(bg, "g", m_bits=16384, k_hashes=3)
+    bits = bloom_bits(bg, "g", m_bits=16384, k_hashes=3, distinct=False)
     # r13 single-pass confusion (guide §2.4): per distinct corpus gram,
     # bloom membership is a map-side mask test and exact membership one
     # left join against the distinct benchmark grams; ONE aggregate

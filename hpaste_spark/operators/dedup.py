@@ -2090,7 +2090,11 @@ def _bloom_bit(h1_col, h2_col, i_col, m_bits: int):
 
 
 def bloom_bits(
-    values: DataFrame, val_col: str = "g", m_bits: int = 16384, k_hashes: int = 3
+    values: DataFrame,
+    val_col: str = "g",
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """The SET-BIT table of a distributed Bloom filter over a value
     column: each distinct value sets ``k_hashes`` md5-derived bit
@@ -2107,15 +2111,20 @@ def bloom_bits(
     """
     ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
     h1, h2 = _bloom_h1h2(F.col(val_col))
-    return (
+    out = (
         values.select(F.col(val_col)).distinct()
         # md5 ONCE per value: h1/h2 are materialized by this projection
         # boundary, the k-way explode below is pure arithmetic
         .select(h1.alias("_h1"), h2.alias("_h2"))
         .select("_h1", "_h2", ks)
         .select(_bloom_bit(F.col("_h1"), F.col("_h2"), F.col("i"), m_bits).alias("bit"))
-        .distinct()
     )
+    # ``distinct=False`` (r13): a caller feeding :func:`bloom_mask`
+    # can skip the bit-level dedup exchange — the mask's bit_or
+    # absorbs duplicates, so the packed filter is identical.  Artifact
+    # writers keep the default (the stored bits relation is
+    # contractually duplicate-free for the append anti-join).
+    return out.distinct() if distinct else out
 
 
 def bloom_mask(bits: DataFrame, m_bits: int) -> DataFrame:
@@ -2290,6 +2299,7 @@ def bloom_decontaminate(
         "g",
         m_bits=m_bits,
         k_hashes=k_hashes,
+        distinct=False,  # mask build absorbs duplicate bits
     )
     return _bloom_flag_counts(
         corpus, bits, text_col, id_col, n, m_bits, k_hashes
