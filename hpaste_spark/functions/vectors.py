@@ -13,7 +13,14 @@ from pyspark.sql import functions as F
 
 
 def as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    # array-level Cast, not transform(x -> cast): identical element-wise
+    # semantics (same per-element Cast, same order, same null handling —
+    # A/B hash-verified), but Cast is codegen while ArrayTransform is
+    # interpreted, and the optimizer REMOVES the cast entirely when the
+    # input is already array<double> (the pre-cast `_e` columns every
+    # monitor/grader feeds back through dot/cosine), where transform
+    # always rebuilt the array per row.
+    return vec.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
