@@ -10191,17 +10191,29 @@ def vec_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = ivf_assign(emb, cents1, n_dim_rows=k1 * dim).withColumnRenamed(
         "cid", "cid1"
     )
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).join(
-        a1, "vec_id"
+    from pyspark.storagelevel import StorageLevel
+
+    # v feeds FOUR branches (seed means, the refine assign, the refined
+    # means' join, the membership count) — uncut, the coarse assign
+    # replays per branch (r13: 74 exchanges / 52 scans in this plan).
+    # Lazy DISK_ONLY per the corpus-memory rule.
+    v = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .join(a1, "vec_id")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    # both k1·k2-row sub-centroid tables are read twice (c20: the shift
+    # diff + the refine assign; c21: the shift diff + the count assign)
+    # — cut each so its corpus-dim aggregation runs once (same
+    # localCheckpoint-not-persist rationale as cents1 above)
     c20_t = _sub_means(
         v.select("vec_id", "cid1", (F.col("vec_id") % k2).alias("scid"), "e")
-    )
+    ).localCheckpoint()
     c21_t = _sub_means(
         v.join(
             _sub_assign(v, c20_t, k1 * k2 * dim).select("vec_id", "scid"), "vec_id"
         ).select("vec_id", "cid1", "scid", "e")
-    )
+    ).localCheckpoint()
     c20 = c20_t.select("cid1", "scid", F.col("cvec").alias("_c0"))
     c21 = c21_t.select("cid1", "scid", F.col("cvec").alias("_c1"))
     counts = (

@@ -1094,6 +1094,16 @@ def semantic_dedup(
         .withColumn("_n", F.sqrt(dot(F.col("_e"), F.col("_e"))))
         .join(assign, id_col)
     )
+    # _semantic_prune consumes m THREE times (pair sides a and b, plus
+    # the final kept-set anti-join) — without a cut the whole
+    # cluster+assign lineage above re-executes per consumer (r13
+    # measurement: 32 exchanges / 18 scans in the flat plan, 3x the
+    # single-pass shape).  Lazy DISK_ONLY per the corpus-memory rule;
+    # values are unchanged (the checkpoint materializes the rows the
+    # replayed lineage would deterministically recompute).
+    from pyspark.storagelevel import StorageLevel
+
+    m = m.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     return _semantic_prune(m, threshold, id_col, max_cluster)
 
 
@@ -1609,6 +1619,14 @@ def semantic_dedup_two_level(
             "cc",
         )
     )
+    # same 3-consumer cut as the flat path (see semantic_dedup) — here
+    # the replayed lineage is the ENTIRE two-level train+assign (r13
+    # measurement: 66 exchanges / 42 scans before the cut).  The
+    # stored variant deliberately takes no checkpoint: its lineage is
+    # a parquet read whose cid1 partition pruning must stay visible.
+    from pyspark.storagelevel import StorageLevel
+
+    m = m.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     return _semantic_prune(m, threshold, id_col, max_cluster)
 
 
@@ -1927,6 +1945,12 @@ def _self_run_islands(
         p = p.withColumn(
             "_occ", F.count(F.lit(1)).over(Window.partitionBy("g"))
         ).filter(F.col("_occ") <= max_occ)
+    # the (id, pos, gram) table feeds BOTH self-join sides — cut it so
+    # the tokenize + per-window md5 gram pass runs once (r13; lazy
+    # DISK_ONLY per the corpus-memory rule, values unchanged)
+    from pyspark.storagelevel import StorageLevel
+
+    p = p.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = p.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "g")
     b = p.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "g")
     hits = (

@@ -232,6 +232,12 @@ def shared_frame_run_pairs(
             .filter(F.col("_df") <= max_frame_df)
         )
         fr = fr.join(ok.select("fh"), "fh")
+    # fr feeds both self-join sides (and the df-cap branch): cut it so
+    # the frame-sample + md5 pass runs once (r13; lazy DISK_ONLY per
+    # the corpus-memory rule, values unchanged)
+    from pyspark.storagelevel import StorageLevel
+
+    fr = fr.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = fr.select(
         F.col("doc_id").alias("doc_a"), F.col("frame_no").alias("fa"), "fh"
     )
@@ -414,6 +420,13 @@ def near_frame_pairs(
             ).drop("_bn")
         else:
             k = k.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    # the banded-signature table feeds BOTH self-join sides — uncut,
+    # the whole frame-sample + dHash-fold pass (the expensive per-frame
+    # work) replays per side (r13: 4 corpus scans in the plan).  Lazy
+    # DISK_ONLY per the corpus-memory rule; values unchanged.
+    from pyspark.storagelevel import StorageLevel
+
+    k = k.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = k.select(
         F.col("doc_id").alias("doc_a"),
         F.col("fsig").alias("sig_a"),
@@ -468,6 +481,11 @@ def shared_frame_pairs(
             F.col("_df") <= max_frame_df
         )
         fr = fr.join(ok.select("fh"), "fh")
+    # fr feeds both self-join sides: cut it so the frame-sample + md5 +
+    # distinct pass runs once (r13; lazy DISK_ONLY, values unchanged)
+    from pyspark.storagelevel import StorageLevel
+
+    fr = fr.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = fr.alias("a")
     b = fr.alias("b")
     return (

@@ -637,10 +637,15 @@ def _kcenter_greedy(df, k, id_col, vec_col):
         raise ValueError("kcenter selection needs a non-empty input")
     seed = head[0]
     picked = [(1, int(seed["vec_id"]), None, list(seed["_e"]))]
+    # lazy cuts (r13): an EAGER per-round checkpoint paid two actions
+    # per round (materialize, then the argmax collect re-scanned the
+    # materialized rows); eager=False folds the materialization into
+    # the argmax action itself — one corpus pass per round, same rows,
+    # and round t+1 still reads round t's materialized output.
     cand = (
         w.filter(F.col("vec_id") != seed["vec_id"])
         .withColumn("_d2", _vec_dist2(F.col("_e"), seed["_e"]))
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     for rank in range(2, k + 1):
         row = cand.select(
@@ -661,7 +666,7 @@ def _kcenter_greedy(df, k, id_col, vec_col):
                 .withColumn(
                     "_d2", F.least(F.col("_d2"), _vec_dist2(F.col("_e"), row["e"]))
                 )
-                .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+                .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
             )
     return picked
 

@@ -842,3 +842,38 @@ def test_kmv_overlap_never_rescans_corpus(spark, queries):
     plan = plan_of(queries["sketch_kmv_overlap"](spark, SF_DIR))
     assert plan.count("documents.parquet") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_single_assignment_pass(spark, queries):
+    """r13 §7: the SemDeDup keep rule consumes the assigned corpus
+    THREE times (pair sides a and b, the kept-set anti-join) — the
+    assignment chain must be checkpoint-cut so the final plan contains
+    zero embeddings scans (the cut's once-executed lineage holds the
+    only one) instead of one full cluster+assign replay per consumer
+    (first audit: 42 scans / 66 Exchanges in the two-level plan)."""
+    for q in ("dedup_semantic", "dedup_semantic_2level", "dedup_semantic_autok"):
+        plan = plan_of(queries[q](spark, SF_DIR))
+        assert plan.count("embeddings.parquet") == 0, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_frame_pair_selfjoins_read_cut_not_corpus(spark, queries):
+    """r13 §7: the frame-signature/band-key table feeds both self-join
+    sides; with the cut the FINAL plan re-reads the materialized table
+    instead of re-running the frame-sample + signature pass per side
+    (first audit: 4 documents scans in mm_near_frames)."""
+    for q in ("mm_near_frames", "mm_shared_frames", "mm_shared_frame_run"):
+        plan = plan_of(queries[q](spark, SF_DIR))
+        assert plan.count("documents.parquet") == 0, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_exact_substr_gram_table_cut_once(spark, queries):
+    """r13 §7: _self_run_islands' (id, pos, gram) table feeds both
+    self-join sides — the cut leaves at most the mask/totals rebuild
+    scans in the final plan, never a second tokenize+md5 gram pass
+    (first audit: pairs read the corpus twice)."""
+    plan = plan_of(queries["dedup_exact_substr_pairs"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 0
+    plan = plan_of(queries["dedup_exact_substr_mask"](spark, SF_DIR))
+    assert plan.count("documents.parquet") <= 4
