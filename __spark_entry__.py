@@ -1423,6 +1423,10 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(d, n=3, threshold=0.5, max_shingle_df=None)
+    # r13 NOTE: a DISK_ONLY cut on sigs (it feeds both pair sides)
+    # measured 1.12x SLOWER at sf0.1 (3.19 -> 3.59 best-of-3) — the
+    # replayed signature pass rides idle cores while the cut
+    # serializes; same finding as _ivfadc_model (§8).  Left uncut.
     sigs = minhash_signatures(d)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
