@@ -9597,7 +9597,7 @@ def bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1, h2 = _bloom_h1h2(F.col("g"))
     marked = (
         cg.select("g", h1.alias("_h1"), h2.alias("_h2"))
-        .crossJoin(F.broadcast(bloom_mask(bits, 16384)))
+        .crossJoin(F.broadcast(bloom_mask(bits, 16384, bits_distinct=False)))
         .withColumn(
             "_ib",
             _bloom_mask_test(F.col("_h1"), F.col("_h2"), F.col("_mask"), 16384, 3)

@@ -521,13 +521,22 @@ def main() -> None:
     # ONE minified line, flushed onto a fresh line, kept under the
     # driver's 2000-byte tail-capture window: round 5's artifact was
     # machine-unreadable (parsed: null) purely because the line outgrew
-    # that window.  If the full dict won't fit, drop the FASTEST
-    # queries from the inline dict (sub-0.2 s entries carry the least
-    # regression signal; BENCH_DETAIL.json keeps everything).
+    # that window.  If the full dict won't fit, FIRST drop the
+    # isolated_best adjudication dict (always preserved in
+    # BENCH_DETAIL.json; r13's inline copy crowded ~10 extra queries
+    # out of the line and PERF reported them as phantom bench drops —
+    # VERDICT r13 ask #2), THEN drop the FASTEST queries (sub-0.2 s
+    # entries carry the least regression signal; BENCH_DETAIL.json
+    # keeps everything).
     by_cost = sorted(timings, key=lambda n: (-timings[n], n))
     while True:
         line = json.dumps(payload, separators=(",", ":"))
-        if len(line) <= 1900 or not by_cost:
+        if len(line) <= 1900:
+            break
+        if "isolated_best" in payload:
+            del payload["isolated_best"]
+            continue
+        if not by_cost:
             break
         dropped = by_cost.pop()
         del payload["queries"][dropped]

@@ -2151,7 +2151,9 @@ def bloom_bits(
     return out.distinct() if distinct else out
 
 
-def bloom_mask(bits: DataFrame, m_bits: int) -> DataFrame:
+def bloom_mask(
+    bits: DataFrame, m_bits: int, bits_distinct: bool = True
+) -> DataFrame:
     """ONE-ROW bitmask form of the set-bit table: ``_mask`` is an
     ``array<long>`` of ``ceil(m_bits/64)`` words, word ``j`` holding
     bits ``[64j, 64j+63]`` (bit ``b`` → word ``b >> 6``, position
@@ -2166,13 +2168,21 @@ def bloom_mask(bits: DataFrame, m_bits: int) -> DataFrame:
     cardinality.  Missing words (no bit set in that 64-bit span) fill
     with 0 via the map lookup, so the array is always dense.
 
-    For small geometries (m_bits ≤ 2^20, mask ≤ 128 KB) the bit
-    relation is first coalesced to ONE task: an append-fragmented bits
-    tree otherwise fans the trivial word-OR into dozens of scheduled
-    tasks across two shuffle stages (measured +0.5 s per probe on the
-    appended artifact).  Big filters keep the parallel groupBy."""
+    For small geometries (m_bits ≤ 2^20, mask ≤ 128 KB) a bit relation
+    the caller declares ALREADY-DEDUPED (``bits_distinct=True``, the
+    stored-artifact contract — provably ≤ m_bits rows) is first
+    coalesced to ONE task: an append-fragmented bits tree otherwise
+    fans the trivial word-OR into dozens of scheduled tasks across two
+    shuffle stages (measured +0.5 s per probe on the appended
+    artifact).  ``bits_distinct=False`` feeds (an in-plan
+    ``bloom_bits(distinct=False)`` lineage, whose row count tracks the
+    BLOCKLIST, not m_bits) must keep the parallel groupBy build — the
+    r13 unconditional coalesce pulled the whole md5 + k-way bit
+    projection into that one task and serialized the build on large
+    blocklists (r13 ADVICE).  The map-side partial bit_or keeps the
+    exchange ≤ m_bits/64 rows per task either way."""
     n_words = (m_bits + 63) // 64
-    if m_bits <= (1 << 20):
+    if bits_distinct and m_bits <= (1 << 20):
         bits = bits.coalesce(1)
     return (
         bits.select(
@@ -2222,6 +2232,7 @@ def bloom_membership(
     val_col: str = "g",
     m_bits: int = 16384,
     k_hashes: int = 3,
+    bits_distinct: bool = True,
 ) -> DataFrame:
     """Rows of ``probes`` whose value tests POSITIVE against the Bloom
     bit table: the bit relation is packed into a one-row
@@ -2243,7 +2254,7 @@ def bloom_membership(
     return (
         # md5 ONCE per probe row; the k probes are pure arithmetic
         probes.select(*keys, h1.alias("_h1"), h2.alias("_h2"))
-        .crossJoin(F.broadcast(bloom_mask(bits, m_bits)))
+        .crossJoin(F.broadcast(bloom_mask(bits, m_bits, bits_distinct)))
         .filter(
             _bloom_mask_test(
                 F.col("_h1"), F.col("_h2"), F.col("_mask"), m_bits, k_hashes
@@ -2261,6 +2272,7 @@ def _bloom_flag_counts(
     n: int,
     m_bits: int,
     k_hashes: int,
+    bits_distinct: bool = True,
 ) -> DataFrame:
     """The shared corpus leg of :func:`bloom_decontaminate` /
     :func:`decontaminate_bloom_stored`: (id, n_flagged) with
@@ -2281,6 +2293,7 @@ def _bloom_flag_counts(
             "g",
             m_bits=m_bits,
             k_hashes=k_hashes,
+            bits_distinct=bits_distinct,
         )
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_flagged"))
@@ -2310,12 +2323,14 @@ def bloom_decontaminate(
     with n_flagged = the doc's count of bloom-positive distinct
     grams.
 
-    r13 shape: the corpus side never explodes and never shuffles —
-    each doc's distinct-gram ARRAY is filtered in-row against the
-    broadcast :func:`bloom_mask` word array and n_flagged is its
-    surviving size, so the whole corpus leg is one map-side pass
+    r13 shape (see :func:`_bloom_flag_counts`): the corpus side
+    explodes each doc's distinct grams ONCE (codegen explode — an
+    in-row HOF filter would interpret the md5 per element), tests
+    each gram map-side against the broadcast one-row
+    :func:`bloom_mask` word array (no k-way explode, no join), and
+    the only shuffle is the per-doc count over the FLAGGED grams only
     (previously: explode ×k probes → broadcast join → two shuffled
-    re-aggregations of the exploded gram relation; guide §2.4)."""
+    re-aggregations of the full exploded gram relation; guide §2.4)."""
     from hpaste_spark.functions.text import shingle_hashes
 
     bits = bloom_bits(
@@ -2326,7 +2341,8 @@ def bloom_decontaminate(
         distinct=False,  # mask build absorbs duplicate bits
     )
     return _bloom_flag_counts(
-        corpus, bits, text_col, id_col, n, m_bits, k_hashes
+        corpus, bits, text_col, id_col, n, m_bits, k_hashes,
+        bits_distinct=False,  # built with distinct=False just above
     )
 
 

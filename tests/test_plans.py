@@ -877,3 +877,35 @@ def test_exact_substr_gram_table_cut_once(spark, queries):
     assert plan.count("documents.parquet") == 0
     plan = plan_of(queries["dedup_exact_substr_mask"](spark, SF_DIR))
     assert plan.count("documents.parquet") <= 4
+
+
+def test_bloom_mask_coalesce_gated_on_deduped_bits_and_geometry(spark):
+    """bloom_mask's single-task build shortcut (r13) must fire ONLY
+    when the bits relation is declared already-deduped (provably
+    ≤ m_bits rows) AND the geometry is small (m_bits ≤ 2^20) — an
+    in-plan distinct=False lineage carries one row per (blocklist
+    value × k probes), so coalescing IT to one task would serialize
+    the whole md5 + bit projection on a large blocklist (r13 ADVICE),
+    and a big-geometry build must keep the parallel word-OR.  The
+    three masks are the identical single row either way."""
+    from pyspark.sql import functions as F
+
+    from hpaste_spark.operators.dedup import bloom_bits, bloom_mask
+
+    vals = spark.range(500).select(F.concat(F.lit("v"), F.col("id")).alias("g"))
+    deduped = bloom_bits(vals, "g", m_bits=16384, k_hashes=3)  # distinct=True
+    raw = bloom_bits(vals, "g", m_bits=16384, k_hashes=3, distinct=False)
+
+    plan_small_deduped = plan_of(bloom_mask(deduped, 16384))
+    assert "Coalesce" in plan_small_deduped, plan_small_deduped
+
+    plan_raw = plan_of(bloom_mask(raw, 16384, bits_distinct=False))
+    assert "Coalesce" not in plan_raw, plan_raw
+
+    big = bloom_bits(vals, "g", m_bits=1 << 21, k_hashes=3)
+    plan_big = plan_of(bloom_mask(big, 1 << 21))
+    assert "Coalesce" not in plan_big, plan_big
+
+    m_ser = bloom_mask(deduped, 16384).collect()[0]["_mask"]
+    m_par = bloom_mask(raw, 16384, bits_distinct=False).collect()[0]["_mask"]
+    assert m_ser == m_par

@@ -1,7 +1,7 @@
 """Per-query optimization measurement harness (round 13).
 
 For each named registry query: dump `.explain("formatted")` to
-``plans/r13/<name>_<suffix>.txt``, then time best-of-N through the noop
+``plans/<round>/<name>_<suffix>.txt`` ($SPARK_GRAFT_PLAN_ROUND, default r14), then time best-of-N through the noop
 sink in a bench-identical warm session, and report seconds plus plan
 summary counters (Exchange count, join strategies, Python eval nodes)
 and the Spark job count per execution.
@@ -87,7 +87,7 @@ def main() -> None:
             except Exception:
                 pass
 
-    plan_dir = os.path.join(HERE, "plans", "r13")
+    plan_dir = os.path.join(HERE, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"))
     os.makedirs(plan_dir, exist_ok=True)
 
     results = {}
