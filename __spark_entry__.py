@@ -9,6 +9,7 @@ module only wires them to the driver fixtures.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from collections.abc import Callable
 
@@ -11483,6 +11484,39 @@ def _drain_to_memory(df: DataFrame, prefix: str, timeout_s: int = 600):
     return df.sparkSession.table(name), qh
 
 
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, src_dir: str, python_stateful: bool = False):
+    """Size the stream's shuffle/STATE partitions from the DATA it will
+    ingest, not from the session default (= local core count, the
+    scale-blind constant): a stateful query pins its state-store
+    partition count from ``spark.sql.shuffle.partitions`` at first
+    batch, AQE never coalesces it, and every micro-batch then pays a
+    fixed per-partition cost (task + state-store open/commit; plus an
+    Arrow→Python round-trip per partition for applyInPandasWithState).
+    Rule + measured basis: hpaste_spark/streaming/sizing.py (r14;
+    VERDICT r13 ask #10).  The conf is set only for the duration of the
+    stream start/drain and restored after; restarted (recovered)
+    queries re-derive the identical value from the same staged source,
+    which also matches the count pinned in their checkpoint."""
+    from hpaste_spark.streaming.sizing import (
+        source_batch_bytes,
+        source_batch_rows,
+        stream_shuffle_partitions,
+    )
+
+    n = stream_shuffle_partitions(
+        source_batch_bytes(src_dir),
+        python_batch_rows=source_batch_rows(src_dir) if python_stateful else 0,
+    )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set(key, old)
+
+
 # the streaming execution is graded by the IDENTICAL relation the batch
 # operator computes — alias the oracle instead of duplicating the SQL
 # (the dedup_cluster_assign_star idiom), so a probe-family or geometry
@@ -11637,7 +11671,8 @@ def stream_tw_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    landed, _ = _drain_to_memory(agg, "stream_tw")
+    with _stream_partitions(spark, src):
+        landed, _ = _drain_to_memory(agg, "stream_tw")
     return landed
 
 
@@ -11696,7 +11731,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    landed, _ = _drain_to_memory(agg, "stream_sess")
+    with _stream_partitions(spark, src):
+        landed, _ = _drain_to_memory(agg, "stream_sess")
     return landed
 
 
@@ -11836,7 +11872,8 @@ def stream_ss_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         lefts, rights, on=["user_id"], ts_col="ts",
         payload_col="click_event_id", watermark="10 minutes",
     )
-    landed, _ = _drain_to_memory(out, "stream_ss_asof")
+    with _stream_partitions(spark, src, python_stateful=True):
+        landed, _ = _drain_to_memory(out, "stream_ss_asof")
     return landed.select(
         "event_id",
         "user_id",
@@ -11896,7 +11933,8 @@ def stream_tw_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame
     configure_session(spark)
     src = _stage_multibatch_events(sf_dir)
     agg = _tw_multibatch_agg(read_event_stream(spark, src))
-    landed, qh = _drain_to_memory(agg, "stream_tw_mb")
+    with _stream_partitions(spark, src):
+        landed, qh = _drain_to_memory(agg, "stream_tw_mb")
     data_batches = sum(
         1 for p in qh.recentProgress if p["numInputRows"] > 0
     )
@@ -11947,6 +11985,9 @@ def _capture_stream_progress(name: str, qh) -> None:
                 "operator": so.get("operatorName", ""),
                 "numRowsTotal": so.get("numRowsTotal"),
                 "memoryUsedBytes": so.get("memoryUsedBytes"),
+                # r14: the pinned state partition count — evidence for
+                # the data-derived sizing rule (streaming/sizing.py)
+                "numShufflePartitions": so.get("numShufflePartitions"),
             }
             for so in (p.get("stateOperators") or [])
         ]
@@ -12010,9 +12051,10 @@ def stream_tw_tumbling_recovered(spark: SparkSession, sf_dir: str) -> DataFrame:
     for attempt in (0, 1):
         shutil.rmtree(base, ignore_errors=True)
         agg = _tw_multibatch_agg(read_event_stream(spark, src))
-        run1, run2 = drain_parquet_with_restart(
-            agg, land, ckpt, stop_after_batches=1
-        )
+        with _stream_partitions(spark, src):
+            run1, run2 = drain_parquet_with_restart(
+                agg, land, ckpt, stop_after_batches=1
+            )
         if run2:
             break
         if attempt == 1:
@@ -12116,7 +12158,8 @@ def stream_ss_asof_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         lefts, rights, on=["user_id"], ts_col="ts",
         payload_col="click_event_id", watermark="10 minutes",
     )
-    landed, qh = _drain_to_memory(out, "stream_ss_asof_mb")
+    with _stream_partitions(spark, src, python_stateful=True):
+        landed, qh = _drain_to_memory(out, "stream_ss_asof_mb")
     _capture_stream_progress("stream_ss_asof_multibatch", qh)
     data_batches = sum(
         1 for p in qh.recentProgress if p["numInputRows"] > 0
@@ -12216,9 +12259,10 @@ def stream_ss_asof_recovered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for attempt in (0, 1):
         shutil.rmtree(base, ignore_errors=True)
-        run1, run2 = drain_parquet_with_restart(
-            _asof_stream(), land, ckpt, stop_after_batches=1
-        )
+        with _stream_partitions(spark, src, python_stateful=True):
+            run1, run2 = drain_parquet_with_restart(
+                _asof_stream(), land, ckpt, stop_after_batches=1
+            )
         if run2:
             break
         if attempt == 1:
@@ -12351,7 +12395,8 @@ def stream_session_window_multibatch(spark: SparkSession, sf_dir: str) -> DataFr
             "total_value",
         )
     )
-    landed, qh = _drain_to_memory(agg, "stream_sess_mb")
+    with _stream_partitions(spark, src):
+        landed, qh = _drain_to_memory(agg, "stream_sess_mb")
     _capture_stream_progress("stream_session_window_multibatch", qh)
     data_batches = sum(
         1 for p in qh.recentProgress if p["numInputRows"] > 0
@@ -12391,7 +12436,8 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(F.col("text")).alias("text_hash"))
         .dropDuplicates(["text_hash"])
     )
-    landed, _ = _drain_to_memory(stream, "stream_dedup")
+    with _stream_partitions(spark, src):
+        landed, _ = _drain_to_memory(stream, "stream_dedup")
     return landed
 
 

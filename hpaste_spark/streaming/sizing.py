@@ -60,6 +60,15 @@ import os
 TARGET_BATCH_BYTES = 128 << 20
 #: per-partition state target: snapshot/compaction unit stays modest
 TARGET_STATE_BYTES = 64 << 20
+#: rows per task-batch for a PYTHON stateful operator
+#: (applyInPandasWithState): unlike the native window/session state
+#: ops, its per-row cost is Python-side, so per-batch ROWS — not bytes
+#: — bound a partition's work.  Measured at sf0.1 (r14 probe; 33 k-row
+#: batch files, each read by both join legs): 4 partitions = 13.8 s
+#: (Python serializes), 5 = 9.7-9.8 s, 8 = 8.9 s, 32 = 9.3 s (fixed
+#: per-partition cost) — a broad optimum around rows/4 k, which this
+#: constant encodes.
+ROWS_PER_PYTHON_STATE_TASK = 4096
 #: minimum parallelism even for tiny batches (keeps the local bench an
 #: honest multi-partition execution rather than a 1-task serial one)
 FLOOR_PARTITIONS = 4
@@ -70,17 +79,44 @@ CAP_PARTITIONS = 8192
 def stream_shuffle_partitions(
     max_batch_input_bytes: int,
     est_state_bytes: int = 0,
+    python_batch_rows: int = 0,
     floor: int = FLOOR_PARTITIONS,
     cap: int = CAP_PARTITIONS,
 ) -> int:
     """The state/shuffle partition count for a streaming query, from
-    DATA volume (see module docstring for the rule and its terms)."""
+    DATA volume (see module docstring for the rule and its terms).
+    ``python_batch_rows``: max rows a single trigger feeds a Python
+    stateful operator (0 for native-state streams)."""
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
     if env:
         return max(1, int(env))
     input_term = math.ceil(max(0, max_batch_input_bytes) / TARGET_BATCH_BYTES)
     state_term = math.ceil(max(0, est_state_bytes) / TARGET_STATE_BYTES)
-    return max(floor, min(cap, max(input_term, state_term)))
+    py_term = math.ceil(max(0, python_batch_rows) / ROWS_PER_PYTHON_STATE_TASK)
+    return max(floor, min(cap, max(input_term, state_term, py_term)))
+
+
+def source_batch_rows(source_dir: str) -> int:
+    """Largest single parquet file's ROW COUNT under ``source_dir`` —
+    footer metadata only, no scan.  The Python-rows term of the sizing
+    rule for ``maxFilesPerTrigger=1`` replays."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return 0
+    best = 0
+    try:
+        for name in os.listdir(source_dir):
+            p = os.path.join(source_dir, name)
+            if not (os.path.isfile(p) or os.path.islink(p)):
+                continue
+            try:
+                best = max(best, pq.ParquetFile(p).metadata.num_rows)
+            except Exception:
+                continue
+    except OSError:
+        return 0
+    return best
 
 
 def source_batch_bytes(source_dir: str) -> int:

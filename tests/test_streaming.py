@@ -1013,6 +1013,44 @@ def test_multibatch_state_telemetry_captured(spark):
         for p in with_state
         for op in p["stateOperators"]
     )
+    # r14: the stateful shuffle is sized from the DATA (streaming/
+    # sizing.py rule), not from the session shuffle-partition default —
+    # at this fixture every term rounds to 1 and the floor (4) governs
+    from hpaste_spark.streaming.sizing import FLOOR_PARTITIONS
+
+    parts = {
+        op.get("numShufflePartitions")
+        for p in with_state
+        for op in p["stateOperators"]
+    }
+    assert parts == {FLOOR_PARTITIONS}, parts
+
+
+def test_stream_shuffle_partitions_rule():
+    """The sizing rule is data-derived and scale-monotone: tiny inputs
+    floor at FLOOR_PARTITIONS, the input term tracks batch bytes at
+    128 MB/partition, the state term tracks state bytes at 64 MB, the
+    Python term tracks batch rows at 4 k/task, and the env override
+    wins (cluster operators with better information)."""
+    import os
+
+    from hpaste_spark.streaming.sizing import (
+        CAP_PARTITIONS,
+        FLOOR_PARTITIONS,
+        stream_shuffle_partitions,
+    )
+
+    assert stream_shuffle_partitions(0) == FLOOR_PARTITIONS
+    assert stream_shuffle_partitions(2 << 20) == FLOOR_PARTITIONS
+    assert stream_shuffle_partitions(1 << 30) == 8  # 1 GiB / 128 MiB
+    assert stream_shuffle_partitions(0, est_state_bytes=100 << 30) == 1600
+    assert stream_shuffle_partitions(0, python_batch_rows=33078) == 9
+    assert stream_shuffle_partitions(1 << 50) == CAP_PARTITIONS
+    os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"] = "7"
+    try:
+        assert stream_shuffle_partitions(1 << 50) == 7
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"]
 
 
 def test_checkpoint_recovery_session_window_state(spark, tmp_path):

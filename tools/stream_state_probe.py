@@ -33,16 +33,22 @@ def main() -> int:
         entry_mod._QUERIES[name](spark, sf_dir).collect()
         prog = entry_mod._LAST_STREAM_PROGRESS.get(name, [])
         print(f"\n## {name} ({sf_dir})")
-        print("| batch | input rows | state op | state rows | state MiB |")
-        print("|---|---|---|---|---|")
+        print("| batch | input rows | state op | state rows | state MiB "
+              "| state parts | rows/part | KiB/part |")
+        print("|---|---|---|---|---|---|---|---|")
         for p in prog:
             ops = p["stateOperators"] or [{}]
             for op in ops:
                 mib = (op.get("memoryUsedBytes") or 0) / (1 << 20)
+                parts = op.get("numShufflePartitions") or 0
+                rpp = (op.get("numRowsTotal") or 0) / parts if parts else 0
+                kpp = ((op.get("memoryUsedBytes") or 0) / parts / 1024
+                       if parts else 0)
                 print(
                     f"| {p['batchId']} | {p['numInputRows']} "
                     f"| {op.get('operator', '-')} "
-                    f"| {op.get('numRowsTotal', '-')} | {mib:.2f} |"
+                    f"| {op.get('numRowsTotal', '-')} | {mib:.2f} "
+                    f"| {parts or '-'} | {rpp:.0f} | {kpp:.1f} |"
                 )
     return 0
 
