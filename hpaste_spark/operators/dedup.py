@@ -1530,6 +1530,14 @@ def weighted_jaccard_pairs(
     prefix = ranked.filter(
         F.col("_rem") * threshold_den >= threshold_num * F.col("_wd")
     ).select("_id", "_sk")
+    # prefix feeds BOTH self-join sides, and one side sits under a
+    # BroadcastExchange — physically different subtrees, so Spark's
+    # exchange reuse can never fire and the per-doc rank window (an
+    # exchange + two window passes over the corpus-sized tw) ran once
+    # PER SIDE (r14; plan evidence plans/r14/dedup_weighted_jaccard_*).
+    # One DISK_ONLY cut computes it once.  Measured at sf0.1:
+    # 5.46 -> 4.96 best-of-3 (cache-cleared reps), output identical.
+    prefix = _materialize_corpus_table(prefix, corpus_storage)
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "_sk")

@@ -909,3 +909,57 @@ def test_bloom_mask_coalesce_gated_on_deduped_bits_and_geometry(spark):
     m_ser = bloom_mask(deduped, 16384).collect()[0]["_mask"]
     m_par = bloom_mask(raw, 16384, bits_distinct=False).collect()[0]["_mask"]
     assert m_ser == m_par
+
+
+def test_kmv_bottom_k_has_map_side_partial_window_group_limit(spark, queries):
+    """kmv_sketch's per-group bottom-k (row_number <= k over (grp
+    ORDER BY h)) must keep Spark's two-level WindowGroupLimit shape: a
+    PARTIAL limit below the grp exchange (each map task forwards at
+    most k rows per group) and a FINAL one above, so the global
+    exchange carries <= k x n_map_partitions rows per group instead of
+    the group's full distinct-hash set and the per-group sort stays
+    bounded (VERDICT r13 ask #4 — the salted two-level rewrite is
+    unnecessary while this engine shape holds).  Guard condition: the
+    sketch k (256) must stay <= spark.sql.optimizer.windowGroupLimit-
+    Threshold (default 1000) or the optimizer silently drops the
+    partial level — this test is the tripwire."""
+    plan = plan_of(queries["sketch_kmv_distinct"](spark, SF_DIR))
+    # formatted mode prints the tree then one numbered section per
+    # node: two WindowGroupLimit nodes = Partial + Final
+    n_wgl = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "WindowGroupLimit" in line
+    )
+    assert n_wgl >= 2, plan
+    # the Partial node must sit BELOW the exchange: in the tree render,
+    # a WindowGroupLimit line indented under Exchange
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange" in l and "Broadcast" not in l]
+    wgl_idx = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    assert any(w > e for e in ex_idx for w in wgl_idx), tree
+
+
+def test_drift_monitor_exact_leg_has_partial_window_group_limit(spark, queries):
+    """The drift monitors' exact-truth top-k (budget x corpus scored
+    rows through a qid-keyed window) must keep the map-side Partial
+    WindowGroupLimit below its exchange — the two-level top-k VERDICT
+    r13 ask #3 requires; with it the qid exchange carries <= k rows
+    per (qid, map partition), never the scored relation."""
+    plan = plan_of(queries["sim_pq_drift_recall"](spark, SF_DIR))
+    n_wgl = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "WindowGroupLimit" in line
+    )
+    assert n_wgl >= 2, plan
+
+
+def test_session_confs_produce_shuffled_hash_join(spark, queries):
+    """The r13 join-preference confs (preferSortMergeJoin=false + AQE
+    maxShuffledHashJoinLocalMapThreshold=128m) must actually surface in
+    plans: split_leakage_eval's cluster-keyed joins planned 6 SHJs in
+    the r14 audit.  Pins SHJ adoption (VERDICT r13 ask #6) so a session
+    regression can't silently fall back to all-SMJ."""
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    plan = plan_of(queries["split_leakage_eval"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan
