@@ -1424,11 +1424,19 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(d, n=3, threshold=0.5, max_shingle_df=None)
-    # r13 NOTE: a DISK_ONLY cut on sigs (it feeds both pair sides)
-    # measured 1.12x SLOWER at sf0.1 (3.19 -> 3.59 best-of-3) — the
-    # replayed signature pass rides idle cores while the cut
-    # serializes; same finding as _ivfadc_model (§8).  Left uncut.
+    # r13: a DISK_ONLY cut on sigs (it feeds both pair sides) measured
+    # 1.12x SLOWER at sf0.1 (3.19 -> 3.59 best-of-3) — the replayed
+    # signature pass rides idle cores while the cut serializes.  r14:
+    # size-gated like _ivfadc_model (VERDICT ask #5/#7): above the
+    # threshold a replayed signature pass is a paid corpus scan, so
+    # the cut flips on; at every local fixture it stays off and the
+    # r13 measurement governs.
+    from hpaste_spark.operators.similarity import (IVFADC_CUT_BYTES,
+                                                   _plan_size_bytes)
+
     sigs = minhash_signatures(d)
+    if _plan_size_bytes(d) >= IVFADC_CUT_BYTES:
+        sigs = sigs.persist(_DISK_ONLY)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
     est = (
