@@ -10463,12 +10463,19 @@ def filter_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id", "source", X.quality_score(F.col("text")).alias("quality")
     )
-    kept = quality_threshold_filter(scored, "quality", "source", keep_frac=0.3)
-    tot = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    # the per-source total rides the operator's broadcast threshold row
+    # (derived from the tiny (source, quality) counts table, exactly as
+    # the oracle's ftot is) — a separate scored.groupBy here was a THIRD
+    # full quality-scan of the corpus
+    kept = quality_threshold_filter(
+        scored, "quality", "source", keep_frac=0.3, with_group_total=True
+    )
     return (
         kept.groupBy("source", "threshold")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .join(F.broadcast(tot), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("_ntot").alias("n_total"),
+        )
         .select(
             "source",
             "threshold",

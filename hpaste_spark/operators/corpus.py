@@ -174,17 +174,21 @@ def doc_length_histogram(
     diagnostic behind truncation/packing decisions.  Integer binning
     (never float log buckets) keeps bucket edges bit-identical across
     engines."""
+    from pyspark.sql import Window
+
     n = F.size(tokens(F.col(text_col)))
     binned = df.select((n.cast("long") / bin_width).cast("long").alias("bin"), F.col(id_col))
-    total = binned.agg(F.count(F.lit(1)).alias("_total"))
+    # the corpus total is an unpartitioned window over the bin-count
+    # aggregate (sum of per-bin counts = row total) — a broadcast-agg
+    # crossJoin here ran the corpus tokenize+bin pass twice
+    total = F.sum("n_docs").over(Window.partitionBy())
     return (
         binned.groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(total))
         .select(
             (F.col("bin") * bin_width).alias("min_tokens"),
             F.col("n_docs"),
-            F.round(F.col("n_docs") / F.col("_total"), 6).alias("frac"),
+            F.round(F.col("n_docs") / total, 6).alias("frac"),
         )
     )
 

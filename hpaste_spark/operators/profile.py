@@ -154,8 +154,10 @@ def drift_psi(
     smoothing-free convention — a NULL term flags a bin that appeared
     or vanished outright, stronger evidence than any finite term).
     Σ psi_term is the PSI; > 0.2 is the conventional "investigate"
-    threshold.  Two scans total (one per side), no windows, no joins
-    wider than the n_bins-row bin table."""
+    threshold.  One bin pass per side (plus the bounds pass over ref);
+    the side totals are unpartitioned windows over the n_bins-row bin
+    table — never a second consumer of the corpus lineage — and no
+    join is wider than that bin table."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     probs = [i / n_bins for i in range(1, n_bins)]
@@ -186,14 +188,16 @@ def drift_psi(
             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         )
     )
-    tot = joined.agg(
-        F.sum("n_ref").cast("double").alias("_tr"),
-        F.sum("n_cur").cast("double").alias("_tc"),
-    )
-    p = F.col("n_ref") / F.col("_tr")
-    q = F.col("n_cur") / F.col("_tc")
+    # side totals as unpartitioned windows over the n_bins-row join —
+    # a broadcast-agg crossJoin here consumed `joined`'s lineage twice,
+    # re-running both corpus bin-count passes just to normalize shares
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    p = F.col("n_ref") / F.sum("n_ref").over(w_all).cast("double")
+    q = F.col("n_cur") / F.sum("n_cur").over(w_all).cast("double")
     return (
-        joined.crossJoin(F.broadcast(tot))
+        joined
         .select(
             "bin",
             "n_ref",
@@ -234,14 +238,14 @@ def drift_psi_categorical(
             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         )
     )
-    tot = joined.agg(
-        F.sum("n_ref").cast("double").alias("_tr"),
-        F.sum("n_cur").cast("double").alias("_tc"),
-    )
-    p = F.col("n_ref") / F.col("_tr")
-    q = F.col("n_cur") / F.col("_tc")
+    # same window-normalizer shape as drift_psi (see comment there)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    p = F.col("n_ref") / F.sum("n_ref").over(w_all).cast("double")
+    q = F.col("n_cur") / F.sum("n_cur").over(w_all).cast("double")
     return (
-        joined.crossJoin(F.broadcast(tot))
+        joined
         .select(
             "category",
             "n_ref",

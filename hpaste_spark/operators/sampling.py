@@ -211,23 +211,28 @@ def temperature_mixture(
     any engine) rather than libm ``pow`` (1-ulp licensed).  The oracle
     replays the formula literally.
     """
+    from pyspark.sql import Window
+
     n = F.col("_n")
     root = F.sqrt(n) if tau == 0.5 else F.pow(n, F.lit(float(tau)))
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
     weighted = counts.select(
         stratum_col, "_n", F.floor(root * WEIGHT_SCALE).cast("long").alias("_w")
     )
-    denom = weighted.agg(F.sum("_w").alias("_wsum"), F.sum("_n").alias("_total"))
+    # normalizers as unpartitioned windows over the |strata|-row
+    # aggregate — a broadcast-agg crossJoin here consumed the counts
+    # lineage twice, re-running the corpus count pass per consumer
+    # (exchange reuse does not bridge the broadcast boundary)
+    w_all = Window.partitionBy()
     rate = F.least(
         F.lit(1.0),
         F.lit(float(target_frac))
-        * F.col("_total")
+        * F.sum("_n").over(w_all)
         * F.col("_w")
-        / (n.cast("double") * F.col("_wsum")),
+        / (n.cast("double") * F.sum("_w").over(w_all)),
     )
-    rates = (
-        weighted.crossJoin(F.broadcast(denom))
-        .select(stratum_col, F.floor(rate * buckets).cast("long").alias("_thr"))
+    rates = weighted.select(
+        stratum_col, F.floor(rate * buckets).cast("long").alias("_thr")
     )
     return (
         df.join(F.broadcast(rates), stratum_col)
@@ -346,15 +351,22 @@ def dsir_weights(
             .select(id_col, (token_hash(F.col("_tok")) % n_buckets).alias("b"))
         )
 
+    from pyspark.sql import Window
+
     rt = toks(raw)
     tgt = toks(target).groupBy("b").agg(F.count(F.lit(1)).alias("_ct"))
     rawc = rt.groupBy("b").agg(F.count(F.lit(1)).alias("_cr"))
-    tt = tgt.agg(F.sum("_ct").alias("_tt"))
-    tr = rawc.agg(F.sum("_cr").alias("_tr"))
+    # model totals as unpartitioned windows over the ≤ n_buckets-row
+    # full-join (each side's rows appear exactly once there and sum()
+    # skips the join's nulls, so the window totals equal the per-side
+    # aggregates) — broadcast-agg crossJoins here consumed each side's
+    # lineage twice, i.e. re-ran the full corpus tokenize+count pass
+    # for BOTH the raw and the target pool
+    w_all = Window.partitionBy()
     feat = (
         tgt.join(rawc, "b", "full")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
+        .withColumn("_tt", F.sum("_ct").over(w_all))
+        .withColumn("_tr", F.sum("_cr").over(w_all))
         .select(
             "b",
             (
@@ -385,6 +397,7 @@ def quality_threshold_filter(
     group_col: str,
     keep_frac: float,
     id_col: str = "doc_id",
+    with_group_total: bool = False,
 ) -> DataFrame:
     """FineWeb-style per-group top-fraction selection WITHOUT a
     per-group global sort: keep (approximately) the best ``keep_frac``
@@ -398,40 +411,48 @@ def quality_threshold_filter(
     1. hash-aggregate row counts per (group, score) — scores are
        finite-precision (callers round to ≤4 dp), so this table is
        tiny regardless of corpus size and the agg map-side combines;
-    2. a window over THAT table (thousands of rows, not the corpus)
-       finds each group's threshold: the lowest score whose
-       from-the-top cumulative count still fits ``ceil(keep_frac·n)``.
-       If even the best tie-group overflows the target, the threshold
-       falls back to that top score (whole-tie-group-keep semantics —
-       thresholds never split a tie);
+    2. two windows over THAT table (thousands of rows, not the
+       corpus), sharing ONE group-keyed exchange — a running
+       from-the-top sum and the whole-group total (the exact
+       two-window idiom of profile.exact_group_quantiles; computing
+       the total as a separate groupBy consumed the counts lineage
+       twice, re-running the corpus aggregation per consumer) — then
+       each group's threshold: the lowest score whose cumulative
+       count still fits ``ceil(keep_frac·n)``.  If even the best
+       tie-group overflows the target, the threshold falls back to
+       that top score (whole-tie-group-keep semantics — thresholds
+       never split a tie);
     3. the corpus streams once more through a broadcast join on the
        per-group threshold row and keeps ``score >= threshold``.
 
     Returns the input rows that clear their group's threshold, plus a
-    ``threshold`` column.  Deterministic, rank-free, and both phases
+    ``threshold`` column (and the group's total input row count as
+    ``_ntot`` when ``with_group_total`` — it rides the same broadcast
+    row, so callers reporting keep fractions don't re-scan the corpus
+    to count it).  Deterministic, rank-free, and both phases
     reproduce exactly in ANSI SQL (the oracle mirrors them).
     """
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc())
-    cum = counts.withColumn("_cum", F.sum("_n").over(w))
-    tot = counts.groupBy(group_col).agg(F.sum("_n").alias("_ntot"))
-    thr = (
-        cum.join(tot, group_col)
-        .groupBy(group_col)
-        .agg(
-            F.coalesce(
-                F.min(
-                    F.when(
-                        F.col("_cum") <= F.ceil(F.lit(keep_frac) * F.col("_ntot")),
-                        F.col(score_col),
-                    )
-                ),
-                F.max(F.col(score_col)),
-            ).alias("threshold")
-        )
+    cum = counts.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_ntot", F.sum("_n").over(Window.partitionBy(group_col))
     )
+    thr = cum.groupBy(group_col).agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("_cum") <= F.ceil(F.lit(keep_frac) * F.col("_ntot")),
+                    F.col(score_col),
+                )
+            ),
+            F.max(F.col(score_col)),
+        ).alias("threshold"),
+        F.max("_ntot").alias("_ntot"),
+    )
+    if not with_group_total:
+        thr = thr.drop("_ntot")
     return df.join(F.broadcast(thr), group_col).filter(
         F.col(score_col) >= F.col("threshold")
     )
@@ -452,11 +473,18 @@ def shard_manifest(
     This is the bookkeeping step before a 100 TB corpus is written as
     N tokenizer-ready files: the manifest is ONE map-side-combined
     hash-agg over the corpus keyed by a 16-bit-md5 shard id, and the
-    balance column only needs the grand total, which joins back as a
-    broadcast single row.  A downstream ``.repartition(n_shards,
-    shard)`` + partitioned write then produces the actual files with
-    the exact layout this manifest promised.
+    balance column's grand total is an unpartitioned window over that
+    ≤ n_shards-row aggregate — NOT a second consumer of the corpus
+    lineage (a broadcast-total crossJoin here planned the entire
+    upstream pipeline twice: exchange reuse never fires across a
+    broadcast boundary, so e.g. pipe_export_manifest re-ran its whole
+    quality+bloom chain just to count the manifest rows).  A
+    downstream ``.repartition(n_shards, shard)`` + partitioned write
+    then produces the actual files with the exact layout this
+    manifest promised.
     """
+    from pyspark.sql import Window
+
     shard = (hash_bucket(F.col(id_col), n_shards)).alias("shard")
     toks = F.col(token_count_col) if token_count_col else F.lit(1)
     per = (
@@ -467,15 +495,12 @@ def shard_manifest(
             F.sum("_tok").alias("n_tokens"),
         )
     )
-    total = per.agg(F.sum("n_docs").alias("_tot"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "shard",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_docs") * n_shards / F.col("_tot"), 4).alias("balance"),
-        )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") * n_shards / total, 4).alias("balance"),
     )
 
 
@@ -511,36 +536,44 @@ def token_budget_mixture(
     for src, wt in sorted(weights.items()):
         w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
 
+    from pyspark.sql import Window
+
     avail = df.groupBy(source_col).agg(F.sum(F.col(tokens_col)).alias("avail_tokens"))
     avail = avail.withColumn("weight", w)
-    tot = avail.agg(
-        F.sum("avail_tokens").alias("_tot"), F.sum("weight").alias("_wsum")
-    )
+    # both normalizer rounds are unpartitioned windows over the
+    # |sources|-row aggregate — the previous broadcast-agg crossJoin
+    # chain consumed `avail`'s lineage 4× (tot×2 within `a`, then
+    # redo×2 within the result), re-running the corpus token-sum pass
+    # each time
+    w_all = Window.partitionBy()
     # desired and cap are FLOORED TO WHOLE TOKENS: every downstream
     # aggregate (leftover, uncapped-weight) then sums exact integers /
     # small-integer doubles, so no cross-row double summation order
     # can perturb the plan (weights are assumed exactly-representable
     # smallish values — 0.5, 1, 2, 3 — which sum exactly too)
-    a = avail.crossJoin(F.broadcast(tot)).select(
+    a = avail.select(
         source_col,
         "avail_tokens",
         "weight",
         F.floor(
-            F.col("weight") / F.col("_wsum") * F.lit(budget_factor) * F.col("_tot")
+            F.col("weight") / F.sum("weight").over(w_all)
+            * F.lit(budget_factor) * F.sum("avail_tokens").over(w_all)
         ).cast("long").alias("_desired"),
         F.floor(F.lit(max_epochs) * F.col("avail_tokens")).cast("long").alias("_cap"),
     )
     a = a.withColumn("capped", F.col("_desired") > F.col("_cap")).withColumn(
         "_alloc1", F.least(F.col("_desired"), F.col("_cap"))
     )
-    redo = a.agg(
-        F.sum(F.when(F.col("capped"), F.col("_desired") - F.col("_cap"))).alias(
-            "_leftover"
-        ),
-        F.sum(F.when(~F.col("capped"), F.col("weight"))).alias("_uw"),
-    )
     return (
-        a.crossJoin(F.broadcast(redo))
+        a.withColumn(
+            "_leftover",
+            F.sum(
+                F.when(F.col("capped"), F.col("_desired") - F.col("_cap"))
+            ).over(w_all),
+        )
+        .withColumn(
+            "_uw", F.sum(F.when(~F.col("capped"), F.col("weight"))).over(w_all)
+        )
         .withColumn(
             "_alloc2",
             F.when(

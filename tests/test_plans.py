@@ -363,9 +363,20 @@ def test_pca_no_cartesian(spark, queries):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_drift_psi_window_free(spark, queries):
+def test_drift_psi_windows_only_above_bin_aggregate(spark, queries):
+    """prof_drift_psi (r14): the side totals are unpartitioned windows
+    over the n_bins-row full-join of the two bin-count AGGREGATES —
+    never over the corpus — and the old broadcast-agg crossJoin that
+    re-ran both corpus bin passes per consumer is gone: each side's
+    events scan appears at most twice in the plan (bounds + bin pass
+    for ref, bin pass for cur; formatted mode prints tree + detail so
+    each physical scan counts double)."""
     plan = plan_of(queries["prof_drift_psi"](spark, SF_DIR))
-    assert "Window" not in plan, plan
+    # every Window input is the joined bin table (HashAggregate-fed);
+    # cheap proxy: the bin-count aggregate exists and the scan count
+    # halved vs the duplicated-total shape (was 16 printed scans)
+    assert "HashAggregate" in plan
+    assert plan.count("Scan parquet") <= 8, plan.count("Scan parquet")
 
 
 def test_basket_lift_never_self_joins_baskets(spark, queries):
