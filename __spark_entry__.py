@@ -5086,9 +5086,14 @@ def stream_sketch_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(partial: DataFrame, batch_id: int) -> None:
         partial.write.mode("append").parquet(land)
 
-    qh = stream_hdr_partials(
-        vals, sink, "v", "event_type", sub_bits=7, timeout_s=600
-    )
+    # size the per-micro-batch shuffle from the staged batch files, not
+    # the local core count (the foreachBatch inner aggregation pays the
+    # session's 32 partitions per batch otherwise — r14 sizing rule;
+    # the HDR partial is cell-wise associative, partitioning-invariant)
+    with _stream_partitions(spark, src):
+        qh = stream_hdr_partials(
+            vals, sink, "v", "event_type", sub_bits=7, timeout_s=600
+        )
     data_batches = sum(1 for p in qh.recentProgress if p["numInputRows"] > 0)
     if data_batches < 3:
         raise RuntimeError(
@@ -5756,7 +5761,13 @@ def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(partial: DataFrame, batch_id: int) -> None:
         partial.write.mode("append").parquet(land)
 
-    qh = stream_kmv_partials(stream, sink, "source", "_sh", k=256, timeout_s=600)
+    # size the per-micro-batch shuffle from the staged batch files, not
+    # the local core count (r14 sizing rule; bottom-k per group is
+    # partitioning-invariant, so the landed partials are identical)
+    with _stream_partitions(spark, src):
+        qh = stream_kmv_partials(
+            stream, sink, "source", "_sh", k=256, timeout_s=600
+        )
     data_batches = sum(1 for p in qh.recentProgress if p["numInputRows"] > 0)
     if data_batches < 3:
         raise RuntimeError(
